@@ -1,0 +1,193 @@
+"""Text-analysis column functions (north-star ops, SURVEY.md §2.D).
+
+Tokenization, word shingles, token counting, quality scoring, language-ID
+heuristic, and document fingerprinting — all as JVM-side column
+expressions (split / transform / aggregate / regexp), never row-at-a-time
+Python. Each Spark builder has a DuckDB-SQL twin (``sql_*``) generated
+from the same constants so the oracle stays in lockstep.
+
+Reference analogs: prompt templating (`run_text_classifier.py:56-57`),
+substring extraction (`run_multichoice_exam.py:112-116`); the analysis
+ops themselves are the mandated extensions beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and engine-portable; accuracy is secondary to parity.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(text: Column | str) -> Column:
+    return F.split(_c(text), " ")
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count via regexp (JVM-side; Spark 4 regexp_count)."""
+    return F.regexp_count(_c(text), F.lit(TOKEN_PATTERN))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; whole text if fewer than n words."""
+    ws = words(text)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array(_c(text)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    ws = words(text)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(ws)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    return F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / F.length(t)
+
+
+def mean_word_length(text: Column | str) -> Column:
+    ws = words(text)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(ws)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: longer docs with some stopwords
+    and low punctuation score higher. Portable arithmetic only."""
+    t = _c(text)
+    len_term = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(t) * 10.0, F.lit(1.0))
+    return F.round((len_term + stop_term + punct_term) / 3.0, 6)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Marker-lexicon language ID: argmax of per-language marker hits,
+    deterministic tie-break by language code order."""
+    ws = words(text)
+    scores = {
+        lang: F.size(F.filter(ws, lambda w, m=markers: w.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # Build reversed so earlier langs win ties (when() chains short-circuit).
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: min portable-hash over word shingles
+    (1-permutation MinHash — a rolling-hash content signature)."""
+    from genai_batch_processor_spark.functions.hashing import portable_hash60
+
+    hashed = F.transform(shingles(text, n), portable_hash60)
+    return F.array_min(hashed)
+
+
+# -- DuckDB oracle fragments -------------------------------------------------
+
+
+def sql_words(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def sql_word_count(expr: str) -> str:
+    return f"len(string_split({expr}, ' '))"
+
+
+def sql_token_count(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_PATTERN}'))"
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    w = sql_words(expr)
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({w}) - {n} + 1), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')) "
+        f"ELSE [{expr}] END)"
+    )
+
+
+def _sql_in_list(markers: tuple[str, ...]) -> str:
+    return ", ".join(f"'{m}'" for m in markers)
+
+
+def sql_stopword_ratio(expr: str) -> str:
+    w = sql_words(expr)
+    return (
+        f"(len(list_filter({w}, x -> x IN ({_sql_in_list(STOPWORDS)})))::DOUBLE"
+        f" / len({w}))"
+    )
+
+
+def sql_punct_ratio(expr: str) -> str:
+    return (
+        f"(len(regexp_extract_all({expr}, '[^A-Za-z0-9\\s]'))::DOUBLE"
+        f" / length({expr}))"
+    )
+
+
+def sql_mean_word_length(expr: str) -> str:
+    w = sql_words(expr)
+    return f"(list_sum(list_transform({w}, x -> length(x)))::DOUBLE / len({w}))"
+
+
+def sql_quality_score(expr: str) -> str:
+    len_term = f"least(length({expr})::DOUBLE / 500.0, 1.0)"
+    stop_term = f"least({sql_stopword_ratio(expr)} * 5.0, 1.0)"
+    punct_term = f"(1.0 - least({sql_punct_ratio(expr)} * 10.0, 1.0))"
+    return f"round(({len_term} + {stop_term} + {punct_term}) / 3.0, 6)"
+
+
+def sql_lang_guess(expr: str) -> str:
+    w = sql_words(expr)
+    scores = {
+        lang: f"len(list_filter({w}, x -> x IN ({_sql_in_list(m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    out = "'unknown'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        out = (
+            f"(CASE WHEN {scores[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {out} END)"
+        )
+    return out
+
+
+def sql_fingerprint(expr: str, n: int = 3) -> str:
+    from genai_batch_processor_spark.functions.hashing import sql_hash60
+
+    return (
+        f"list_min(list_transform({sql_shingles(expr, n)}, "
+        f"s -> {sql_hash60('s')}))"
+    )

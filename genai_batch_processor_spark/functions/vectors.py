@@ -1,0 +1,75 @@
+"""Vector math over ``array<float>`` embedding columns — pure column exprs.
+
+Similarity search (north-star op, SURVEY.md §2.D) needs dot / norm /
+cosine over the `embeddings.embedding` column. All JVM-side higher-order
+functions (``zip_with`` + ``aggregate``) — no Python UDF in the hot path;
+whole-stage codegen applies. Cast to double before accumulating so both
+Spark and the DuckDB oracle (``list_dot_product`` on FLOAT[] promotes the
+same way) agree to ~1e-15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bits_bucket(a: Column | str, n_bits: int = 8) -> Column:
+    """Random-hyperplane-free LSH bucket: sign pattern of the first
+    ``n_bits`` components, packed into an int. A deterministic coarse
+    quantizer (IVF-style) both Spark and ANSI SQL can compute; vectors in
+    the same bucket are near in angle with high probability, so exact
+    cosine only runs within buckets (SURVEY.md §2.D scale path)."""
+    arr = _c(a)
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bit = F.when(F.element_at(arr, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+# DuckDB oracle fragments (same math, same order of accumulation)
+def sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+def sql_sign_bits_bucket(a: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {a}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"(CAST({terms} AS BIGINT))"

