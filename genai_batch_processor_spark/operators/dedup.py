@@ -1,0 +1,338 @@
+"""Deduplication operators (north-star, SURVEY.md §2.D): exact,
+MinHash+LSH, and SimHash near-dup — each with a DuckDB-SQL twin built
+from the SAME constants so every op is oracle-checkable.
+
+The reference has no dedup surface; these are the mandated extensions for
+a training-data pipeline. Design for 100 TB:
+
+- exact dedup is a hash group-by (partial agg map-side; one shuffle on
+  the text hash, never on the text itself).
+- MinHash-LSH: signatures are per-row column math (no shuffle); banding
+  explodes to B rows/doc and shuffles on (band, key) — candidate
+  generation is the ONLY quadratic-risk step and it is bounded per
+  bucket. Verification joins only candidate pairs back to shingle sets.
+- SimHash: 16-bit signature; near-dup candidates via 4-bit band equality
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 nibbles equal), then
+  exact hamming over the XOR. All-pairs comparison never happens.
+
+Skew note: a degenerate bucket (e.g. empty-text shingle) would explode
+the candidate join; ``candidate_pairs`` caps bucket size via a window
+count (MAX_BUCKET, dropped buckets are reported by the caller's metrics
+rather than silently joined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import hashing, text as tx
+
+SHINGLE_N = 3
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS  # 4
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3  # pigeonhole-compatible with 4 bands of 8 bits
+MAX_BUCKET = 64  # skew guard for LSH buckets
+
+_FAMILY = hashing.hash_family(MINHASH_K)
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct text (hash group-by; SURVEY.md
+    §2.D 'exact dedup'). Shuffles on a 60-bit text hash, not the text."""
+    h = hashing.portable_hash60(text_col).alias("__h")
+    survivors = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, on=id_col, how="inner")
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def shingle_hashes(text: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct word-shingle 32-bit hashes (the doc's shingle *set*)."""
+    return F.transform(
+        F.array_distinct(tx.shingles(text, n)), hashing.portable_hash32
+    )
+
+
+def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash signature over a shingle-hash array —
+    pure per-row column math, no shuffle."""
+    # Single aggregate pass: the accumulator is the running elementwise min
+    # of the k permuted hashes. One pass means `hashes` (md5-heavy when fed
+    # shingle_hashes(text) inline) evaluates once per row — k separate
+    # array_min(transform(...)) exprs would re-evaluate it k times (codegen
+    # CSE does not reach inside HOF lambdas).
+    init = F.array_repeat(F.lit(hashing.MERSENNE_31).cast("long"), k)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[hashing.universal_hash(h, a, b) for a, b in _FAMILY[:k]]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def band_keys(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Array of (band, key) structs: key = portable hash of the band's
+    signature slice. Equal key in any band ⇒ candidate pair."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                hashing.portable_hash60(
+                    F.concat_ws("-", F.slice(sig, j * rows + 1, rows))
+                ).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def _pairs_within_buckets(
+    buckets: DataFrame, group_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """(id_a < id_b) pairs within each bucket via collect_list + explode.
+
+    A bucketed SELF-JOIN would evaluate the (md5-heavy) signature pipeline
+    once per join side; aggregating ids into a sorted array evaluates it
+    ONCE, and pair generation over a ≤max_bucket array is trivial local
+    work. The size cap doubles as the skew guard — degenerate buckets are
+    dropped, not joined. Expects an ``__id`` column."""
+    grouped = (
+        buckets.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """LSH candidate (id_a < id_b) pairs. One explode (B rows/doc), one
+    shuffle on (band, key), bucket-size cap against skew."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        band_keys(minhash_signature(shingle_hashes(text_col))).alias("__bk"),
+    ).select("__id", F.explode("__bk").alias("b"))
+    buckets = sigs.select(
+        "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    return _pairs_within_buckets(buckets, ["band", "key"], max_bucket)
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two distinct-shingle-hash arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return inter.cast("double") / union
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. Only LSH
+    candidates are verified — the full cross product never materializes.
+    """
+    cands = candidate_pairs(df, id_col, text_col)
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        shingle_hashes(text_col).alias("__sh"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed("__sid", "id_a"), on="id_a")
+        .withColumnRenamed("__sh", "sh_a")
+        .join(sh.withColumnRenamed("__sid", "id_b"), on="id_b")
+        .withColumnRenamed("__sh", "sh_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Bitwise-majority SimHash over distinct-shingle 32-bit hashes.
+
+    Features are word 3-shingles, not single words: the fixture corpus
+    (like real web text) shares a heavy common vocabulary, and word-level
+    SimHash collapses toward the majority bit pattern of that shared
+    vocab — shingles keep the signature document-specific."""
+    hs = shingle_hashes(text)
+    # Single pass over the feature array: per-bit ±1 votes accumulate in an
+    # array<int>, then the sign vector packs into one long. One aggregate
+    # expression means the (md5-heavy) feature hashing runs ONCE per row —
+    # a per-bit F.filter loop would re-evaluate it `bits` times, since
+    # codegen CSE does not reach inside higher-order-function lambdas.
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            # bit i of h as ±1; h < 2^32 so double division by 2^i is exact
+            F.transform(
+                idx,
+                lambda i: (
+                    F.floor(h / F.pow(F.lit(2.0), i.cast("double"))) % 2
+                ).cast("int")
+                * 2
+                - 1,
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            idx,
+            lambda v, i: F.when(
+                v >= 0, F.pow(F.lit(2.0), i.cast("double"))
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return packed.cast("long")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ max_hamming; candidates via
+    band equality (never all-pairs). Signatures are computed once: ids
+    AND signatures are carried into the bucket aggregation as structs, so
+    hamming needs no join back to the signature relation."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
+    )
+    nib_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sh.select(
+        F.struct(F.col("__id").alias("id"), F.col("__sh").alias("sh")).alias(
+            "__rec"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("__sh"), j * nib_width)
+                        .bitwiseAND(F.lit((1 << nib_width) - 1))
+                        .alias("nib"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("__rec", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
+    grouped = (
+        bands.groupBy("band", "nib")
+        .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
+        .filter(F.size("recs") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("recs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- DuckDB oracle fragments -------------------------------------------------
+
+
+def sql_shingle_hashes(expr: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"list_transform(list_distinct({tx.sql_shingles(expr, n)}), "
+        f"s -> {hashing.sql_hash32('s')})"
+    )
+
+
+def sql_minhash_signature(hashes_expr: str, k: int = MINHASH_K) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> {hashing.sql_universal_hash('h', a, b)}))"
+        for a, b in _FAMILY[:k]
+    )
+    return f"[{mins}]"
+
+
+def sql_band_key(sig_expr: str, band: int, rows: int = LSH_ROWS) -> str:
+    lo = band * rows + 1
+    hi = band * rows + rows
+    return hashing.sql_hash60(
+        f"array_to_string(({sig_expr})[{lo}:{hi}], '-')"
+    )
+
+
+def sql_word_hashes(expr: str) -> str:
+    """SimHash feature hashes — same shingle features as the Spark side."""
+    return sql_shingle_hashes(expr)
+
+
+def sql_simhash_from_hashes(hs_col: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over a pre-computed hash-list column (use a CTE to bind
+    :func:`sql_word_hashes` to ``hs_col`` first — avoids recomputing the
+    list per bit)."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hs_col}, h -> (h >> {i}) & 1 = 1)) "
+        f">= len({hs_col}) THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"

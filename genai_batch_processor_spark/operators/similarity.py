@@ -1,0 +1,145 @@
+"""Similarity search over ``array<float>`` embeddings (north-star,
+SURVEY.md §2.D): brute-force cosine top-k as the exactness baseline and a
+sign-bit LSH-bucketed variant as the scale path. Embedding near-dup pairs
+ride the same bucketing.
+
+Scale design (100 TB):
+- brute force is queries × corpus: correct for a SMALL query set against
+  a huge corpus — the query side is broadcast, so the corpus is scanned
+  once with no shuffle, and per-query top-k is a windowed rank. Cost is
+  O(|Q|·|C|) compute but O(0) shuffle of the corpus.
+- the LSH variant buckets both sides by the sign pattern of the leading
+  components (a deterministic coarse quantizer — IVF-style cells without
+  trained centroids) and only scores within matching cells: compute drops
+  to O(|Q|·|C|/2^bits) expected, at a documented recall cost (sign-LSH
+  recall for moderate-cosine neighbors falls as bits grow; pick bits by
+  corpus density). Candidate generation is an equi-join on the bucket id
+  — shuffle on a single long key, AQE-skew-splittable.
+- vector math is `zip_with`/`aggregate` column exprs (JVM, codegen) —
+  no Python UDF in the hot path; Spark and DuckDB produce bit-identical
+  doubles (verified), so ranking parity holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import vectors as V
+
+TOPK_DEFAULT = 5
+LSH_SIGN_BITS = 8
+NEAR_DUP_COSINE = 0.35  # fixture-calibrated; see tools/ exploration
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """rank ≤ k per query by (cosine desc, neighbor id asc) — ties broken
+    deterministically so results are engine-portable."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side over the
+    corpus scan; no corpus shuffle, per-query windowed rank."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOPK_DEFAULT,
+    sign_bits: int = LSH_SIGN_BITS,
+) -> DataFrame:
+    """Approximate top-k: score only within matching sign-bit cells.
+    Same output shape as brute force; recall < 1 by design (scale path)."""
+    bucket = V.sign_bits_bucket(F.col(vec_col), sign_bits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = NEAR_DUP_COSINE,
+    sign_bits: int = LSH_SIGN_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-dup (id_a < id_b) pairs within sign-bit
+    cells — the §2.D 'embedding-cosine near-dup' op. Bucketed self-join,
+    never all-pairs."""
+    bucket = V.sign_bits_bucket(F.col(vec_col), sign_bits)
+    b = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        bucket.alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.round(
+                V.cosine(F.col("x.__v"), F.col("y.__v")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

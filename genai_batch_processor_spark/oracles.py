@@ -9,9 +9,10 @@ embeddings.
 
 from __future__ import annotations
 
-from genai_batch_processor_spark.functions.hashing import sql_hash32
+from genai_batch_processor_spark.functions import vectors as vec
+from genai_batch_processor_spark.functions.hashing import sql_hash32, sql_hash60
 from genai_batch_processor_spark.inference import mock
-from genai_batch_processor_spark.operators import requests
+from genai_batch_processor_spark.operators import dedup, requests
 
 LABELS = mock.DEFAULT_LABELS
 
@@ -128,3 +129,152 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+# -- north-star: dedup --------------------------------------------------------
+
+_ANN_N_QUERIES = 8  # keep in sync with queries.ANN_N_QUERIES
+
+_MINHASH_BASE = f"""
+WITH sh AS (
+  SELECT doc_id, {dedup.sql_shingle_hashes('text')} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {dedup.sql_minhash_signature('hs')} AS sig FROM sh
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {j} AS band, {dedup.sql_band_key('sig', j)} AS key FROM sig"
+      for j in range(dedup.LSH_BANDS)
+  )}
+), small AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {dedup.MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+"""
+
+_SIMHASH_BASE = f"""
+WITH h AS (
+  SELECT doc_id, {dedup.sql_word_hashes('text')} AS hs FROM documents
+), s AS (
+  SELECT doc_id, {dedup.sql_simhash_from_hashes('hs')} AS sh FROM h
+)
+"""
+
+_NIB = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+
+ORACLES["exact_dedup"] = f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM unioned
+    GROUP BY {sql_hash60('text')}
+"""
+
+ORACLES["minhash_signatures"] = f"""
+    WITH sh AS (
+      SELECT doc_id, {dedup.sql_shingle_hashes('text')} AS hs FROM documents
+    )
+    SELECT doc_id,
+           array_to_string({dedup.sql_minhash_signature('hs')}, '-') AS signature
+    FROM sh
+"""
+
+ORACLES["lsh_candidates"] = _MINHASH_BASE + """
+    SELECT id_a, id_b FROM cand
+"""
+
+ORACLES["near_dup_pairs"] = _MINHASH_BASE + f"""
+    , scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.hs, y.hs))::DOUBLE
+                   / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+"""
+
+ORACLES["simhash"] = _SIMHASH_BASE + """
+    SELECT doc_id, sh AS simhash FROM s
+"""
+
+ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
+    , bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, sh, {j} AS band, (sh >> {j * _NIB}) & {(1 << _NIB) - 1} AS nib FROM s"
+          for j in range(dedup.SIMHASH_BANDS)
+      )}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
+"""
+
+# -- north-star: similarity search -------------------------------------------
+
+ORACLES["embedding_topk"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_ANN_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {vec.sql_cosine('q.qv', 'c.embedding')} AS cos
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INT) AS "rank",
+           round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY "rank" <= 5
+"""
+
+ORACLES["embedding_topk_lsh"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {vec.sql_sign_bits_bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < {_ANN_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {vec.sql_cosine('q.qv', 'c.embedding')} AS cos
+      FROM (
+        SELECT vec_id, embedding,
+               {vec.sql_sign_bits_bucket('embedding')} AS bucket
+        FROM embeddings
+      ) c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INT) AS "rank",
+           round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY "rank" <= 5
+"""
+
+ORACLES["embedding_near_dup"] = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {vec.sql_sign_bits_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
+"""

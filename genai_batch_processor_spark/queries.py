@@ -12,11 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genai_batch_processor_spark.functions import ids, text as tx
+from genai_batch_processor_spark.functions import hashing, ids, text as tx
 from genai_batch_processor_spark.inference import mock
-from genai_batch_processor_spark.operators import joinback, requests, responses
+from genai_batch_processor_spark.operators import (
+    dedup,
+    joinback,
+    requests,
+    responses,
+    similarity,
+)
 from genai_batch_processor_spark.sources import schemas
 from genai_batch_processor_spark.sources.tables import load_table
+
+ANN_N_QUERIES = 8  # query-set size for the similarity-search fixtures
 
 LABELS = mock.DEFAULT_LABELS
 
@@ -192,6 +200,87 @@ def q_question_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- north-star: dedup -------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash group-by (§2.D). The fixture has no exact
+    dups, so the corpus is unioned with a shifted copy of itself; the
+    survivor set must be exactly the original ids, each with 2 copies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+    )
+    unioned = docs.unionAll(shifted)
+    return (
+        unioned.groupBy(hashing.portable_hash60("text").alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per document (flattened to a string for the
+    driver's value hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(dedup.shingle_hashes("text"))
+    return docs.select(
+        "doc_id", F.concat_ws("-", sig).alias("signature")
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate pairs (pre-verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.candidate_pairs(docs, "doc_id", "text")
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicates, Jaccard-verified at ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(docs, "doc_id", "text")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 via nibble banding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text")
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# -- north-star: similarity search ------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first ANN_N_QUERIES vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_bruteforce(emb, queries)
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH-bucketed top-5 (the scale path; recall < 1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_lsh(emb, queries)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-bit cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb)
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -203,4 +292,13 @@ QUERIES: dict[str, callable] = {
     "label_distribution": q_label_distribution,
     "vertex_requests": q_vertex_requests,
     "question_preview": q_question_preview,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "near_dup_pairs": q_near_dup_pairs,
+    "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
 }

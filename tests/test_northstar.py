@@ -1,0 +1,87 @@
+"""North-star operator tests: dedup (exact / MinHash-LSH / SimHash) and
+embedding similarity search. Semantic properties, not just parity —
+parity with DuckDB is the driver's job (tools/check_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.operators import dedup, similarity
+from genai_batch_processor_spark.sources.tables import load_table
+
+SF001 = "/root/testdata/sf0.01"  # near-dup structure only exists at sf0.01+
+
+
+def test_exact_dedup_removes_injected_copies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    shifted = docs.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    deduped = dedup.exact_dedup(docs.unionAll(shifted), "text", "doc_id")
+    kept = [r.doc_id for r in deduped.collect()]
+    assert len(kept) == n
+    assert all(k < 10_000_000 for k in kept)  # min-id survivor wins
+
+
+def test_minhash_lsh_finds_known_near_dups(spark):
+    docs = load_table(spark, SF001, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text").collect()
+    assert len(pairs) >= 20  # fixture has ~25 seeded near-dup pairs
+    assert all(r.id_a < r.id_b and r.jaccard >= 0.8 for r in pairs)
+    # LSH candidates must be a superset of verified pairs
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert {(r.id_a, r.id_b) for r in pairs} <= cands
+
+
+def test_simhash_agrees_with_minhash_on_near_dups(spark):
+    docs = load_table(spark, SF001, "documents")
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    sh = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    # the two detectors see (mostly) the same seeded near-dups
+    assert len(mh & sh) >= 0.7 * len(mh)
+
+
+def test_topk_bruteforce_properties(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = similarity.topk_bruteforce(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_topk_lsh_is_subset_of_bucket_and_agrees_on_top1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = similarity.topk_bruteforce(emb, queries, k=5).collect()
+    lsh = similarity.topk_lsh(emb, queries, k=5).collect()
+    # every LSH result must be scored identically to brute force
+    brute_sims = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    all_brute = similarity.topk_bruteforce(emb, queries, k=10**6).collect()
+    all_sims = {(r.query_id, r.neighbor_id): r.cosine for r in all_brute}
+    for r in lsh:
+        assert all_sims[(r.query_id, r.neighbor_id)] == r.cosine
+    assert brute_sims  # sanity
+
+
+def test_embedding_near_dup_symmetric_and_thresholded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.embedding_near_dup_pairs(emb, threshold=0.2).collect()
+    assert all(r.id_a < r.id_b and r.cosine >= 0.2 for r in rows)
