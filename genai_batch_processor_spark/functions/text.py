@@ -91,8 +91,14 @@ def lang_guess(text: Column | str) -> Column:
     """Marker-lexicon language ID: argmax of per-language marker hits,
     deterministic tie-break by language code order."""
     ws = words(text)
+
+    def in_markers(markers: tuple[str, ...]):
+        # closure factory: a default-arg lambda would be misread by
+        # PySpark's HOF arity inspection as a 2-arg (value, index) lambda
+        return lambda w: w.isin(*markers)
+
     scores = {
-        lang: F.size(F.filter(ws, lambda w, m=markers: w.isin(*m)))
+        lang: F.size(F.filter(ws, in_markers(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())

@@ -9,6 +9,7 @@ embeddings.
 
 from __future__ import annotations
 
+from genai_batch_processor_spark.functions import text as tx
 from genai_batch_processor_spark.functions import vectors as vec
 from genai_batch_processor_spark.functions.hashing import sql_hash32, sql_hash60
 from genai_batch_processor_spark.inference import mock
@@ -277,4 +278,191 @@ ORACLES["embedding_near_dup"] = f"""
       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+# -- north-star: text analysis ------------------------------------------------
+
+ORACLES["doc_stats"] = f"""
+    SELECT doc_id,
+           {tx.sql_word_count('text')} AS n_words,
+           {tx.sql_token_count('text')} AS n_tokens,
+           round({tx.sql_mean_word_length('text')}, 6) AS mean_word_len,
+           {tx.sql_quality_score('text')} AS quality,
+           {tx.sql_lang_guess('text')} AS lang_guess,
+           {tx.sql_fingerprint('text')} AS fingerprint
+    FROM documents
+"""
+
+ORACLES["lang_id_confusion"] = f"""
+    SELECT lang, {tx.sql_lang_guess('text')} AS guessed,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang, guessed
+"""
+
+ORACLES["term_frequencies"] = """
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    WHERE regexp_matches(term, '^[a-z]+$')
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 100
+"""
+
+ORACLES["source_quality"] = f"""
+    WITH q AS (
+      SELECT source,
+             CAST(round({tx.sql_quality_score('text')} * 1000000, 0) AS BIGINT) AS q6,
+             {tx.sql_token_count('text')} AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           (CAST(sum(q6) AS DOUBLE) / (count(*) * 1000000.0)) AS avg_quality
+    FROM q
+    GROUP BY source
+"""
+
+# -- north-star: multimodal ---------------------------------------------------
+
+ORACLES["multimodal_requests"] = """
+    SELECT doc_id,
+           2 AS n_parts,
+           'text' AS part0_type,
+           'image_url' AS part1_type,
+           ('data:image/png;base64,' || to_base64(encode(substr(text, 1, 24))))
+             AS image_uri,
+           10 AS max_completion_tokens,
+           CAST(NULL AS DOUBLE) AS temperature
+    FROM documents
+"""
+
+# -- events -------------------------------------------------------------------
+
+ORACLES["events_hourly"] = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+ORACLES["user_sessions"] = """
+    WITH gapped AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM gapped
+    ), sessioned AS (
+      SELECT user_id,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS sess_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sess_id, count(*) AS n_events
+      FROM sessioned GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(max(sess_id) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_sess
+    GROUP BY user_id
+"""
+
+ORACLES["events_json_props"] = """
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM k
+    GROUP BY event_type
+"""
+
+# -- relational coverage ------------------------------------------------------
+
+ORACLES["pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["regional_revenue"] = """
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+ORACLES["top_customers_per_nation"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+      FROM orders GROUP BY o_custkey
+    ), joined AS (
+      SELECT n.n_name, c.c_custkey, CAST(s.spend_dec AS DOUBLE) AS spend
+      FROM customer c
+      JOIN spend s ON c.c_custkey = s.o_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name AS nation, c_custkey,
+           CAST(row_number() OVER (
+             PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC
+           ) AS INT) AS rnk,
+           spend
+    FROM joined
+    QUALIFY rnk <= 3
+"""
+
+ORACLES["customer_order_setops"] = """
+    WITH o_cust AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ), f_cust AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    ), tagged AS (
+      SELECT custkey, 'both' AS set_op FROM (
+        SELECT custkey FROM o_cust INTERSECT SELECT custkey FROM f_cust
+      )
+      UNION ALL
+      SELECT custkey, 'only_open' FROM (
+        SELECT custkey FROM o_cust EXCEPT SELECT custkey FROM f_cust
+      )
+      UNION ALL
+      SELECT custkey, 'only_finished' FROM (
+        SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM o_cust
+      )
+    )
+    SELECT set_op, CAST(count(*) AS BIGINT) AS n_customers
+    FROM tagged
+    GROUP BY set_op
 """

@@ -281,6 +281,272 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb)
 
 
+# -- north-star: text analysis ----------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: counts, quality score, language guess,
+    rolling-hash fingerprint (§2.D text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.word_count("text").alias("n_words"),
+        tx.token_count("text").alias("n_tokens"),
+        F.round(tx.mean_word_length("text"), 6).alias("mean_word_len"),
+        tx.quality_score("text").alias("quality"),
+        tx.lang_guess("text").alias("lang_guess"),
+        tx.fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the fixture's true lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_guess("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 lowercase alphabetic terms: explode → hash-agg → top-k.
+
+    Scale: groupBy(word) partial-aggregates map-side before the shuffle;
+    the final top-k is a single global sort of the (small) aggregated
+    relation, not of the exploded corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tx.words(F.lower("text"))).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    return (
+        words.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source aggregate quality/token stats. Double sums go through
+    scaled-integer accumulation (order-independent) so the result is
+    engine-exact; the single final division is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    # round before the long cast: Spark's double→long cast truncates while
+    # DuckDB's rounds, so an explicit round keeps the twins in lockstep
+    q6 = F.round(tx.quality_score("text") * F.lit(1_000_000), 0).cast("long")
+    return (
+        docs.select("source", q6.alias("q6"), tx.token_count("text").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            (
+                F.sum("q6").cast("double")
+                / (F.count("*") * F.lit(1_000_000.0))
+            ).alias("avg_quality"),
+        )
+    )
+
+
+# -- north-star: multimodal columns ------------------------------------------
+
+
+def q_multimodal_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal request assembly (#42/#43): deterministic fake image
+    bytes (utf-8 of a text prefix — the container has no image libs) →
+    base64 data-URI → [text part, image part] content array."""
+    docs = _documents_with_ids(spark, sf_dir)
+    fake_png = F.encode(F.substring("text", 1, 24), "utf-8")
+    data_uri = F.concat(
+        F.lit("data:image/png;base64,"), F.base64(fake_png)
+    )
+    content = F.array(
+        requests.text_part(F.col("text")), requests.image_part(data_uri)
+    )
+    reqs = requests.build_openai_requests(
+        docs, id_col="idx", user_content=content, model="o4-mini"
+    )
+    msg = F.element_at(F.col("request.body.messages"), -1)
+    return reqs.select(
+        "doc_id",
+        F.size(msg["content"]).alias("n_parts"),
+        msg["content"].getItem(0)["type"].alias("part0_type"),
+        msg["content"].getItem(1)["type"].alias("part1_type"),
+        msg["content"].getItem(1)["image_url"]["url"].alias("image_uri"),
+        # o-series conditional shaping (#44): max_completion_tokens set,
+        # temperature absent
+        F.col("request.body.max_completion_tokens").alias("max_completion_tokens"),
+        F.col("request.body.temperature").alias("temperature"),
+    )
+
+
+# -- events: time-window & stateful-style aggregates -------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table (batch
+    form of the streaming windowed agg; same window() op works under
+    Structured Streaming with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → per-user session count
+    and max session size (gaps-and-islands via lag + running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessioned = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("sess_id", F.sum("new_sess").over(w))
+    per_sess = sessioned.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-as-string column access (§1 mapping): extract props.k."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# -- relational coverage (§2.C: joins/aggs/windows/sorts/set ops) ------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+filter+agg (pushdown-friendly: predicate and
+    column pruning reach the parquet scan). Money math in decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with broadcast dims: region ⋈ nation ⋈ customer ⋈
+    orders. The two small dims are explicitly broadcast; the big fact
+    join shuffles on the key Catalyst picks (AQE re-plans at runtime)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: 3 highest-spending customers per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_dec")
+        )
+    )
+    joined = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name", "c_custkey", F.col("spend_dec").cast("double").alias("spend")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            F.col("rnk").cast("int").alias("rnk"),
+            "spend",
+        )
+    )
+
+
+def q_customer_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.C 'absent in reference'): customers with open
+    ('O') vs finished ('F') orders — intersect / except both ways,
+    tagged and unioned into one relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    o_cust = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    f_cust = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = o_cust.intersect(f_cust).withColumn("set_op", F.lit("both"))
+    only_o = o_cust.subtract(f_cust).withColumn("set_op", F.lit("only_open"))
+    only_f = f_cust.subtract(o_cust).withColumn("set_op", F.lit("only_finished"))
+    return (
+        both.unionAll(only_o)
+        .unionAll(only_f)
+        .groupBy("set_op")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -301,4 +567,16 @@ QUERIES: dict[str, callable] = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
+    "doc_stats": q_doc_stats,
+    "lang_id_confusion": q_lang_id_confusion,
+    "term_frequencies": q_term_frequencies,
+    "source_quality": q_source_quality,
+    "multimodal_requests": q_multimodal_requests,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "events_json_props": q_events_json_props,
+    "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "customer_order_setops": q_customer_order_setops,
 }
