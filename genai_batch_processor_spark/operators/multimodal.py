@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column operators (north-star, §2.D).
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+never as Python objects. Reference analog: the base64 data-URI image
+pipeline in ``examples/openai/run_visual_exam.py:42-49,93-104`` (operator
+#42/#43); here generalized to a column-level toolkit plus a distributed
+decode/feature boundary.
+
+The decode/resize/frame-sample stages run as Arrow-batched
+``mapInPandas`` because real codecs need Python libs (PIL/av). This
+container has none, so ``decode_image_stub`` is a clearly-marked
+deterministic fake behind the SAME plumbing (schema, batching,
+partitioning) a real decoder would use — swap ``_decode_bytes`` for a
+PIL call and nothing else changes. ``require_real_codecs()`` raises
+NotImplementedError to mark the boundary.
+
+Scale notes:
+- binary payloads dominate row size: keep them OUT of shuffles — derive
+  features first (mapInPandas on the scan partitioning, no shuffle),
+  then drop/park the bytes before any wide stage.
+- `binaryFile` source caps at spark.sql.files.maxPartitionBytes per
+  partition; for many small files use `recursiveFileLookup` + AQE
+  coalescing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def media_metadata(data: Column, media_type: str, mime: str) -> Column:
+    """Typed metadata struct for a binary media column (JVM-side)."""
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(mime).alias("mime"),
+        F.length(data).cast("long").alias("n_bytes"),
+        F.sha2(data, 256).alias("sha"),
+    )
+
+
+def data_uri(data: Column, mime: str = "image/png") -> Column:
+    """base64 data-URI from binary (operator #42, run_visual_exam.py:42-49)."""
+    return F.concat(F.lit(f"data:{mime};base64,"), F.base64(data))
+
+
+def require_real_codecs() -> None:
+    """The real decode path needs PIL/av, absent from this container."""
+    raise NotImplementedError(
+        "real image/audio decoding requires PIL/av; this environment ships "
+        "neither — use decode_image_stub (deterministic fake) which "
+        "exercises identical Spark plumbing"
+    )
+
+
+def _decode_bytes(b: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: md5-derived pseudo-dimensions and a
+    FEATURE_DIM float vector. Replace with PIL for real images."""
+    h = hashlib.md5(b if b else b"\x00").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feature = [round(x / 255.0, 6) for x in h[2 : 2 + FEATURE_DIM]]
+    return width, height, feature
+
+
+def decode_image_stub(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Distributed decode/feature-extract over binary image columns.
+
+    Arrow-batched mapInPandas on the scan partitioning (no shuffle); the
+    per-batch loop is exactly where PIL decode + resize would run."""
+    id_name, data_name = id_col, data_col
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_bytes(b) for b in pdf[data_name]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[data_name]],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(decode, IMAGE_FEATURES)
+
+
+def fake_image_bytes(text: Column, n: int = 24) -> Column:
+    """Deterministic stand-in for real image payloads in fixtures: the
+    utf-8 bytes of a text prefix (parity-checkable via encode/to_base64)."""
+    return F.encode(F.substring(text, 1, n), "utf-8")

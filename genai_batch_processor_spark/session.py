@@ -36,6 +36,17 @@ def get_spark(app_name: str = "genai_batch_processor_spark") -> SparkSession:
     shuffle partitions ≈ cores (not 200), AQE coalesces/skew-splits at
     runtime, Arrow for any pandas-UDF boundary.
     """
+    # Python workers must be able to import this package no matter what
+    # the driver's cwd is: worker-crossing functions (mapInPandas
+    # builders, stateful updates) may be cloudpickled by reference. The
+    # workers inherit PYTHONPATH from the JVM env, which inherits ours —
+    # set it BEFORE the JVM starts. (On a real cluster the equivalent is
+    # shipping the package via --py-files or a venv archive.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if repo_root not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([repo_root] + [p for p in parts if p])
+
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

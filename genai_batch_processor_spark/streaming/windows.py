@@ -1,0 +1,162 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.C: "streaming ops —
+entirely absent"; its poll loop is synchronous batch waiting). These are
+the engine's streaming extensions: the SAME windowed aggregation used in
+batch (queries.q_events_hourly) expressed over ``readStream``, plus a
+custom stateful per-user accumulator via ``applyInPandasWithState``.
+
+Design notes (100 TB / continuous):
+- event-time windows + watermark bound state: late events beyond the
+  watermark are dropped instead of growing state forever.
+- ``availableNow`` trigger gives hermetic batch-equivalent runs in tests
+  and backfills in production — same code path as the 24/7 stream.
+- the stateful op keeps O(1) state per user key (counts + last-seen).
+  NoTimeout is deliberate: registering a processing-time timeout makes
+  the engine schedule endless no-data "cleaning up state" micro-batches,
+  which availableNow runs never drain — a 24/7 deployment that needs
+  key expiry should bound keyspace upstream or use RocksDB TTL.
+- sinks are file/foreachBatch in production; tests use the memory sink.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream; nanos-long ts normalized to timestamp
+    exactly like the batch loader (sources/tables.py)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    queries.q_events_hourly (same window, same decimal-exact sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+
+def user_stats_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user stats via applyInPandasWithState. ``ts`` is
+    carried as long micros inside the state (pandas-friendly).
+
+    The update function is a nested closure ON PURPOSE: a module-level
+    function would be cloudpickled by reference and the Python workers
+    (which don't have this repo on their PYTHONPATH) would fail to
+    import it; a closure is serialized by value."""
+
+    def update_user_stats(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # worker-side import
+
+        n, last_ts, last_type = state.get if state.exists else (0, -1, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            # track the latest event by event time (ties: highest event_id)
+            idx = pdf.sort_values(["ts", "event_id"]).index[-1]
+            row_ts = int(pdf.loc[idx, "ts"])
+            if row_ts >= last_ts:
+                last_ts = row_ts
+                last_type = str(pdf.loc[idx, "event_type"])
+        state.update((n, last_ts, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_event_type": [last_type],
+            }
+        )
+
+    typed = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts"),
+        "event_type",
+    )
+    return typed.groupBy("user_id").applyInPandasWithState(
+        update_user_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the stream with availableNow into the memory sink (tests /
+    backfills); blocks until every available file is processed."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,63 @@
+"""Multimodal binary-column tests: metadata struct, data-URI round-trip,
+and the distributed decode stub (schema, batching, determinism)."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.operators import multimodal as mm
+from genai_batch_processor_spark.sources.tables import load_table
+
+
+def _docs_with_bytes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", mm.fake_image_bytes(F.col("text")).alias("data")
+    )
+
+
+def test_media_metadata_and_data_uri(spark, sf_dir):
+    df = _docs_with_bytes(spark, sf_dir)
+    out = df.select(
+        "doc_id",
+        mm.media_metadata(F.col("data"), "image", "image/png").alias("meta"),
+        mm.data_uri(F.col("data")).alias("uri"),
+        F.col("data"),
+    ).limit(5).collect()
+    for r in out:
+        assert r.meta.media_type == "image" and r.meta.mime == "image/png"
+        assert r.meta.n_bytes == len(r.data)
+        assert len(r.meta.sha) == 64
+        prefix = "data:image/png;base64,"
+        assert r.uri.startswith(prefix)
+        assert base64.b64decode(r.uri[len(prefix):]) == bytes(r.data)
+
+
+def test_decode_stub_schema_and_determinism(spark, sf_dir):
+    df = _docs_with_bytes(spark, sf_dir)
+    feats = mm.decode_image_stub(df)
+    assert feats.schema == mm.IMAGE_FEATURES
+    a = {r.doc_id: (r.width, r.height, tuple(r.feature)) for r in feats.collect()}
+    b = {r.doc_id: (r.width, r.height, tuple(r.feature)) for r in feats.collect()}
+    assert a == b  # deterministic across runs
+    assert all(len(v[2]) == mm.FEATURE_DIM for v in a.values())
+    assert all(64 <= v[0] < 256 and 64 <= v[1] < 256 for v in a.values())
+
+
+def test_decode_stub_partitioning_preserved(spark, sf_dir):
+    """The decode is a narrow transformation — no shuffle introduced."""
+    df = _docs_with_bytes(spark, sf_dir).repartition(4)
+    feats = mm.decode_image_stub(df)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("RoundRobinPartitioning")[0].split(
+        "MapInPandas"
+    )[0]
+    assert feats.rdd.getNumPartitions() == 4
+
+
+def test_real_codec_boundary_is_marked():
+    with pytest.raises(NotImplementedError):
+        mm.require_real_codecs()

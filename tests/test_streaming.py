@@ -1,0 +1,63 @@
+"""Streaming tests: the availableNow stream must reproduce the batch
+twins exactly, and stateful state must survive across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark import queries
+from genai_batch_processor_spark.sources.tables import load_table
+from genai_batch_processor_spark.streaming import windows as sw
+
+
+def _split_events_dir(spark, sf_dir, out_dir: str, n_splits: int = 2) -> None:
+    """Copy the events fixture into n parquet files (one per micro-batch
+    with maxFilesPerTrigger=1), split by event_id modulo."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    for i in range(n_splits):
+        raw.filter(F.col("event_id") % n_splits == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
+    stream_dir = str(tmp_path / "ev_stream")
+    _split_events_dir(spark, sf_dir, stream_dir)
+    stream = sw.stream_events(spark, stream_dir)
+    agg = sw.hourly_counts(stream)
+    sw.run_to_memory(agg, "hourly_mem", "complete", str(tmp_path / "ckpt1"))
+    got = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in spark.table("hourly_mem").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in queries.q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
+    stream_dir = str(tmp_path / "ev_stream2")
+    _split_events_dir(spark, sf_dir, stream_dir, n_splits=3)
+    stream = sw.stream_events(spark, stream_dir, max_files_per_trigger=1)
+    stats = sw.user_stats_stream(stream)
+    sw.run_to_memory(stats, "user_mem", "update", str(tmp_path / "ckpt2"))
+    out = spark.table("user_mem").toPandas()
+    # update mode emits one row per key per batch it appears in; the LAST
+    # emission per user carries the accumulated totals
+    final = out.groupby("user_id").last()
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {uid: int(row["n_events"]) for uid, row in final.iterrows()}
+    assert got == want
+    # state crossed batches: users seen in >1 batch emitted >1 row
+    multi = out.groupby("user_id").size()
+    assert (multi > 1).any()
+    shutil.rmtree(stream_dir, ignore_errors=True)
