@@ -7,25 +7,85 @@ unordered, so order must become data: ``row_number()`` over a stable key
 (NOT ``monotonically_increasing_id``, which is partition-dependent and
 non-contiguous — SURVEY.md §2 #4).
 
-Scale note: a global ``row_number()`` over one window is a single-reducer
-sort — fine for assigning ids to a dimension-sized input set, wrong for
-100 TB of rows. For huge inputs prefer a natural key (already present in
-every fixture table) or ``zipWithIndex``-free composite keys
-(partition-id + in-partition ordinal). ``assign_ids`` keeps the
-reference-parity semantics; ``custom_id_from_key`` is the scalable path
-(key synthesis straight from a natural key, no shuffle at all).
+Scale design: a bare ``row_number()`` over an unpartitioned window is a
+single-reducer sort (every row through ONE task — impossible at 100 TB).
+``assign_ids`` instead buckets the key space by VALUE into
+deterministic, data-derived ranges: per-bucket ``row_number`` plus a
+driver-computed running offset gives the identical dense global ordinal
+with parallelism = number of buckets. Value-derived buckets (not
+``repartitionByRange``) on purpose: range-exchange boundaries come from
+per-execution sampling, and the offsets job and the final job could see
+DIFFERENT boundaries — value bucketing is a pure function of the data,
+so both jobs agree. Cost: 2 tiny agg jobs (min/max, per-bucket counts)
+before the one real shuffle; skewed key distributions skew buckets
+(raise ``buckets`` or pre-map the key if so). Non-numeric keys fall back
+to the single-window path (fine for dimension-sized inputs).
+
+``custom_id_from_key`` is the zero-shuffle path when a natural key
+already exists (every fixture table has one).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+)
 
 
-def assign_ids(df: DataFrame, order_by: str, id_col: str = "idx") -> DataFrame:
-    """0-based dense ordinal (reference ``enumerate`` semantics, oai:138)."""
-    w = Window.orderBy(F.col(order_by))
-    return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+def assign_ids(
+    df: DataFrame,
+    order_by: str,
+    id_col: str = "idx",
+    buckets: int | None = None,
+) -> DataFrame:
+    """0-based dense ordinal by ``order_by`` (reference ``enumerate``
+    semantics, oai:138), computed with bucket-parallel ranking."""
+    key = F.col(order_by)
+    dtype = df.schema[order_by].dataType
+    if buckets is None:
+        buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+
+    if not isinstance(dtype, _NUMERIC) or buckets <= 1:
+        w = Window.orderBy(key)
+        return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+    knum = key.cast("double")
+    lo, hi = df.agg(F.min(knum), F.max(knum)).first()
+    if lo is None or lo == hi:
+        w = Window.orderBy(key)
+        return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+    width = (hi - lo) / buckets
+    bucket = F.least(
+        F.floor((knum - F.lit(lo)) / F.lit(width)), F.lit(buckets - 1)
+    ).cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("__bucket").orderBy(key)
+    return bucketed.withColumn(
+        id_col,
+        (F.row_number().over(w) - 1 + offset_map[F.col("__bucket")]).cast(
+            "long"
+        ),
+    ).drop("__bucket")
 
 
 def custom_id(idx: Column | str, prefix: str = "request") -> Column:

@@ -163,27 +163,57 @@ def near_dup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. Only LSH
     candidates are verified — the full cross product never materializes.
+
+    Single-scan design: the shingle-hash set rides along with the id
+    into the band buckets, so verification happens inside the bucket
+    explosion — ONE pass over the corpus, one shuffle on (band, key),
+    no join back to a recomputed shingle relation. The carried set costs
+    B× its size in shuffle volume; with B=4 bands that is far cheaper
+    than 3 extra corpus scans + 2 shuffled joins (the alternative).
+    Pairs colliding in several bands are deduped by a distinct over the
+    (small) scored candidate set.
     """
-    cands = candidate_pairs(df, id_col, text_col)
-    sh = df.select(
-        F.col(id_col).alias("__sid"),
-        shingle_hashes(text_col).alias("__sh"),
+    hs = shingle_hashes(text_col)
+    sigs = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), hs.alias("hs")
+        ).alias("__rec"),
+        band_keys(minhash_signature(hs)).alias("__bk"),
+    )
+    # NOTE: hs appears twice above but feeds ONE projection — Catalyst's
+    # subexpression elimination handles repeated *top-level* expressions;
+    # the k-permutation minhash reuses it inside a single aggregate.
+    buckets = sigs.select(
+        "__rec", F.explode("__bk").alias("b")
+    ).select("__rec", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
+        .filter((F.size("recs") >= 2) & (F.size("recs") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("recs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.round(jaccard(x["hs"], y["hs"]), 6).alias("jaccard"),
+                ),
+            ),
+        )
     )
     return (
-        cands.join(sh.withColumnRenamed("__sid", "id_a"), on="id_a")
-        .withColumnRenamed("__sh", "sh_a")
-        .join(sh.withColumnRenamed("__sid", "id_b"), on="id_b")
-        .withColumnRenamed("__sh", "sh_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
+        .distinct()
         .filter(F.col("jaccard") >= threshold)
     )
 
