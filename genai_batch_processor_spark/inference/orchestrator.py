@@ -141,3 +141,42 @@ def run_job(
     if job.state != "completed":
         raise RuntimeError(f"{job.job_id}: terminal states {states}")
     return job
+
+
+def resume_job(
+    backend: BatchBackend,
+    *,
+    manifest_dir: str,
+    job_id: str,
+    poll_interval_seconds: float = 30.0,
+    timeout_seconds: float = 7200.0,
+) -> JobManifest:
+    """Crash recovery: pick a submitted job back up by its persisted
+    batch_ids instead of resubmitting (the reference cannot do this —
+    job state dies with the process, oai:69-76). Jobs already terminal
+    return immediately; unsubmitted manifests are an error (nothing to
+    poll — rerun the pipeline instead)."""
+    job = JobManifest.load(manifest_dir, job_id)
+    if job.state == "completed":
+        return job
+    if not job.batch_ids:
+        raise ValueError(f"{job_id}: no batch_ids persisted; resubmit")
+
+    deadline = time.monotonic() + timeout_seconds
+    pending = set(job.batch_ids)
+    while pending:
+        pending = {b for b in pending if backend.status(b) not in TERMINAL_STATES}
+        if not pending:
+            break
+        if time.monotonic() > deadline:
+            job.state = "timeout"
+            job.save(manifest_dir)
+            raise TimeoutError(f"{job_id}: not terminal after {timeout_seconds}s")
+        time.sleep(poll_interval_seconds)
+
+    states = {backend.status(b) for b in job.batch_ids}
+    job.state = "completed" if states == {"completed"} else "failed"
+    job.save(manifest_dir)
+    if job.state != "completed":
+        raise RuntimeError(f"{job_id}: terminal states {states}")
+    return job

@@ -36,6 +36,8 @@ def run_inference(
     prompt_col: str = "prompt",
     micro_batch_size: int = 64,
     requests_per_second: float | None = None,
+    max_retries: int = 3,
+    backoff_seconds: float = 0.5,
     response_col: str = "resp",
 ) -> DataFrame:
     """prompt rows → typed OPENAI_RESPONSE structs via a per-partition client.
@@ -43,6 +45,11 @@ def run_inference(
     The client is anything exposing ``complete_batch([(custom_id, prompt)])
     -> list[dict]`` shaped like schema B3 (mock.MockInferenceClient in
     tests; a real HTTP client in production).
+
+    Transient client exceptions retry with exponential backoff
+    (the reference has no retry at all — SURVEY.md §4 gap list); a chunk
+    that still fails after ``max_retries`` becomes error ROWS, not a task
+    failure, so one bad micro-batch cannot kill a multi-hour stage.
     """
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -50,11 +57,34 @@ def run_inference(
         interval = (
             micro_batch_size / requests_per_second if requests_per_second else 0.0
         )
+
+        def call_with_retry(rows: list[tuple[str, str]]) -> list[dict]:
+            delay = backoff_seconds
+            for attempt in range(max_retries + 1):
+                try:
+                    return client.complete_batch(rows)
+                except Exception as exc:  # noqa: BLE001 — boundary by design
+                    if attempt == max_retries:
+                        return [
+                            {
+                                "custom_id": cid,
+                                "error": {
+                                    "message": f"client failed after "
+                                    f"{max_retries + 1} attempts: {exc}"
+                                },
+                                "response": None,
+                            }
+                            for cid, _ in rows
+                        ]
+                    time.sleep(delay)
+                    delay *= 2
+            raise AssertionError("unreachable")
+
         for pdf in batches:
             for start in range(0, len(pdf), micro_batch_size):
                 chunk = pdf.iloc[start : start + micro_batch_size]
                 t0 = time.monotonic()
-                out = client.complete_batch(
+                out = call_with_retry(
                     list(zip(chunk[custom_id_col], chunk[prompt_col]))
                 )
                 yield pd.DataFrame({"resp_json": [json.dumps(r) for r in out]})

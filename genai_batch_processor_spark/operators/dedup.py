@@ -105,6 +105,23 @@ def band_keys(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Colu
     )
 
 
+def _band_index(bands: int) -> Column:
+    """Literal band-index array for explode. Exploding a LITERAL array is
+    free: the implicit `size(e) > 0` filter that Generate adds constant-
+    folds away — exploding an array of computed structs instead would
+    re-evaluate the whole (md5-heavy) expression once more in that
+    filter, doubling per-row work."""
+    return F.explode(F.array(*[F.lit(j) for j in range(bands)]))
+
+
+def band_key_at(sig: Column, band: Column, rows: int = LSH_ROWS) -> Column:
+    """Band key from a MATERIALIZED signature column + dynamic band index
+    (cheap per exploded row: hashes `rows` longs, not the corpus text)."""
+    return hashing.portable_hash60(
+        F.concat_ws("-", F.slice(sig, band * rows + 1, rows))
+    )
+
+
 def _pairs_within_buckets(
     buckets: DataFrame, group_cols: list[str], max_bucket: int
 ) -> DataFrame:
@@ -143,10 +160,14 @@ def candidate_pairs(
     shuffle on (band, key), bucket-size cap against skew."""
     sigs = df.select(
         F.col(id_col).alias("__id"),
-        band_keys(minhash_signature(shingle_hashes(text_col))).alias("__bk"),
-    ).select("__id", F.explode("__bk").alias("b"))
+        minhash_signature(shingle_hashes(text_col)).alias("__sig"),
+    )
     buckets = sigs.select(
-        "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        "__id", "__sig", _band_index(LSH_BANDS).alias("band")
+    ).select(
+        "__id",
+        "band",
+        band_key_at(F.col("__sig"), F.col("band")).alias("key"),
     )
     return _pairs_within_buckets(buckets, ["band", "key"], max_bucket)
 
@@ -179,19 +200,26 @@ def near_dup_pairs(
     Pairs colliding in several bands are deduped by a distinct over the
     (small) scored candidate set.
     """
-    hs = shingle_hashes(text_col)
-    sigs = df.select(
-        F.struct(
-            F.col(id_col).alias("id"), hs.alias("hs")
-        ).alias("__rec"),
-        band_keys(minhash_signature(hs)).alias("__bk"),
+    # Materialize the shingle set ONCE, then derive the signature from the
+    # materialized column in a second projection (adjacent projections
+    # collapse, but the aggregate-based signature references __hs once, so
+    # the md5 shingle hashing still evaluates a single time per row).
+    hashed = df.select(
+        F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     )
-    # NOTE: hs appears twice above but feeds ONE projection — Catalyst's
-    # subexpression elimination handles repeated *top-level* expressions;
-    # the k-permutation minhash reuses it inside a single aggregate.
+    sigs = hashed.select(
+        F.struct(F.col("__id").alias("id"), F.col("__hs").alias("hs")).alias(
+            "__rec"
+        ),
+        minhash_signature(F.col("__hs")).alias("__sig"),
+    )
     buckets = sigs.select(
-        "__rec", F.explode("__bk").alias("b")
-    ).select("__rec", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        "__rec", "__sig", _band_index(LSH_BANDS).alias("band")
+    ).select(
+        "__rec",
+        "band",
+        band_key_at(F.col("__sig"), F.col("band")).alias("key"),
+    )
     grouped = (
         buckets.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
@@ -277,27 +305,30 @@ def simhash_near_dup_pairs(
     AND signatures are carried into the bucket aggregation as structs, so
     hamming needs no join back to the signature relation."""
     sh = df.select(
-        F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
+        F.struct(
+            F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+        ).alias("__rec")
     )
     nib_width = SIMHASH_BITS // SIMHASH_BANDS
+    # literal-index explode + dynamic nibble extraction: the signature is
+    # evaluated once; see _band_index for why exploding computed structs
+    # would double the work. shiftright needs a literal, so the dynamic
+    # shift uses exact double division (sh < 2^32, width ≤ 24 bits).
     bands = sh.select(
-        F.struct(F.col("__id").alias("id"), F.col("__sh").alias("sh")).alias(
-            "__rec"
-        ),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright(F.col("__sh"), j * nib_width)
-                        .bitwiseAND(F.lit((1 << nib_width) - 1))
-                        .alias("nib"),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
+        "__rec", _band_index(SIMHASH_BANDS).alias("band")
+    ).select(
+        "__rec",
+        "band",
+        (
+            F.floor(
+                F.col("__rec.sh")
+                / F.pow(F.lit(2.0), (F.col("band") * nib_width).cast("double"))
             )
-        ).alias("b"),
-    ).select("__rec", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
+            % (1 << nib_width)
+        )
+        .cast("long")
+        .alias("nib"),
+    )
     grouped = (
         bands.groupBy("band", "nib")
         .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))

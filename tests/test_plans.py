@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Catches scale regressions at test time: a reintroduced single-reducer
+window, a lost parquet pushdown, a broadcast that silently became a
+sort-merge join, or a Python UDF sneaking into a JVM-only pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from genai_batch_processor_spark import queries
+
+
+def _plan(spark, name, sf_dir):
+    df = queries.QUERIES[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# queries whose plans must never funnel through one partition
+NO_SINGLE_PARTITION = [
+    "assign_ids",
+    "joinback",
+    "label_distribution",
+    "near_dup_pairs",
+    "simhash_near_dup",
+    "pricing_summary",
+    "events_hourly",
+    "doc_stats",
+]
+
+# pure column-expression pipelines: no Python evaluation allowed
+JVM_ONLY = [
+    "build_requests",
+    "mock_responses",
+    "doc_stats",
+    "minhash_signatures",
+    "simhash",
+    "events_hourly",
+    "pricing_summary",
+]
+
+
+@pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
+def test_no_single_partition_exchange(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "SinglePartition" not in plan, f"{name} funnels through 1 task"
+
+
+@pytest.mark.parametrize("name", JVM_ONLY)
+def test_no_python_in_jvm_pipelines(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name} dropped into Python: {marker}"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+    # 16-column table pruned to exactly what the query touches
+    assert read_cols <= {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "regional_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "embedding_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must not shuffle before the join
+    assert plan.count("Exchange hashpartitioning") <= 2  # only the rank window
+
+
+def test_near_dup_single_scan(spark, sf_dir):
+    plan = _plan(spark, "near_dup_pairs", sf_dir)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, "near-dup must scan the corpus once"
+
+
+def test_banding_does_not_recompute_signatures(spark, sf_dir):
+    """The explode-side filter must not re-evaluate the md5-heavy
+    signature pipeline: md5 may appear in projections (once for the
+    shingle set, once for cheap band keys) but never inside a Filter."""
+    for name in ("lsh_candidates", "near_dup_pairs", "simhash_near_dup"):
+        plan = _plan(spark, name, sf_dir)
+        for m in re.finditer(r"\(\d+\) Filter[^(]*\nInput[^\n]*\nCondition : ([^\n]*)", plan):
+            assert "md5" not in m.group(1), f"{name}: filter recomputes hashing"

@@ -1,0 +1,121 @@
+"""Resilience tests: runner retry/backoff, permanent-failure error rows,
+and orchestrator resume-by-manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import ids
+from genai_batch_processor_spark.inference import mock, orchestrator, runner
+from genai_batch_processor_spark.operators import requests
+from genai_batch_processor_spark.sources.tables import load_table
+
+
+def _flaky_client_cls():
+    """Defined in a function so cloudpickle ships it BY VALUE — a module
+    -level class in tests/ would pickle by reference and Python workers
+    can't import the tests package."""
+
+    class FlakyClient(mock.MockInferenceClient):
+        """Fails the first call per process, then behaves like the mock."""
+
+        _calls = 0
+
+        def complete_batch(self, rows):
+            FlakyClient._calls += 1
+            if FlakyClient._calls == 1:
+                raise ConnectionError("transient: simulated network blip")
+            return super().complete_batch(rows)
+
+    return FlakyClient
+
+
+def _dead_client_cls():
+    class DeadClient:
+        def complete_batch(self, rows):
+            raise ConnectionError("permanent: provider down")
+
+    return DeadClient
+
+
+def _prompted_docs(spark, sf_dir, n=30):
+    docs = load_table(spark, sf_dir, "documents").limit(n)
+    docs = ids.assign_ids(docs, "doc_id")
+    return docs.withColumn(
+        "prompt", requests.classification_prompt("text", mock.DEFAULT_LABELS)
+    ).withColumn("custom_id", ids.custom_id("idx"))
+
+
+def test_runner_retries_transient_failures(spark, sf_dir):
+    docs = _prompted_docs(spark, sf_dir).coalesce(1)
+    out = runner.run_inference(
+        docs, _flaky_client_cls(), micro_batch_size=10, backoff_seconds=0.01
+    )
+    rows = out.select(F.col("resp.custom_id").alias("cid")).collect()
+    assert len(rows) == 30  # every row answered despite the blip
+
+
+def test_runner_permanent_failure_becomes_error_rows(spark, sf_dir):
+    docs = _prompted_docs(spark, sf_dir)
+    out = runner.run_inference(
+        docs, _dead_client_cls(), micro_batch_size=10,
+        max_retries=1, backoff_seconds=0.01,
+    )
+    rows = out.select(
+        F.col("resp.custom_id").alias("cid"),
+        F.col("resp.error.message").alias("err"),
+    ).collect()
+    assert len(rows) == 30
+    assert all(r.err and "2 attempts" in r.err for r in rows)
+
+
+def test_orchestrator_resume_completed_and_submitted(spark, tmp_path):
+    backend = orchestrator.LocalMockBackend(spark)
+    mdir = str(tmp_path / "manifests")
+    # seed a completed job via the normal path
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    docs = ids.assign_ids(docs, "doc_id")
+    reqs = requests.build_openai_requests(
+        docs, id_col="idx",
+        user_content=F.array(requests.text_part(F.col("text"))),
+    )
+    from genai_batch_processor_spark.sources import jsonl
+
+    inp = str(tmp_path / "inp")
+    jsonl.write_jsonl(reqs.select("request.*"), inp)
+    job = orchestrator.run_job(
+        backend,
+        input_path=inp,
+        output_path=str(tmp_path / "out"),
+        manifest_dir=mdir,
+        poll_interval_seconds=0.01,
+    )
+    # 1) resuming a completed job is a no-op returning the manifest
+    resumed = orchestrator.resume_job(
+        backend, manifest_dir=mdir, job_id=job.job_id,
+        poll_interval_seconds=0.01,
+    )
+    assert resumed.state == "completed" and resumed.batch_ids == job.batch_ids
+    # 2) a crashed-after-submit manifest resumes by batch_id
+    crashed = orchestrator.JobManifest.load(mdir, job.job_id)
+    crashed.state = "submitted"
+    crashed.save(mdir)
+    resumed2 = orchestrator.resume_job(
+        backend, manifest_dir=mdir, job_id=job.job_id,
+        poll_interval_seconds=0.01,
+    )
+    assert resumed2.state == "completed"
+    # 3) a manifest with no batch_ids must refuse to resume
+    bad = orchestrator.JobManifest(
+        job_id="job-unsubmitted", input_path="x", output_path="y"
+    )
+    bad.save(mdir)
+    with pytest.raises(ValueError, match="resubmit"):
+        orchestrator.resume_job(
+            backend, manifest_dir=mdir, job_id="job-unsubmitted",
+            poll_interval_seconds=0.01,
+        )
+    assert os.path.exists(os.path.join(mdir, f"{job.job_id}.json"))
