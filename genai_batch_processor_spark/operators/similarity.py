@@ -112,6 +112,79 @@ def topk_lsh(
     return _ranked_topk(scored, k)
 
 
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def _cell_scores(vec, centroids: list[tuple[int, list[float]]]):
+    """Array of (-cosine, cell) structs against literal centroids —
+    array_sort ascending then puts the best cell (highest cosine, ties →
+    lowest cell id) first. Pure per-row math: assignment needs NO
+    shuffle and no join, which is the point of IVF at scale."""
+    items = [
+        F.struct(
+            (-V.cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias(
+                "nc"
+            ),
+            F.lit(int(cid)).alias("i"),
+        )
+        for cid, cv in centroids
+    ]
+    return F.array_sort(F.array(*items))
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOPK_DEFAULT,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to their
+    nearest 'centroid' cell; queries probe their ``n_probe`` nearest
+    cells and score only within them.
+
+    Centroids here are the first ``n_cells`` corpus vectors — a
+    deterministic stand-in for trained k-means centroids (training is an
+    offline step; the SEARCH dataflow is identical). They are collected
+    to the driver (tiny: n_cells × dim floats) and inlined as literals,
+    so cell assignment is shuffle-free per-row math. Expected compute
+    drops to ~n_probe/n_cells of brute force; recall < 1 by design.
+    """
+    cents = [
+        (r[id_col], list(r[vec_col]))
+        for r in corpus.filter(F.col(id_col) < n_cells).collect()
+    ]
+    best_cell = lambda v: _cell_scores(v, cents)[0]["i"]  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        best_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(
+                F.slice(_cell_scores(F.col(vec_col), cents), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

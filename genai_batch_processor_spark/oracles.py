@@ -466,3 +466,79 @@ ORACLES["customer_order_setops"] = """
     FROM tagged
     GROUP BY set_op
 """
+
+# -- IVF / as-of / vertex / rollup -------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_PROBES = 4
+_COS_CQ = vec.sql_cosine("c.cv", "q.embedding")
+_COS_CE = vec.sql_cosine("c.cv", "e.embedding")
+
+ORACLES["embedding_topk_ivf"] = f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_CELLS}
+    ), assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS nvec,
+             (SELECT c.cell FROM cent c
+              ORDER BY {_COS_CE} DESC, c.cell LIMIT 1) AS cell
+      FROM embeddings e
+    ), probed AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, p.cell
+      FROM embeddings q,
+           LATERAL (
+             SELECT c.cell FROM cent c
+             ORDER BY {_COS_CQ} DESC, c.cell LIMIT {_IVF_PROBES}
+           ) p
+      WHERE q.vec_id < {_ANN_N_QUERIES}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {vec.sql_cosine('p.qv', 'a.nvec')} AS cos
+      FROM probed p JOIN assigned a ON p.cell = a.cell
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INT) AS "rank",
+           round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY "rank" <= 5
+"""
+
+ORACLES["events_asof"] = """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_id AS asof_purchase_id,
+           (epoch_us(c.ts) - epoch_us(p.ts)) AS age_micros
+    FROM clicks c
+    ASOF JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+ORACLES["vertex_responses"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, {IDX} AS idx FROM documents
+    ), responded AS (
+      SELECT doc_id,
+             {_is_error_sql(CUSTOM_ID)} AS is_error,
+             {mock.sql_label('text')} AS label
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN is_error THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN is_error THEN NULL ELSE label END AS answer
+    FROM responded
+"""
+
+ORACLES["lang_source_rollup"] = """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+"""

@@ -20,6 +20,7 @@ from genai_batch_processor_spark.operators import (
     requests,
     responses,
     similarity,
+    temporal,
 )
 from genai_batch_processor_spark.sources import schemas
 from genai_batch_processor_spark.sources.tables import load_table
@@ -547,6 +548,101 @@ def q_customer_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-5 (deterministic centroid stand-ins)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_ivf(emb, queries)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's most recent prior (or
+    simultaneous) purchase; age of that purchase in micros."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = temporal.asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "purchase_id"),
+        on="user_id",
+        right_seq="purchase_id",
+        right_cols=["purchase_id", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "asof_purchase_id",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("age_micros"),
+    )
+
+
+def q_vertex_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex response-relation parse (#26-28/#46): mock JSONL lines in
+    the Vertex shape → typed parse → candidates/error branch
+    (ex-vcls:153-166 semantics)."""
+    docs = _documents_with_ids(spark, sf_dir)
+    cid = ids.custom_id("idx")
+    label = mock.label_expr(F.col("text"))
+    err = mock.is_error_expr(cid)
+    line = F.to_json(
+        F.struct(
+            F.when(
+                ~err,
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.array(F.struct(label.alias("text"))).alias(
+                                    "parts"
+                                )
+                            ).alias("content")
+                        )
+                    ).alias("candidates"),
+                    F.lit(None).cast("struct<message:string>").alias("error"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(None)
+                    .cast(
+                        "array<struct<content:struct<parts:array<struct<text:string>>>>>"
+                    )
+                    .alias("candidates"),
+                    F.struct(F.lit(mock.ERROR_MESSAGE).alias("message")).alias(
+                        "error"
+                    ),
+                )
+            )
+            .alias("response")
+        )
+    )
+    parsed = docs.select(
+        "doc_id", F.from_json(line, schemas.VERTEX_RESPONSE).alias("r")
+    )
+    cand_text = F.col("r.response.candidates")[0]["content"]["parts"][0]["text"]
+    return parsed.select(
+        "doc_id",
+        F.when(F.col("r.response.error").isNotNull(), F.lit("error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        cand_text.alias("answer"),
+    )
+
+
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (§2.C grouping sets): ROLLUP(lang, source)
+    — per-(lang,source), per-lang, and grand-total rows in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -579,4 +675,8 @@ QUERIES: dict[str, callable] = {
     "regional_revenue": q_regional_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "customer_order_setops": q_customer_order_setops,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
+    "events_asof": q_events_asof,
+    "vertex_responses": q_vertex_responses,
+    "lang_source_rollup": q_lang_source_rollup,
 }

@@ -33,8 +33,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → truncate to micros (lossless for this fixture:
-        # values are generated at micros precision) → timestamp.
+        # nanos-as-long → truncate to micros → timestamp. The fixture DOES
+        # carry sub-microsecond parts; truncation loses <1µs per value but
+        # matches DuckDB's own nanos→micros truncation exactly, so
+        # engine-parity (and any ts arithmetic) stays bit-identical.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
