@@ -60,6 +60,20 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array(_c(text)))
 
 
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles; whole text if shorter than n chars.
+    The n-gram-Jaccard dedup path (§2.D) uses these instead of word
+    shingles — robust to whitespace/tokenization differences."""
+    t = _c(text)
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - n + 1),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array(t))
+
+
 def stopword_ratio(text: Column | str) -> Column:
     ws = words(text)
     stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
@@ -139,6 +153,15 @@ def sql_shingles(expr: str, n: int = 3) -> str:
         f"(CASE WHEN len({w}) >= {n} THEN "
         f"list_transform(generate_series(1, len({w}) - {n} + 1), "
         f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')) "
+        f"ELSE [{expr}] END)"
+    )
+
+
+def sql_char_shingles(expr: str, n: int = 5) -> str:
+    return (
+        f"(CASE WHEN length({expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, length({expr}) - {n} + 1), "
+        f"i -> substr({expr}, i, {n})) "
         f"ELSE [{expr}] END)"
     )
 

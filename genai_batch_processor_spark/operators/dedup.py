@@ -190,8 +190,56 @@ def near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. Only LSH
     candidates are verified — the full cross product never materializes.
+    Features are word 3-shingles; see :func:`ngram_jaccard_pairs` for the
+    character-n-gram variant."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
+    )
+    return jaccard_pairs_from_hashes(hashed, threshold, max_bucket)
 
-    Single-scan design: the shingle-hash set rides along with the id
+
+NGRAM_N = 5
+NGRAM_JACCARD_THRESHOLD = 0.6
+
+
+def char_shingle_hashes(text: Column | str, n: int = NGRAM_N) -> Column:
+    """Distinct character-n-gram 32-bit hashes (n-gram Jaccard features)."""
+    return F.transform(
+        F.array_distinct(tx.char_shingles(text, n)), hashing.portable_hash32
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = NGRAM_N,
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs (§2.D 'n-gram Jaccard').
+
+    Same MinHash-LSH candidate machinery as :func:`near_dup_pairs` but
+    the feature set is character n-grams — robust to tokenization and
+    whitespace edits; threshold is lower because char-gram Jaccard of
+    paraphrased text sits below word-shingle Jaccard of near-identical
+    text."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        char_shingle_hashes(text_col, n).alias("__hs"),
+    )
+    return jaccard_pairs_from_hashes(hashed, threshold, max_bucket)
+
+
+def jaccard_pairs_from_hashes(
+    hashed: DataFrame,
+    threshold: float,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Verified (id_a, id_b, jaccard ≥ threshold) pairs from a
+    ``(__id, __hs)`` feature-hash relation.
+
+    Single-scan design: the feature-hash set rides along with the id
     into the band buckets, so verification happens inside the bucket
     explosion — ONE pass over the corpus, one shuffle on (band, key),
     no join back to a recomputed shingle relation. The carried set costs
@@ -200,13 +248,8 @@ def near_dup_pairs(
     Pairs colliding in several bands are deduped by a distinct over the
     (small) scored candidate set.
     """
-    # Materialize the shingle set ONCE, then derive the signature from the
-    # materialized column in a second projection (adjacent projections
-    # collapse, but the aggregate-based signature references __hs once, so
-    # the md5 shingle hashing still evaluates a single time per row).
-    hashed = df.select(
-        F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
-    )
+    # The aggregate-based signature references __hs once, so the md5
+    # feature hashing still evaluates a single time per row.
     sigs = hashed.select(
         F.struct(F.col("__id").alias("id"), F.col("__hs").alias("hs")).alias(
             "__rec"
@@ -262,36 +305,33 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     # expression means the (md5-heavy) feature hashing runs ONCE per row —
     # a per-bit F.filter loop would re-evaluate it `bits` times, since
     # codegen CSE does not reach inside higher-order-function lambdas.
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # Bit extraction unrolls to literal integer shifts (shiftright needs a
+    # literal count) — all-int64 math, no floating-point pow in the loop.
     votes = F.aggregate(
         hs,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
-            # bit i of h as ±1; h < 2^32 so double division by 2^i is exact
-            F.transform(
-                idx,
-                lambda i: (
-                    F.floor(h / F.pow(F.lit(2.0), i.cast("double"))) % 2
-                ).cast("int")
-                * 2
-                - 1,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2
+                    - 1
+                    for i in range(bits)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    packed = F.aggregate(
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
         F.zip_with(
             votes,
-            idx,
-            lambda v, i: F.when(
-                v >= 0, F.pow(F.lit(2.0), i.cast("double"))
-            ).otherwise(F.lit(0.0)),
+            weights,
+            lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return packed.cast("long")
 
 
 def simhash_near_dup_pairs(
@@ -379,6 +419,13 @@ def sql_band_key(sig_expr: str, band: int, rows: int = LSH_ROWS) -> str:
     hi = band * rows + rows
     return hashing.sql_hash60(
         f"array_to_string(({sig_expr})[{lo}:{hi}], '-')"
+    )
+
+
+def sql_char_shingle_hashes(expr: str, n: int = NGRAM_N) -> str:
+    return (
+        f"list_transform(list_distinct({tx.sql_char_shingles(expr, n)}), "
+        f"s -> {hashing.sql_hash32('s')})"
     )
 
 

@@ -120,17 +120,30 @@ def _cell_scores(vec, centroids: list[tuple[int, list[float]]]):
     """Array of (-cosine, cell) structs against literal centroids —
     array_sort ascending then puts the best cell (highest cosine, ties →
     lowest cell id) first. Pure per-row math: assignment needs NO
-    shuffle and no join, which is the point of IVF at scale."""
-    items = [
-        F.struct(
-            (-V.cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias(
-                "nc"
+    shuffle and no join, which is the point of IVF at scale.
+
+    The centroid table is one constant-folded array<struct<i,v>> literal
+    and the scoring loop is a single ``transform`` — codegen emits the
+    cosine body ONCE, instead of unrolling n_cells copies of a
+    dim-element aggregate (which made compile time, not data, the
+    bottleneck)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("i"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("v"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-V.cosine(vec, c["v"])).alias("nc"), c["i"].alias("i")
             ),
-            F.lit(int(cid)).alias("i"),
         )
-        for cid, cv in centroids
-    ]
-    return F.array_sort(F.array(*items))
+    )
 
 
 def topk_ivf(

@@ -542,3 +542,109 @@ ORACLES["lang_source_rollup"] = """
     FROM documents
     GROUP BY ROLLUP(lang, source)
 """
+
+# -- n-gram Jaccard / semi-anti joins / range join / cube / distinct agg ------
+
+
+def _minhash_pairs_base(hs_sql: str) -> str:
+    """MinHash-LSH candidate CTE chain over an arbitrary feature-hash
+    list expression (shared by the word-shingle and char-n-gram paths)."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, {dedup.sql_band_key('sig', j)} AS key FROM sig"
+        for j in range(dedup.LSH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {hs_sql} AS hs FROM documents
+    ), sig AS (
+      SELECT doc_id, {dedup.sql_minhash_signature('hs')} AS sig FROM sh
+    ), bands AS (
+      {bands}
+    ), small AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= {dedup.MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM small a JOIN small b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    """
+
+
+ORACLES["ngram_jaccard"] = _minhash_pairs_base(
+    dedup.sql_char_shingle_hashes("text")
+) + f"""
+    , scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.hs, y.hs))::DOUBLE
+                   / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= {dedup.NGRAM_JACCARD_THRESHOLD}
+"""
+
+ORACLES["order_priority_returns"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["customers_without_orders"] = """
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    GROUP BY n.n_name
+"""
+
+
+def _brackets_values() -> str:
+    from genai_batch_processor_spark import queries as _q
+
+    return ", ".join(
+        f"('{name}', {lo}, {hi})" for name, lo, hi in _q.PRICE_BRACKETS
+    )
+
+
+ORACLES["price_bracket_join"] = f"""
+    WITH br(bracket, lo, hi) AS (VALUES {_brackets_values()})
+    SELECT br.bracket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p.p_size) AS BIGINT) AS total_size,
+           min(p.p_retailprice) AS min_price,
+           max(p.p_retailprice) AS max_price
+    FROM part p
+    JOIN br ON p.p_retailprice >= br.lo AND p.p_retailprice < br.hi
+    GROUP BY br.bracket
+"""
+
+ORACLES["events_cube"] = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+ORACLES["lang_vocab"] = """
+    WITH terms AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(DISTINCT term) AS BIGINT) AS vocab,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM terms
+    WHERE regexp_matches(term, '^[a-z]+$')
+    GROUP BY lang
+"""

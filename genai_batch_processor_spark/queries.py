@@ -643,6 +643,111 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs (§2.D 'n-gram Jaccard') —
+    MinHash-LSH candidates over char-5-gram sets, exact-Jaccard verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+
+def q_order_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI join (§2.C joins: absent in reference, first-class here):
+    orders having ≥1 returned lineitem, counted per priority (TPC-H Q4
+    shape). The semi join shuffles only the join keys — no lineitem
+    payload crosses the wire, and the EXISTS never duplicates orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    sem = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-ANTI join: customers with no OPEN ('O') orders, per nation.
+    The status filter pushes into the orders scan before the anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    silent = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        silent.join(nat, silent.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+PRICE_BRACKETS: list[tuple[str, float, float]] = [
+    ("low", 900.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("high", 950.0, 975.0),
+    ("top", 975.0, 1000.0),
+]
+
+
+def q_price_bracket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a broadcast bracket dim: each part lands
+    in the bracket whose [lo, hi) interval contains its retail price.
+    Non-equi predicate ⇒ BroadcastNestedLoopJoin — correct strategy for a
+    4-row dim; the fact side never shuffles."""
+    part = load_table(spark, sf_dir, "part")
+    br = F.broadcast(
+        spark.createDataFrame(
+            PRICE_BRACKETS, "bracket string, lo double, hi double"
+        )
+    )
+    return (
+        part.join(
+            br,
+            (part.p_retailprice >= br.lo) & (part.p_retailprice < br.hi),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("long").alias("total_size"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (§2.C grouping sets, beyond ROLLUP): all four
+    groupings of (event_type, day) in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: per-language vocabulary size and term volume.
+    count(DISTINCT term) expands to a two-stage agg (partial distinct on
+    (lang, term), then count) — no row ever carries the full term set."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(tx.words(F.lower("text"))).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    return terms.groupBy("lang").agg(
+        F.countDistinct("term").alias("vocab"),
+        F.count("*").alias("n_terms"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -679,4 +784,10 @@ QUERIES: dict[str, callable] = {
     "events_asof": q_events_asof,
     "vertex_responses": q_vertex_responses,
     "lang_source_rollup": q_lang_source_rollup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "order_priority_returns": q_order_priority_returns,
+    "customers_without_orders": q_customers_without_orders,
+    "price_bracket_join": q_price_bracket_join,
+    "events_cube": q_events_cube,
+    "lang_vocab": q_lang_vocab,
 }
