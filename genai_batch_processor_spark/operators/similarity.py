@@ -112,6 +112,58 @@ def topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def topk_bruteforce_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched ``mapInPandas`` scorer —
+    the documented escape hatch for metrics built-ins can't express
+    (SURVEY.md §2.C UDF surface). Same contract and results as
+    :func:`topk_bruteforce`; scoring is one numpy matmul per Arrow batch
+    instead of per-row JVM expressions.
+
+    Scale shape is identical to the JVM path: the (small, bounded) query
+    side is collected once and closed over — the corpus is scanned once
+    on its native partitioning, never shuffled, never collected; only
+    the scored (query × batch) pairs leave the worker. Use this pattern
+    when the metric needs BLAS/a model; prefer the column-expr path
+    otherwise (no Python worker, no Arrow hop)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype="int64")
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype="float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    n_q = len(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            n_mat = np.array(
+                [list(v) for v in pdf[vec_col]], dtype="float64"
+            )
+            n_norm = np.sqrt((n_mat * n_mat).sum(axis=1))
+            cos = (n_mat @ q_mat.T) / np.outer(n_norm, q_norm)
+            nid = pdf[id_col].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(nid)),
+                    "neighbor_id": np.repeat(nid, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    return _ranked_topk(
+        scored.filter(F.col("neighbor_id") != F.col("query_id")), k
+    )
+
+
 IVF_CELLS = 16
 IVF_PROBES = 4
 

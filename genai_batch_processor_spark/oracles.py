@@ -636,6 +636,11 @@ ORACLES["events_cube"] = """
     GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
 """
 
+# Same oracle as the JVM brute-force path: the Pandas-UDF variant must
+# produce identical ranked neighbors (numpy float64 vs sequential-sum
+# doubles agree far below the 6-decimal rounding).
+ORACLES["embedding_topk_pandas"] = ORACLES["embedding_topk"]
+
 ORACLES["lang_vocab"] = """
     WITH terms AS (
       SELECT lang, unnest(string_split(lower(text), ' ')) AS term

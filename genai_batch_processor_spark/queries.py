@@ -276,6 +276,14 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_lsh(emb, queries)
 
 
+def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas-UDF brute-force top-5 — same oracle as the
+    JVM path; demonstrates the vectorized-Python boundary pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_bruteforce_pandas(emb, queries)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within sign-bit cells."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -790,4 +798,5 @@ QUERIES: dict[str, callable] = {
     "price_bracket_join": q_price_bracket_join,
     "events_cube": q_events_cube,
     "lang_vocab": q_lang_vocab,
+    "embedding_topk_pandas": q_embedding_topk_pandas,
 }

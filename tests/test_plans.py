@@ -90,6 +90,42 @@ def test_near_dup_single_scan(spark, sf_dir):
     assert len(scan_ids) == 1, "near-dup must scan the corpus once"
 
 
+def test_semi_anti_joins_use_semi_anti_strategies(spark, sf_dir):
+    """EXISTS/NOT-EXISTS shapes must stay semi/anti joins (no row
+    duplication, keys-only shuffle) with the status filter pushed into
+    the probe-side scan."""
+    plan = _plan(spark, "order_priority_returns", sf_dir)
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+    plan = _plan(spark, "customers_without_orders", sf_dir)
+    assert "LeftAnti" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,O\)", plan)
+
+
+def test_range_join_broadcasts_bracket_dim(spark, sf_dir):
+    """Non-equi bracket join: the 4-row dim broadcasts; the part side
+    must not shuffle into a sort-merge strategy."""
+    plan = _plan(spark, "price_bracket_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pandas_ann_scans_corpus_once_unshuffled(spark, sf_dir):
+    """The Arrow scorer runs on the scan partitioning: exactly one
+    corpus scan feeding MapInPandas, shuffles only for the rank window."""
+    plan = _plan(spark, "embedding_topk_pandas", sf_dir)
+    assert "MapInPandas" in plan
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1
+    assert plan.count("Exchange hashpartitioning") <= 1  # rank window only
+
+
+def test_ngram_jaccard_single_scan(spark, sf_dir):
+    plan = _plan(spark, "ngram_jaccard", sf_dir)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, "n-gram near-dup must scan the corpus once"
+
+
 def test_banding_does_not_recompute_signatures(spark, sf_dir):
     """The explode-side filter must not re-evaluate the md5-heavy
     signature pipeline: md5 may appear in projections (once for the
