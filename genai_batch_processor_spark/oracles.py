@@ -641,6 +641,19 @@ ORACLES["events_cube"] = """
 # doubles agree far below the 6-decimal rounding).
 ORACLES["embedding_topk_pandas"] = ORACLES["embedding_topk"]
 
+ORACLES["events_value_percentiles"] = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+# The streaming twin must reproduce the batch aggregation exactly, so it
+# shares the batch oracle verbatim.
+ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
+
 ORACLES["lang_vocab"] = """
     WITH terms AS (
       SELECT lang, unnest(string_split(lower(text), ' ')) AS term

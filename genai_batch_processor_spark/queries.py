@@ -756,6 +756,40 @@ def q_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates (interpolated, quantile_cont
+    semantics) per event type — engine-exact against DuckDB. At scale
+    swap F.percentile for percentile_approx (t-digest, mergeable
+    partial agg) and accept the documented approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly: readStream over the
+    events fixture → watermarked tumbling-window agg → availableNow
+    drain into the memory sink; returns the completed result relation.
+    Oracle-paired with the SAME SQL as the batch query — the stream must
+    reproduce the batch aggregation exactly (a live run would drop data
+    later than the 2h watermark; an availableNow backfill sees all)."""
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
+    stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    agg = sw.hourly_counts(stream)
+    sw.run_to_memory(
+        agg, name, "complete", tempfile.mkdtemp(prefix="ckpt_stream_")
+    )
+    return spark.table(name)
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -799,4 +833,6 @@ QUERIES: dict[str, callable] = {
     "events_cube": q_events_cube,
     "lang_vocab": q_lang_vocab,
     "embedding_topk_pandas": q_embedding_topk_pandas,
+    "events_value_percentiles": q_events_value_percentiles,
+    "events_hourly_stream": q_events_hourly_stream,
 }

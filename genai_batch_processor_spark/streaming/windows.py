@@ -43,13 +43,20 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source event stream; nanos-long ts normalized to timestamp
-    exactly like the batch loader (sources/tables.py)."""
+    exactly like the batch loader (sources/tables.py). ``path`` must be
+    a directory (file-stream source contract); use ``glob_filter`` to
+    select specific files inside it."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
     df = reader.parquet(path)
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
