@@ -654,6 +654,33 @@ ORACLES["events_value_percentiles"] = """
 # shares the batch oracle verbatim.
 ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
 
+ORACLES["supplier_balance"] = """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal,
+           max(s.s_acctbal) AS max_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+_NORM6 = (
+    "CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], "
+    "embedding::DOUBLE[])) * 1000000, 0) AS BIGINT)"
+)
+
+ORACLES["embedding_label_stats"] = f"""
+    WITH n AS (
+      SELECT label, {_NORM6} AS n6 FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           (CAST(sum(n6) AS DOUBLE) / (count(*) * 1000000.0)) AS avg_norm
+    FROM n
+    GROUP BY label
+"""
+
 ORACLES["lang_vocab"] = """
     WITH terms AS (
       SELECT lang, unnest(string_split(lower(text), ' ')) AS term

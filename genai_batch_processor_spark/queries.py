@@ -790,6 +790,45 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier account-balance rollup (broadcast dim join;
+    money sums in decimal so the result is order-independent)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.max("s_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats over the embedding column: count and mean
+    vector norm. Norm sums go through scaled-integer accumulation
+    (order-independent) like source_quality, so the mean is engine-exact."""
+    from genai_batch_processor_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(V.norm("embedding") * F.lit(1_000_000), 0).cast("long")
+    return (
+        emb.select("label", norm6.alias("n6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum("n6").cast("double")
+                / (F.count("*") * F.lit(1_000_000.0))
+            ).alias("avg_norm"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -835,4 +874,6 @@ QUERIES: dict[str, callable] = {
     "embedding_topk_pandas": q_embedding_topk_pandas,
     "events_value_percentiles": q_events_value_percentiles,
     "events_hourly_stream": q_events_hourly_stream,
+    "supplier_balance": q_supplier_balance,
+    "embedding_label_stats": q_embedding_label_stats,
 }
