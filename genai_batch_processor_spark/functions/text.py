@@ -60,15 +60,20 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array(_c(text)))
 
 
-def char_shingles(text: Column | str, n: int = 5) -> Column:
+def char_shingles(text: Column | str, n: int = 5, step: int = 1) -> Column:
     """Character n-gram shingles; whole text if shorter than n chars.
     The n-gram-Jaccard dedup path (§2.D) uses these instead of word
-    shingles — robust to whitespace/tokenization differences."""
+    shingles — robust to whitespace/tokenization differences.
+
+    ``step > 1`` gives sparse shingling (every step-th position): at a
+    fixed n it halves/quarters the md5-hash and shuffle cost while the
+    sampled-set Jaccard stays an unbiased similarity signal — the usual
+    trade for web-scale corpora."""
     t = _c(text)
     return F.when(
         F.length(t) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.length(t) - n + 1),
+            F.sequence(F.lit(1), F.length(t) - n + 1, F.lit(step)),
             lambda i: t.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array(t))
@@ -157,10 +162,10 @@ def sql_shingles(expr: str, n: int = 3) -> str:
     )
 
 
-def sql_char_shingles(expr: str, n: int = 5) -> str:
+def sql_char_shingles(expr: str, n: int = 5, step: int = 1) -> str:
     return (
         f"(CASE WHEN length({expr}) >= {n} THEN "
-        f"list_transform(generate_series(1, length({expr}) - {n} + 1), "
+        f"list_transform(generate_series(1, length({expr}) - {n} + 1, {step}), "
         f"i -> substr({expr}, i, {n})) "
         f"ELSE [{expr}] END)"
     )

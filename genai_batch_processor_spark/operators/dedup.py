@@ -199,13 +199,18 @@ def near_dup_pairs(
 
 
 NGRAM_N = 5
+NGRAM_STEP = 2  # sparse shingling: halves hash + shuffle cost
 NGRAM_JACCARD_THRESHOLD = 0.6
 
 
-def char_shingle_hashes(text: Column | str, n: int = NGRAM_N) -> Column:
-    """Distinct character-n-gram 32-bit hashes (n-gram Jaccard features)."""
+def char_shingle_hashes(
+    text: Column | str, n: int = NGRAM_N, step: int = NGRAM_STEP
+) -> Column:
+    """Distinct character-n-gram 32-bit hashes (n-gram Jaccard features),
+    sparse-sampled every ``step`` positions."""
     return F.transform(
-        F.array_distinct(tx.char_shingles(text, n)), hashing.portable_hash32
+        F.array_distinct(tx.char_shingles(text, n, step)),
+        hashing.portable_hash32,
     )
 
 
@@ -422,9 +427,11 @@ def sql_band_key(sig_expr: str, band: int, rows: int = LSH_ROWS) -> str:
     )
 
 
-def sql_char_shingle_hashes(expr: str, n: int = NGRAM_N) -> str:
+def sql_char_shingle_hashes(
+    expr: str, n: int = NGRAM_N, step: int = NGRAM_STEP
+) -> str:
     return (
-        f"list_transform(list_distinct({tx.sql_char_shingles(expr, n)}), "
+        f"list_transform(list_distinct({tx.sql_char_shingles(expr, n, step)}), "
         f"s -> {hashing.sql_hash32('s')})"
     )
 
