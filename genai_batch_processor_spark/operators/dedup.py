@@ -294,6 +294,93 @@ def jaccard_pairs_from_hashes(
     )
 
 
+# -- near-dup clustering (components + survivors) ----------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id) for every node in a near-dup pair relation;
+    component_id = min doc id reachable through pairs.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels — one shuffle join + partial-agg per round,
+    rounds bounded by component diameter (near-dup components are
+    shallow; typically 2-3 rounds). The driver loop checks convergence by
+    count and truncates lineage each round (localCheckpoint) so the plan
+    does not grow with iterations — at cluster scale use a reliable
+    checkpoint dir, and for adversarially deep graphs swap the update
+    rule for alternating large-star/small-star (same join primitive,
+    provably O(log²) rounds).
+
+    The pair relation is materialized once up front — iterating over a
+    lazily-recomputed LSH pipeline would re-run the expensive candidate
+    generation every round.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v2"), F.col("comp").alias("vcomp")
+                ),
+                F.col("v") == F.col("v2"),
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("u", F.col("comp").alias("old")), "u")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def dedup_survivors(
+    df: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """One survivor per near-dup component (the min id), all singletons
+    kept — the actual DEDUP step over the clustering. Anti join against
+    the (small) non-survivor member set; at scale that set is a fraction
+    of the corpus and broadcasts."""
+    losers = components.filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select(F.col("doc_id").alias("__loser"))
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

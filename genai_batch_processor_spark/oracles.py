@@ -202,6 +202,46 @@ ORACLES["near_dup_pairs"] = _MINHASH_BASE + f"""
     WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 """
 
+# Transitive closure of the verified near-dup pair graph: component id =
+# min reachable doc id. `WITH` becomes `WITH RECURSIVE` so the reach CTE
+# may self-reference; the pair CTEs are identical to near_dup_pairs.
+_COMPONENTS_BASE = (
+    _MINHASH_BASE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f"""
+    , verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+      WHERE round(len(list_intersect(x.hs, y.hs))::DOUBLE
+                  / len(list_distinct(x.hs || y.hs)), 6)
+            >= {dedup.JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u
+    )
+"""
+)
+
+ORACLES["dedup_components"] = _COMPONENTS_BASE + """
+    SELECT doc_id, component_id FROM comp
+"""
+
+ORACLES["dedup_survivors"] = _COMPONENTS_BASE + """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM comp WHERE doc_id <> component_id
+    )
+"""
+
 ORACLES["simhash"] = _SIMHASH_BASE + """
     SELECT doc_id, sh AS simhash FROM s
 """

@@ -245,6 +245,26 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(docs, "doc_id", "text")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    MinHash-LSH pair graph (iterative min-label propagation; DuckDB twin
+    is a recursive-CTE transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    return dedup.connected_components(pairs)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup: one survivor (min id) per near-dup component,
+    singletons kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    comps = dedup.connected_components(pairs)
+    return dedup.dedup_survivors(docs, comps, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
@@ -876,4 +896,6 @@ QUERIES: dict[str, callable] = {
     "events_hourly_stream": q_events_hourly_stream,
     "supplier_balance": q_supplier_balance,
     "embedding_label_stats": q_embedding_label_stats,
+    "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
 }

@@ -51,6 +51,32 @@ def test_simhash_agrees_with_minhash_on_near_dups(spark):
     assert len(mh & sh) >= 0.7 * len(mh)
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node chain needs multiple propagation rounds; an isolated pair
+    and the chain must land in distinct components labelled by min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors_keep_min_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    comps = dedup.connected_components(pairs)
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_survivors(docs, comps, "doc_id").collect()
+    }
+    assert kept == {1, 3, 5}  # 2 and 4 fold into component 1
+
+
 def test_topk_bruteforce_properties(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
