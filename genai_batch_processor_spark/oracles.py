@@ -575,6 +575,30 @@ ORACLES["vertex_responses"] = f"""
     FROM responded
 """
 
+ORACLES["order_revenue_topk"] = """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+ORACLES["lang_source_grouping_sets"] = """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source))
+"""
+
 ORACLES["lang_source_rollup"] = """
     SELECT lang, source,
            CAST(count(*) AS BIGINT) AS n_docs,

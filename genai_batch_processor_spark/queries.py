@@ -849,6 +849,55 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the fact-fact orders ⋈ lineitem join (largest
+    shuffle in the schema) with date predicates pushed into both scans,
+    then top-10 revenue orders. The final top-k is a TakeOrdered over the
+    aggregated relation — no global sort of the join output."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_lang_source_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((lang), (source)) through the SQL entry
+    point — the per-lang and per-source marginals in one pass, without
+    the (lang, source) cross detail rollup/cube would add."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents_v
+        GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -898,4 +947,6 @@ QUERIES: dict[str, callable] = {
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
+    "order_revenue_topk": q_order_revenue_topk,
+    "lang_source_grouping_sets": q_lang_source_grouping_sets,
 }

@@ -126,6 +126,17 @@ def test_ngram_jaccard_single_scan(spark, sf_dir):
     assert len(scan_ids) == 1, "n-gram near-dup must scan the corpus once"
 
 
+def test_order_revenue_topk_take_ordered_and_pushdown(spark, sf_dir):
+    """Q3 shape: top-k must be TakeOrderedAndProject (per-partition heap
+    + driver merge, no global sort) and both date predicates must reach
+    their parquet scans."""
+    plan = _plan(spark, "order_revenue_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan)
+    assert "SinglePartition" not in plan
+
+
 def test_banding_does_not_recompute_signatures(spark, sf_dir):
     """The explode-side filter must not re-evaluate the md5-heavy
     signature pipeline: md5 may appear in projections (once for the
