@@ -382,6 +382,26 @@ ORACLES["multimodal_requests"] = """
 
 # -- events -------------------------------------------------------------------
 
+ORACLES["user_funnel"] = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS fv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS fc
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND e.ts >= v.fv AND e.ts <= v.fv + INTERVAL 1 DAY
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND e.ts >= c.fc AND e.ts <= c.fc + INTERVAL 1 DAY
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
 ORACLES["events_hourly"] = """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
              AS hour,

@@ -898,6 +898,45 @@ def q_lang_source_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal conversion funnel over events: users who viewed, then
+    clicked within one day of their first view, then purchased within
+    one day of that click. Each stage is a keyed aggregate + an
+    equi-join on user_id with the temporal band as a join filter — no
+    window over the whole event stream, shuffles only on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame, prev_ts: str, out: str):
+        e = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts"
+        )
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") >= F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 1 DAY"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = first_after("click", views, "first_view", "first_click")
+    purchases = first_after("purchase", clicks, "first_click", "first_purchase")
+    funnel = views.join(clicks, "user_id", "left").join(
+        purchases, "user_id", "left"
+    )
+    return funnel.agg(
+        F.count("user_id").alias("n_view"),
+        F.count("first_click").alias("n_click_after_view"),
+        F.count("first_purchase").alias("n_purchase_after_click"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -949,4 +988,5 @@ QUERIES: dict[str, callable] = {
     "dedup_survivors": q_dedup_survivors,
     "order_revenue_topk": q_order_revenue_topk,
     "lang_source_grouping_sets": q_lang_source_grouping_sets,
+    "user_funnel": q_user_funnel,
 }
