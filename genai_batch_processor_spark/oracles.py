@@ -382,6 +382,32 @@ ORACLES["multimodal_requests"] = """
 
 # -- events -------------------------------------------------------------------
 
+ORACLES["tfidf_top_terms"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE regexp_matches(term, '^[a-z]+$')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), total AS (
+      SELECT count(*) AS nd FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln(total.nd::DOUBLE / d.df), 6) AS tfidf
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN total
+    )
+    SELECT doc_id, term,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+           ) AS INT) AS rnk,
+           tfidf
+    FROM scored
+    QUALIFY rnk <= 3
+"""
+
 ORACLES["user_funnel"] = """
     WITH v AS (
       SELECT user_id, min(ts) AS fv FROM events

@@ -937,6 +937,43 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term-frequency and document-
+    frequency aggregates joined on term, corpus size attached via a
+    broadcast 1-row cross join (never a driver-side collect), then a
+    per-document rank window. Ranking uses the ROUNDED score so Spark
+    and the oracle order bit-identical values (ln may differ by 1 ulp
+    between libm implementations; 6-decimal rounding absorbs it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tx.words(F.lower("text"))).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"), "tfidf")
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -989,4 +1026,5 @@ QUERIES: dict[str, callable] = {
     "order_revenue_topk": q_order_revenue_topk,
     "lang_source_grouping_sets": q_lang_source_grouping_sets,
     "user_funnel": q_user_funnel,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
