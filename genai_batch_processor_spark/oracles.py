@@ -408,6 +408,20 @@ ORACLES["tfidf_top_terms"] = """
     QUALIFY rnk <= 3
 """
 
+ORACLES["above_avg_balance"] = """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_above_avg,
+           CAST(max(c.c_acctbal) AS DOUBLE) AS max_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+      SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    GROUP BY n.n_name
+"""
+
 ORACLES["user_funnel"] = """
     WITH v AS (
       SELECT user_id, min(ts) AS fv FROM events

@@ -974,6 +974,33 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17/Q22 flavor) through
+    spark.sql: customers above their own nation's average balance.
+    Catalyst decorrelates the subquery into an aggregate + join — no
+    per-row re-execution; the average runs in decimal so the threshold
+    is order-independent on both engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_above_avg,
+               CAST(max(c.c_acctbal) AS DOUBLE) AS max_acctbal
+        FROM customer_v c
+        JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+          SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+          FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY n.n_name
+        """
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1027,4 +1054,5 @@ QUERIES: dict[str, callable] = {
     "lang_source_grouping_sets": q_lang_source_grouping_sets,
     "user_funnel": q_user_funnel,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "above_avg_balance": q_above_avg_balance,
 }
