@@ -408,6 +408,22 @@ ORACLES["tfidf_top_terms"] = """
     QUALIFY rnk <= 3
 """
 
+def _pivot_cols() -> str:
+    from genai_batch_processor_spark import queries as _q
+
+    return ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{lang}') AS BIGINT) AS {lang}"
+        for lang in _q.PIVOT_LANGS
+    )
+
+
+ORACLES["source_lang_pivot"] = f"""
+    SELECT source,
+           {_pivot_cols()}
+    FROM documents
+    GROUP BY source
+"""
+
 ORACLES["above_avg_balance"] = """
     SELECT n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_above_avg,

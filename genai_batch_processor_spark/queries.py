@@ -1001,6 +1001,23 @@ def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot reshaping: per-source doc counts spread into one column per
+    language. The value list is explicit, so the output schema is static
+    (a discovery pivot would need an extra distinct pass and produce a
+    data-dependent schema — wrong for a production pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pivoted = (
+        docs.groupBy("source").pivot("lang", PIVOT_LANGS).count().na.fill(0)
+    )
+    return pivoted.select(
+        "source", *[F.col(c).cast("long").alias(c) for c in PIVOT_LANGS]
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1055,4 +1072,5 @@ QUERIES: dict[str, callable] = {
     "user_funnel": q_user_funnel,
     "tfidf_top_terms": q_tfidf_top_terms,
     "above_avg_balance": q_above_avg_balance,
+    "source_lang_pivot": q_source_lang_pivot,
 }
