@@ -424,6 +424,14 @@ ORACLES["source_lang_pivot"] = f"""
     GROUP BY source
 """
 
+ORACLES["doc_attr_map"] = """
+    SELECT 'lang' AS key, lang AS value, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'source' AS key, source AS value, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source
+"""
+
 ORACLES["above_avg_balance"] = """
     SELECT n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_above_avg,

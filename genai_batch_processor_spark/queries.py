@@ -1018,6 +1018,22 @@ def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip (§1 maps sparse config knobs to
+    map<string,string>): build an attribute map per document, explode it
+    with the map generator, aggregate per (key, value). The explode is a
+    Generate node — B entries per row, no shuffle until the count agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    attrs = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return (
+        docs.select(F.explode(attrs).alias("key", "value"))
+        .groupBy("key", "value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1073,4 +1089,5 @@ QUERIES: dict[str, callable] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "above_avg_balance": q_above_avg_balance,
     "source_lang_pivot": q_source_lang_pivot,
+    "doc_attr_map": q_doc_attr_map,
 }
