@@ -86,8 +86,14 @@ def stopword_ratio(text: Column | str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
+    """NULL for empty text (try_divide): under ANSI mode a plain division
+    would abort the whole job on the first zero-length document — real
+    corpora always contain some."""
     t = _c(text)
-    return F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / F.length(t)
+    return F.try_divide(
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double"),
+        F.length(t),
+    )
 
 
 def mean_word_length(text: Column | str) -> Column:
@@ -186,7 +192,7 @@ def sql_stopword_ratio(expr: str) -> str:
 def sql_punct_ratio(expr: str) -> str:
     return (
         f"(len(regexp_extract_all({expr}, '[^A-Za-z0-9\\s]'))::DOUBLE"
-        f" / length({expr}))"
+        f" / nullif(length({expr}), 0))"
     )
 
 

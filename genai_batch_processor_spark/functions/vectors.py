@@ -37,7 +37,10 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (try_divide) — under ANSI
+    mode a plain division would abort the job on the first zero vector;
+    a NULL cosine drops the pair from any threshold/rank downstream."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def sign_bits_bucket(a: Column | str, n_bits: int = 8) -> Column:
@@ -62,8 +65,8 @@ def sql_dot(a: str, b: str) -> str:
 def sql_cosine(a: str, b: str) -> str:
     return (
         f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
-        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+        f"nullif(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])), 0))"
     )
 
 

@@ -34,12 +34,14 @@ NEAR_DUP_COSINE = 0.35  # fixture-calibrated; see tools/ exploration
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     """rank ≤ k per query by (cosine desc, neighbor id asc) — ties broken
-    deterministically so results are engine-portable."""
+    deterministically so results are engine-portable. NULL cosines
+    (zero-norm vectors under try_divide) never rank."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

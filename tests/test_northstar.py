@@ -51,6 +51,40 @@ def test_simhash_agrees_with_minhash_on_near_dups(spark):
     assert len(mh & sh) >= 0.7 * len(mh)
 
 
+def test_text_and_vector_ops_survive_degenerate_rows(spark):
+    """Empty/blank/null/unicode docs and zero vectors must produce NULLs,
+    never abort the job (ANSI mode turns a bare division into a
+    job-killing DIVIDE_BY_ZERO — real corpora always have empty docs)."""
+    from genai_batch_processor_spark.functions import text as tx
+    from genai_batch_processor_spark.functions import vectors as V
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "x"), (4, None), (5, "ü ñ 漢字 test")],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id",
+        tx.quality_score("text").alias("q"),
+        tx.lang_guess("text").alias("lang"),
+        tx.fingerprint("text").alias("fp"),
+        dedup.simhash("text").alias("sh"),
+    ).collect()
+    assert len(rows) == 5  # completes — the empty doc scores 0, not a crash
+    # (least() ignores the NULL punct_ratio identically on both engines)
+    assert {r.doc_id: r.q for r in rows}[1] == 0.0
+    assert dedup.near_dup_pairs(docs, "doc_id", "text").count() == 0
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.topk_bruteforce(
+        vecs, vecs.filter(F.col("vec_id") == 1), k=5
+    ).collect()
+    # the zero vector has NULL cosine and falls out of the ranking
+    assert [r.neighbor_id for r in got] == [2]
+
+
 def test_connected_components_chain_and_singleton(spark):
     """A 4-node chain needs multiple propagation rounds; an isolated pair
     and the chain must land in distinct components labelled by min id."""
