@@ -31,6 +31,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); vanilla sessions reject it
+        # with PARQUET_TYPE_ILLEGAL. nanosAsLong is a runtime-settable SQL
+        # conf, so set it here — the loader must work under ANY session,
+        # not just the one session.get_spark builds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → truncate to micros → timestamp. The fixture DOES
