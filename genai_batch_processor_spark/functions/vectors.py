@@ -48,11 +48,18 @@ def sign_bits_bucket(a: Column | str, n_bits: int = 8) -> Column:
     ``n_bits`` components, packed into an int. A deterministic coarse
     quantizer (IVF-style) both Spark and ANSI SQL can compute; vectors in
     the same bucket are near in angle with high probability, so exact
-    cosine only runs within buckets (SURVEY.md §2.D scale path)."""
+    cosine only runs within buckets (SURVEY.md §2.D scale path).
+
+    Vectors shorter than ``n_bits`` bucket safely: try_element_at gives
+    NULL out of bounds, and a NULL >= 0 condition falls to the 0 bit —
+    plain element_at would abort the whole job under ANSI mode. DuckDB
+    list indexing is NULL out of bounds, so the oracle already agrees."""
     arr = _c(a)
     bucket = F.lit(0)
     for i in range(n_bits):
-        bit = F.when(F.element_at(arr, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.try_element_at(arr, F.lit(i + 1)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("long")
 

@@ -115,6 +115,11 @@ def run_job(
         output_path=output_path,
         meta=meta or {},
     )
+    # Persist BEFORE submit: a crash mid-submit must leave a manifest on
+    # disk (state=created) so the operator can find the job id and decide
+    # to resubmit — submitting first and crashing before save loses the
+    # provider batch_ids, the exact failure the manifest exists to prevent.
+    job.save(manifest_dir)
     job.batch_ids = backend.submit(input_path, output_path, job.meta)
     job.state = "submitted"
     job.save(manifest_dir)

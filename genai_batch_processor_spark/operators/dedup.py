@@ -361,6 +361,19 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter means labels may not be fixed-point: some
+        # duplicates would be over-retained downstream with no signal.
+        # Warn loudly rather than silently returning partial components.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing); results may split "
+            "components — raise max_iter or switch to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("comp").alias("component_id")
     )
@@ -431,11 +444,20 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ max_hamming; candidates via
     band equality (never all-pairs). Signatures are computed once: ids
     AND signatures are carried into the bucket aggregation as structs, so
-    hamming needs no join back to the signature relation."""
+    hamming needs no join back to the signature relation.
+
+    Buckets over ``max_bucket`` members are DROPPED, same skew guard as
+    the MinHash path: nibble-band cells number only bands × 2^nib_width
+    (4 × 256 here), so cell population grows linearly with the corpus and
+    in-cell pair generation quadratically — one hot cell at 100× scale
+    would otherwise OOM the collect_list. At real scale, widen
+    SIMHASH_BITS/SIMHASH_BANDS so cells stay under the cap instead of
+    relying on the drop."""
     sh = df.select(
         F.struct(
             F.col(id_col).alias("id"), simhash(text_col).alias("sh")
@@ -464,7 +486,7 @@ def simhash_near_dup_pairs(
     grouped = (
         bands.groupBy("band", "nib")
         .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
-        .filter(F.size("recs") >= 2)
+        .filter((F.size("recs") >= 2) & (F.size("recs") <= max_bucket))
     )
     pairs = F.flatten(
         F.transform(

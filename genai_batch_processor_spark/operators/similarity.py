@@ -30,6 +30,7 @@ from genai_batch_processor_spark.functions import vectors as V
 TOPK_DEFAULT = 5
 LSH_SIGN_BITS = 8
 NEAR_DUP_COSINE = 0.35  # fixture-calibrated; see tools/ exploration
+MAX_CELL = 64  # skew guard: near-dup cells bigger than this are dropped
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -148,13 +149,19 @@ def topk_bruteforce_pandas(
                 [list(v) for v in pdf[vec_col]], dtype="float64"
             )
             n_norm = np.sqrt((n_mat * n_mat).sum(axis=1))
-            cos = (n_mat @ q_mat.T) / np.outer(n_norm, q_norm)
+            # try_divide parity: a zero-norm vector must yield NULL (and be
+            # dropped by _ranked_topk), not NaN — Spark ranks NaN ABOVE all
+            # doubles, so an unmasked 0/0 would rank a zero vector first.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (n_mat @ q_mat.T) / np.outer(n_norm, q_norm)
             nid = pdf[id_col].to_numpy(dtype="int64")
+            flat = cos.ravel()
+            keep = np.isfinite(flat)
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(q_ids, len(nid)),
-                    "neighbor_id": np.repeat(nid, n_q),
-                    "cosine": cos.ravel(),
+                    "query_id": np.tile(q_ids, len(nid))[keep],
+                    "neighbor_id": np.repeat(nid, n_q)[keep],
+                    "cosine": flat[keep],
                 }
             )
 
@@ -258,15 +265,30 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = NEAR_DUP_COSINE,
     sign_bits: int = LSH_SIGN_BITS,
+    max_cell: int = MAX_CELL,
 ) -> DataFrame:
     """Embedding-cosine near-dup (id_a < id_b) pairs within sign-bit
     cells — the §2.D 'embedding-cosine near-dup' op. Bucketed self-join,
-    never all-pairs."""
+    never all-pairs.
+
+    Cells over ``max_cell`` members are dropped (skew guard): there are
+    only 2^sign_bits cells, so cell population grows linearly with the
+    corpus and the in-cell self-join quadratically — a hot cell at 100×
+    scale would dominate the whole job. The allowed-cell set is ≤ 2^bits
+    rows and broadcasts; at real scale raise ``sign_bits`` so cells stay
+    under the cap instead of relying on the drop."""
     bucket = V.sign_bits_bucket(F.col(vec_col), sign_bits)
     b = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         bucket.alias("bucket"),
     )
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_cell))
+        .select("bucket")
+    )
+    b = b.join(F.broadcast(ok), "bucket")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

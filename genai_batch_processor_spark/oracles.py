@@ -13,7 +13,7 @@ from genai_batch_processor_spark.functions import text as tx
 from genai_batch_processor_spark.functions import vectors as vec
 from genai_batch_processor_spark.functions.hashing import sql_hash32, sql_hash60
 from genai_batch_processor_spark.inference import mock
-from genai_batch_processor_spark.operators import dedup, requests
+from genai_batch_processor_spark.operators import dedup, requests, similarity
 
 LABELS = mock.DEFAULT_LABELS
 
@@ -252,10 +252,17 @@ ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
           f"SELECT doc_id, sh, {j} AS band, (sh >> {j * _NIB}) & {(1 << _NIB) - 1} AS nib FROM s"
           for j in range(dedup.SIMHASH_BANDS)
       )}
+    ), ok AS (
+      -- mirror of the Spark-side MAX_BUCKET skew guard: oversize
+      -- nibble buckets are dropped, not joined
+      SELECT band, nib FROM bands GROUP BY band, nib
+      HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN ok o ON a.band = o.band AND a.nib = o.nib
+      JOIN bands b
         ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM pairs
@@ -312,10 +319,16 @@ ORACLES["embedding_near_dup"] = f"""
       SELECT vec_id, embedding,
              {vec.sql_sign_bits_bucket('embedding')} AS bucket
       FROM embeddings
+    ), ok AS (
+      -- mirror of the Spark-side MAX_CELL skew guard
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING count(*) BETWEEN 2 AND {similarity.MAX_CELL}
     ), scored AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
              round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      FROM b x
+      JOIN ok o ON x.bucket = o.bucket
+      JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
 """

@@ -145,3 +145,41 @@ def test_embedding_near_dup_symmetric_and_thresholded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = similarity.embedding_near_dup_pairs(emb, threshold=0.2).collect()
     assert all(r.id_a < r.id_b and r.cosine >= 0.2 for r in rows)
+
+
+def test_simhash_hot_bucket_dropped_not_joined(spark):
+    """The skew guard: a bucket bigger than max_bucket is dropped rather
+    than exploded quadratically — identical docs land in the same nibble
+    bucket in EVERY band, so with max_bucket below the clone count the
+    clones must produce zero pairs while a small distinct pair survives."""
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)]
+    small = [
+        (100, "completely different text about rivers and mountains here"),
+        (101, "completely different text about rivers and mountains there"),
+    ]
+    docs = spark.createDataFrame(clones + small, "doc_id long, text string")
+    got = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert all(a >= 100 for a, _ in pairs)  # clone bucket (size 10) dropped
+    uncapped = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket=64)
+    assert {(a, b) for a, b in [(0, 1)]} <= {
+        (r.id_a, r.id_b) for r in uncapped.collect()
+    }  # sanity: without the cap the clones DO pair
+
+
+def test_embedding_hot_cell_dropped_not_joined(spark):
+    """Same guard on the embedding path: a sign-bit cell over max_cell is
+    dropped; a 2-member cell still pairs."""
+    hot = [(i, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) for i in range(10)]
+    cold = [
+        (100, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (101, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>"
+    )
+    got = similarity.embedding_near_dup_pairs(emb, threshold=0.5, max_cell=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == {(100, 101)}
+    uncapped = similarity.embedding_near_dup_pairs(emb, threshold=0.5, max_cell=64)
+    assert len(uncapped.collect()) > 1  # sanity: hot cell pairs without cap
