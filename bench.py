@@ -9,8 +9,10 @@ session is warmed once; per-query time excludes JVM startup.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -24,6 +26,39 @@ HEADLINE = [
     "build_requests",
     "mock_responses",
 ]
+
+
+def plan_info(df) -> dict | None:
+    """Normalized formatted-plan digest + shape counters, so a plan
+    regression (lost broadcast, new single-partition exchange) shows up
+    in the round-over-round BENCH diff, not just in wall time. ExprIds,
+    codegen ids, plan ids and temp paths are stripped before hashing —
+    they vary per session while the plan shape does not."""
+    try:
+        jvm = df.sparkSession._jvm
+        s = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    except Exception:
+        return None
+    norm = re.sub(r"#\d+", "#", s)
+    norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
+    norm = re.sub(r"\[codegen id : \d+\]", "", norm)
+    norm = re.sub(r"(file|dbfs|s3a?|gs)://?\S+", "path:", norm)
+    norm = re.sub(r"events_hourly_stream_[0-9a-f]+|user_stats_stream_[0-9a-f]+", "stream_tbl", norm)
+    return {
+        "digest": hashlib.sha256(norm.encode()).hexdigest()[:12],
+        "exchanges": len(re.findall(r"\bExchange\b", s)),
+        "broadcasts": len(
+            re.findall(
+                r"BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop",
+                s,
+            )
+        ),
+        "single_partition": s.count("SinglePartition"),
+    }
 
 
 def main() -> None:
@@ -40,11 +75,15 @@ def main() -> None:
     qs[names[0]](spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        info = plan_info(df)
+        if info is not None:
+            plans[name] = info
 
     total = round(sum(times.values()), 3)
     print(
@@ -55,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "plans": plans,
             }
         )
     )

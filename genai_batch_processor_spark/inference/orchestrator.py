@@ -94,6 +94,49 @@ class LocalMockBackend:
         return "completed"
 
 
+class DelayedFileBackend(LocalMockBackend):
+    """File-state backend that reports ``in_progress`` for
+    ``pending_polls`` status calls per batch before completing — the
+    poll/backoff/deadline logic in run_job/resume_job never actually
+    WAITS under LocalMockBackend (instant completion), so this is the
+    backend that exercises submit → pending → poll → complete for real.
+
+    The per-batch poll counter is persisted under ``state_dir``, so a
+    FRESH backend instance (crash → resume_job) continues the countdown
+    instead of restarting it — mirroring a real provider whose job state
+    lives server-side, not in the client object (the reference loses
+    exactly this state on crash, oai:69-76)."""
+
+    def __init__(self, spark, pending_polls: int = 2, state_dir: str | None = None):
+        super().__init__(spark)
+        import tempfile
+
+        self.pending_polls = pending_polls
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="delayed_backend_")
+
+    def _state_path(self, batch_id: str) -> str:
+        return os.path.join(self.state_dir, f"{batch_id}.json")
+
+    def submit(self, input_path: str, output_path: str, meta: dict) -> list[str]:
+        batch_ids = super().submit(input_path, output_path, meta)
+        os.makedirs(self.state_dir, exist_ok=True)
+        for b in batch_ids:
+            with open(self._state_path(b), "w") as f:
+                json.dump({"polls": 0, "needed": self.pending_polls}, f)
+        return batch_ids
+
+    def status(self, batch_id: str) -> str:
+        path = self._state_path(batch_id)
+        with open(path) as f:
+            st = json.load(f)
+        if st["polls"] >= st["needed"]:
+            return "completed"
+        st["polls"] += 1
+        with open(path, "w") as f:
+            json.dump(st, f)
+        return "in_progress" if st["polls"] < st["needed"] else "completed"
+
+
 def run_job(
     backend: BatchBackend,
     *,

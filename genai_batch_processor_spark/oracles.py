@@ -815,6 +815,26 @@ ORACLES["events_value_percentiles"] = """
 # shares the batch oracle verbatim.
 ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
 
+# Stateful-stream twin: on a bounded input the per-user running state
+# must equal the batch count/argmax. The "last" event orders by MICROS-
+# truncated ts then event_id — exactly what the stream's update function
+# sees (ts arrives as micros there; raw nanos ordering could flip a tie).
+ORACLES["user_stats_stream"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (epoch_ns(ts) // 1000) DESC, event_id DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+"""
+
 ORACLES["supplier_balance"] = """
     SELECT n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -15,14 +15,16 @@ through driver memory (the reference materializes the whole input at
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.inference import orchestrator
 from genai_batch_processor_spark.operators import joinback, requests, responses
-from genai_batch_processor_spark.sources import jsonl
+from genai_batch_processor_spark.sources import jsonl, schemas
 
 
 class BatchPipeline:
@@ -40,7 +42,26 @@ class BatchPipeline:
     ):
         self.spark = spark
         self.backend = backend or orchestrator.LocalMockBackend(spark)
-        self.work_dir = work_dir or tempfile.mkdtemp(prefix="genai_spark_")
+        # Resource ledger (#30, vtx:34-52/:327-354): every temp path this
+        # pipeline mints is recorded so cleanup() can remove it. A caller-
+        # provided work_dir is the CALLER's resource and is never deleted.
+        self._owned_paths: list[str] = []
+        if work_dir is None:
+            work_dir = tempfile.mkdtemp(prefix="genai_spark_")
+            self._owned_paths.append(work_dir)
+        self.work_dir = work_dir
+
+    def cleanup(self) -> list[str]:
+        """Remove every temp path this pipeline created (vtx:327-354
+        semantics, as an explicit ledger instead of attribute scraping).
+        Returns the removed paths; idempotent."""
+        removed = []
+        for p in self._owned_paths:
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+        self._owned_paths.clear()
+        return removed
 
     # -- reference contract ---------------------------------------------------
 
@@ -55,31 +76,76 @@ class BatchPipeline:
     def build_requests(self, df: DataFrame, **kwargs) -> DataFrame:
         raise NotImplementedError
 
+    def _assemble(
+        self, with_req: DataFrame, resp: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Shared lifecycle tail: error split → join-back. One code path
+        for empty and non-empty runs, so their schemas cannot diverge.
+        The response-side join key is dropped after the join — the result
+        carries ONE custom_id column (the input side's)."""
+        results, errors = responses.split_errors(resp, "resp")
+        joined = joinback.attach_results(
+            with_req.withColumn("custom_id", F.col("request.custom_id")),
+            results.select(
+                "resp", F.col("resp.custom_id").alias("__resp_custom_id")
+            ),
+            id_col="idx",
+            custom_id_col="__resp_custom_id",
+            how="inner",
+        ).drop("__resp_custom_id")
+        return joined, errors
+
+    def _empty_responses(self) -> DataFrame:
+        cols = self.spark.createDataFrame([], schemas.OPENAI_RESPONSE)
+        return cols.select(F.struct(*cols.columns).alias("resp"))
+
     def run(
         self,
         df: DataFrame,
         *,
         validate: bool = True,
+        input_path: str | None = None,
         poll_interval_seconds: float = 1.0,
         timeout_seconds: float = 7200.0,
         **build_kwargs,
     ) -> tuple[DataFrame, DataFrame]:
         """Full lifecycle → (results, errors) DataFrames (oai:262-303).
 
-        Empty-input short-circuit (#15, oai:277-280); NO catch-all
+        Empty-input short-circuit (#15, oai:277-280) returns EMPTY
+        relations with the same schemas as a non-empty run — downstream
+        unions must not break only on the empty path. NO catch-all
         exception swallowing (deliberate departure from oai:298-302).
+
+        ``input_path`` (#31, vtx:405-407): a pre-existing request-JSONL
+        path skips the build+write stage entirely; the requests on disk
+        are joined back to ``df`` by their custom_id ordinal, so results
+        are identical to a built run over the same input.
         """
         if df.isEmpty():
-            empty = self.spark.createDataFrame([], df.schema)
-            return empty, empty
-        if validate and not self.validate_request(df, **build_kwargs):
-            raise ValueError("validate_request failed on sample item")
+            with_req = self.build_requests(df, **build_kwargs)
+            return self._assemble(with_req, self._empty_responses())
 
-        with_req = self.build_requests(df, **build_kwargs)
-        input_path = os.path.join(self.work_dir, "input")
+        if input_path is None:
+            if validate and not self.validate_request(df, **build_kwargs):
+                raise ValueError("validate_request failed on sample item")
+            with_req = self.build_requests(df, **build_kwargs)
+            input_path = os.path.join(self.work_dir, "input")
+            jsonl.write_jsonl(with_req.select("request.*"), input_path)
+        else:
+            # Passthrough: reconstruct the (input row, request) relation
+            # from the shards on disk. Join on the custom_id ordinal —
+            # the same key the response join-back uses.
+            req_rows, _bad = jsonl.read_request_jsonl(self.spark, input_path)
+            req = req_rows.select(
+                F.struct(*req_rows.columns).alias("request")
+            ).withColumn(
+                "__req_idx", ids.extract_index(F.col("request.custom_id"))
+            )
+            with_req = df.join(
+                req, df["idx"] == F.col("__req_idx"), "inner"
+            ).drop("__req_idx")
+
         output_path = os.path.join(self.work_dir, "output")
-        jsonl.write_jsonl(with_req.select("request.*"), input_path)
-
         orchestrator.run_job(
             self.backend,
             input_path=input_path,
@@ -91,14 +157,7 @@ class BatchPipeline:
 
         resp, _corrupt = jsonl.read_response_jsonl(self.spark, output_path)
         resp = resp.select(F.struct(*resp.columns).alias("resp"))
-        results, errors = responses.split_errors(resp, "resp")
-        joined = joinback.attach_results(
-            with_req.withColumn("custom_id", F.col("request.custom_id")),
-            results.select("resp", F.col("resp.custom_id").alias("custom_id")),
-            id_col="idx",
-            how="inner",
-        )
-        return joined, errors
+        return self._assemble(with_req, resp)
 
 
 class OpenAIBatchPipeline(BatchPipeline):

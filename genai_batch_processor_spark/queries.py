@@ -804,10 +804,49 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
     stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
     agg = sw.hourly_counts(stream)
-    sw.run_to_memory(
-        agg, name, "complete", tempfile.mkdtemp(prefix="ckpt_stream_")
-    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        sw.run_to_memory(agg, name, "complete", ckpt)
+    finally:
+        # availableNow drained to completion — the checkpoint is dead
+        # state; leaving it would leak one dir per invocation.
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming op (applyInPandasWithState,
+    streaming/windows.py:user_stats_stream): per-user running event count
+    + last event type, drained with availableNow into the memory sink.
+
+    Update-mode sinks emit one row per user per micro-batch; the FINAL
+    state per user is the row with max n_events (the count is monotonic,
+    so no ties across batches). Oracle = per-user count / argmax-by-
+    (micros ts, event_id) SQL — the stateful stream must reproduce the
+    batch answer exactly on a bounded input."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"user_stats_stream_{uuid.uuid4().hex[:8]}"
+    stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    out = sw.user_stats_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        sw.run_to_memory(out, name, "update", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    tbl = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,6 +1118,7 @@ QUERIES: dict[str, callable] = {
     "embedding_topk_pandas": q_embedding_topk_pandas,
     "events_value_percentiles": q_events_value_percentiles,
     "events_hourly_stream": q_events_hourly_stream,
+    "user_stats_stream": q_user_stats_stream,
     "supplier_balance": q_supplier_balance,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_components": q_dedup_components,

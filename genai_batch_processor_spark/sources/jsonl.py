@@ -84,6 +84,29 @@ def read_response_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, Data
     return read_jsonl(spark, path, schemas.OPENAI_RESPONSE)
 
 
+def write_json_array(df: DataFrame, path: str) -> None:
+    """Indented one-array JSON sink — the reference's
+    ``{prefix}_results.json`` form (``openai_batch_processor.py:232-239``,
+    ``json.dump(..., indent=2)``), byte-identical output.
+
+    This is a DRIVER-TAIL writer for small, final result sets: rows
+    stream through the driver one at a time (``toLocalIterator`` — never
+    a full collect), but the single pretty-printed file is inherently a
+    one-writer format. Anything large goes through :func:`write_results`
+    (sharded, distributed)."""
+    import json
+
+    with open(path, "w") as f:
+        first = True
+        for line in df.toJSON().toLocalIterator():
+            blob = json.dumps(json.loads(line), indent=2)
+            indented = "\n".join("  " + ln for ln in blob.splitlines())
+            f.write("[\n" if first else ",\n")
+            f.write(indented)
+            first = False
+        f.write("[]" if first else "\n]")
+
+
 def write_results(df: DataFrame, path: str, fmt: str | None = None) -> None:
     """Extension-dispatched result sink (``vtx:298-325`` semantics).
 

@@ -115,3 +115,80 @@ def test_empty_input_short_circuit(spark, sf_dir, tmp_path):
     pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path))
     results, errors = pipe.run(docs)
     assert results.count() == 0 and errors.count() == 0
+
+
+def test_empty_input_schemas_match_nonempty_run(spark, sf_dir, tmp_path):
+    """The empty short-circuit must return the REAL result/error schemas —
+    downstream code that unions empty-run and normal-run outputs must not
+    break only on the empty path."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    docs = ids.assign_ids(docs, "doc_id")
+    full = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "full"))
+    res_full, err_full = full.run(docs, poll_interval_seconds=0.01)
+    empty_pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "empty"))
+    res_empty, err_empty = empty_pipe.run(docs.limit(0))
+    # unionByName raises on schema mismatch — this IS the assertion
+    assert res_full.unionByName(res_empty).count() == res_full.count()
+    assert err_full.unionByName(err_empty).count() == err_full.count()
+    assert res_empty.schema == res_full.schema
+    assert err_empty.schema == err_full.schema
+
+
+def test_input_passthrough_matches_built_run(spark, sf_dir, tmp_path):
+    """run(input_path=...) skips the build stage and must produce results
+    identical to a built run over the same input (vtx:405-407 semantics)."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    docs = ids.assign_ids(docs, "doc_id")
+    built = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "built"))
+    res_b, err_b = built.run(docs, poll_interval_seconds=0.01)
+    # the built run's request shards are the pre-existing input
+    prebuilt_path = os.path.join(built.work_dir, "input")
+    passthru = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "pass"))
+    res_p, err_p = passthru.run(
+        docs, input_path=prebuilt_path, poll_interval_seconds=0.01
+    )
+    key = lambda df: sorted(  # noqa: E731
+        r["j"] for r in df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect()
+    )
+    assert key(res_p) == key(res_b)
+    assert key(err_p) == key(err_b)
+
+
+def test_cleanup_removes_owned_work_dir(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    docs = ids.assign_ids(docs, "doc_id")
+    pipe = OpenAIBatchPipeline(spark)  # mints its own work_dir
+    pipe.run(docs, poll_interval_seconds=0.01)
+    wd = pipe.work_dir
+    assert os.path.exists(wd)
+    removed = pipe.cleanup()
+    assert wd in removed and not os.path.exists(wd)
+    assert pipe.cleanup() == []  # idempotent
+
+
+def test_json_array_sink_matches_json_dumps(spark, sf_dir, tmp_path):
+    """The pretty-JSON one-array sink (oai:232-239 form) must be
+    byte-identical to json.dumps(rows, indent=2)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .limit(7)
+    )
+    path = str(tmp_path / "x_results.json")
+    jsonl.write_json_array(docs, path)
+    rows = [json.loads(l) for l in docs.toJSON().collect()]
+    assert open(path).read() == json.dumps(rows, indent=2)
+    # empty relation → empty array
+    empty_path = str(tmp_path / "empty_results.json")
+    jsonl.write_json_array(docs.limit(0), empty_path)
+    assert open(empty_path).read() == "[]"
+
+
+def test_cleanup_spares_caller_work_dir(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    docs = ids.assign_ids(docs, "doc_id")
+    pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path))
+    pipe.run(docs, poll_interval_seconds=0.01)
+    assert pipe.cleanup() == []  # caller-owned: ledger never held it
+    assert os.path.exists(str(tmp_path))

@@ -119,3 +119,96 @@ def test_orchestrator_resume_completed_and_submitted(spark, tmp_path):
             poll_interval_seconds=0.01,
         )
     assert os.path.exists(os.path.join(mdir, f"{job.job_id}.json"))
+
+
+def _seed_requests(spark, tmp_path):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    docs = ids.assign_ids(docs, "doc_id")
+    reqs = requests.build_openai_requests(
+        docs, id_col="idx",
+        user_content=F.array(requests.text_part(F.col("text"))),
+    )
+    from genai_batch_processor_spark.sources import jsonl
+
+    inp = str(tmp_path / "inp")
+    jsonl.write_jsonl(reqs.select("request.*"), inp)
+    return inp
+
+
+def test_delayed_backend_exercises_real_waiting(spark, tmp_path):
+    """submit → pending → poll → complete against a backend that actually
+    stays pending: run_job must survive nonzero waiting, and a crash
+    after submit must resume through the remaining pending polls."""
+    import time
+
+    inp = _seed_requests(spark, tmp_path)
+    backend = orchestrator.DelayedFileBackend(
+        spark, pending_polls=3, state_dir=str(tmp_path / "bstate")
+    )
+    mdir = str(tmp_path / "manifests")
+    t0 = time.monotonic()
+    job = orchestrator.run_job(
+        backend,
+        input_path=inp,
+        output_path=str(tmp_path / "out"),
+        manifest_dir=mdir,
+        poll_interval_seconds=0.05,
+    )
+    assert job.state == "completed"
+    assert time.monotonic() - t0 >= 0.05  # the loop really waited
+
+
+def test_delayed_backend_crash_then_resume_waits(spark, tmp_path):
+    """Crash right after submit (manifest state=submitted, zero polls
+    done); a FRESH backend instance must resume and wait through the
+    full pending countdown — poll state lives on disk, not in the
+    client object."""
+    import time
+
+    inp = _seed_requests(spark, tmp_path)
+    bstate = str(tmp_path / "bstate")
+    mdir = str(tmp_path / "manifests")
+    backend = orchestrator.DelayedFileBackend(
+        spark, pending_polls=3, state_dir=bstate
+    )
+    batch_ids = backend.submit(inp, str(tmp_path / "out"), {})
+    crashed = orchestrator.JobManifest(
+        job_id="job-crashed", input_path=inp,
+        output_path=str(tmp_path / "out"), state="submitted",
+        batch_ids=batch_ids,
+    )
+    crashed.save(mdir)
+    fresh = orchestrator.DelayedFileBackend(
+        spark, pending_polls=3, state_dir=bstate
+    )
+    t0 = time.monotonic()
+    resumed = orchestrator.resume_job(
+        fresh, manifest_dir=mdir, job_id="job-crashed",
+        poll_interval_seconds=0.05,
+    )
+    assert resumed.state == "completed"
+    assert time.monotonic() - t0 >= 0.05
+
+
+def test_delayed_backend_deadline_fires(spark, tmp_path):
+    """A backend that never completes within the deadline must raise
+    TimeoutError and persist state=timeout — the deadline path only ran
+    against pytest fakes before."""
+    inp = _seed_requests(spark, tmp_path)
+    backend = orchestrator.DelayedFileBackend(
+        spark, pending_polls=10**6, state_dir=str(tmp_path / "bstate")
+    )
+    mdir = str(tmp_path / "manifests")
+    with pytest.raises(TimeoutError):
+        orchestrator.run_job(
+            backend,
+            input_path=inp,
+            output_path=str(tmp_path / "out"),
+            manifest_dir=mdir,
+            poll_interval_seconds=0.01,
+            timeout_seconds=0.1,
+        )
+    names = os.listdir(mdir)
+    assert names
+    state = orchestrator.JobManifest.load(mdir, names[0][:-5])
+    assert state.state == "timeout"
