@@ -77,6 +77,44 @@ def mock_response_columns(
     )
 
 
+_VERTEX_NO_CANDIDATES = (
+    "array<struct<content:struct<parts:array<struct<text:string>>>>>"
+)
+
+
+def mock_vertex_response_columns(
+    custom_id: Column,
+    prompt: Column,
+    request_json: Column,
+    labels: tuple[str, ...] = DEFAULT_LABELS,
+) -> Column:
+    """VERTEX_RESPONSE-shaped struct (vtx:267-273 output row): the
+    original request line echoed as a string — the passthrough
+    custom_id rides back inside it — plus candidates or a per-row error.
+    Same determinism rule as the OpenAI mock."""
+    err = is_error_expr(custom_id)
+    ok = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.array(
+                        F.struct(label_expr(prompt, labels).alias("text"))
+                    ).alias("parts")
+                ).alias("content")
+            )
+        ).alias("candidates"),
+        F.lit(None).cast("struct<message:string>").alias("error"),
+    )
+    err_resp = F.struct(
+        F.lit(None).cast(_VERTEX_NO_CANDIDATES).alias("candidates"),
+        F.struct(F.lit(ERROR_MESSAGE).alias("message")).alias("error"),
+    )
+    return F.struct(
+        request_json.alias("request"),
+        F.when(err, err_resp).otherwise(ok).alias("response"),
+    )
+
+
 # -- Python twin (for the mapInPandas runner) --------------------------------
 
 

@@ -94,6 +94,33 @@ class LocalMockBackend:
         return "completed"
 
 
+class VertexLocalMockBackend(LocalMockBackend):
+    """Vertex-wire twin of :class:`LocalMockBackend`: scans the keyed
+    request envelope lines and emits VERTEX_RESPONSE-shaped prediction
+    rows (``vtx:267-273``) — the request echoed as a JSON string, with
+    the passthrough custom_id riding back inside it."""
+
+    def submit(self, input_path: str, output_path: str, meta: dict) -> list[str]:
+        from pyspark.sql import functions as F
+
+        from genai_batch_processor_spark.inference import mock
+        from genai_batch_processor_spark.sources import jsonl, schemas
+
+        reqs, _bad = jsonl.read_jsonl(
+            self.spark, input_path, schemas.VERTEX_KEYED_REQUEST_LINE
+        )
+        prompt = (
+            F.col("request.contents").getItem(0)["parts"].getItem(0)["text"]
+        )
+        line_json = F.to_json(F.struct(F.col("custom_id"), F.col("request")))
+        resp = mock.mock_vertex_response_columns(
+            F.col("custom_id"), prompt, line_json
+        )
+        out = reqs.select(resp.alias("r")).select("r.*")
+        jsonl.write_jsonl(out, output_path)
+        return [f"vertexbatch-{uuid.uuid4().hex[:12]}"]
+
+
 class DelayedFileBackend(LocalMockBackend):
     """File-state backend that reports ``in_progress`` for
     ``pending_polls`` status calls per batch before completing — the

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.inference import orchestrator
-from genai_batch_processor_spark.operators import joinback, requests, responses
-from genai_batch_processor_spark.sources import jsonl, schemas
+from genai_batch_processor_spark.operators import joinback, requests
+from genai_batch_processor_spark.sources import bigquery, jsonl, schemas
 
 
 class BatchPipeline:
@@ -76,6 +76,30 @@ class BatchPipeline:
     def build_requests(self, df: DataFrame, **kwargs) -> DataFrame:
         raise NotImplementedError
 
+    # -- provider wire hooks (override per wire format) -----------------------
+
+    def _response_schema(self):
+        return schemas.OPENAI_RESPONSE
+
+    def _read_responses(self, output_path: str) -> DataFrame:
+        rows, _corrupt = jsonl.read_jsonl(
+            self.spark, output_path, self._response_schema()
+        )
+        return rows.select(F.struct(*rows.columns).alias("resp"))
+
+    def _empty_responses(self) -> DataFrame:
+        cols = self.spark.createDataFrame([], self._response_schema())
+        return cols.select(F.struct(*cols.columns).alias("resp"))
+
+    def _resp_error(self) -> Column:
+        """True for rows that belong in the error relation (#13/#38)."""
+        return F.col("resp")["error"].isNotNull()
+
+    def _resp_custom_id(self) -> Column:
+        return F.col("resp.custom_id")
+
+    # -------------------------------------------------------------------------
+
     def _assemble(
         self, with_req: DataFrame, resp: DataFrame
     ) -> tuple[DataFrame, DataFrame]:
@@ -83,21 +107,18 @@ class BatchPipeline:
         for empty and non-empty runs, so their schemas cannot diverge.
         The response-side join key is dropped after the join — the result
         carries ONE custom_id column (the input side's)."""
-        results, errors = responses.split_errors(resp, "resp")
+        err = self._resp_error()
+        results, errors = resp.filter(~err), resp.filter(err)
         joined = joinback.attach_results(
             with_req.withColumn("custom_id", F.col("request.custom_id")),
             results.select(
-                "resp", F.col("resp.custom_id").alias("__resp_custom_id")
+                "resp", self._resp_custom_id().alias("__resp_custom_id")
             ),
             id_col="idx",
             custom_id_col="__resp_custom_id",
             how="inner",
         ).drop("__resp_custom_id")
         return joined, errors
-
-    def _empty_responses(self) -> DataFrame:
-        cols = self.spark.createDataFrame([], schemas.OPENAI_RESPONSE)
-        return cols.select(F.struct(*cols.columns).alias("resp"))
 
     def run(
         self,
@@ -155,9 +176,7 @@ class BatchPipeline:
             timeout_seconds=timeout_seconds,
         )
 
-        resp, _corrupt = jsonl.read_response_jsonl(self.spark, output_path)
-        resp = resp.select(F.struct(*resp.columns).alias("resp"))
-        return self._assemble(with_req, resp)
+        return self._assemble(with_req, self._read_responses(output_path))
 
 
 class OpenAIBatchPipeline(BatchPipeline):
@@ -201,7 +220,27 @@ class AzureOpenAIBatchPipeline(OpenAIBatchPipeline):
 
 
 class VertexAIBatchPipeline(BatchPipeline):
-    """Vertex-shaped requests (vtx:54-68 builder surface)."""
+    """Vertex-shaped requests (vtx:54-68 builder surface), end to end:
+    keyed envelope lines out, VERTEX_RESPONSE prediction rows back in
+    (the reference's positional zip join is replaced by the passthrough
+    custom_id — SURVEY §7). ``table_store`` binds the BigQuery boundary
+    (vtx:138-176 input table, :282-296 result scan) — production injects
+    :class:`~..sources.bigquery.BigQueryTableStore`, tests the local
+    parquet double."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        backend: orchestrator.BatchBackend | None = None,
+        work_dir: str | None = None,
+        table_store: bigquery.TableStore | None = None,
+    ):
+        super().__init__(
+            spark,
+            backend or orchestrator.VertexLocalMockBackend(spark),
+            work_dir,
+        )
+        self.table_store = table_store
 
     def build_requests(
         self,
@@ -211,8 +250,17 @@ class VertexAIBatchPipeline(BatchPipeline):
         id_col: str = "idx",
         **kwargs,
     ) -> DataFrame:
-        return requests.build_vertex_requests(
+        inner = requests.build_vertex_requests(
             df, user_text=F.col(text_col), **kwargs
+        )
+        # keyed envelope: {"custom_id": ..., "request": {...}} — Vertex
+        # passes unknown input keys through to the output row
+        return inner.withColumn(
+            "request",
+            F.struct(
+                ids.custom_id(id_col).alias("custom_id"),
+                F.col("request").alias("request"),
+            ),
         )
 
     def validate_request(self, df: DataFrame, **kwargs) -> bool:
@@ -220,3 +268,42 @@ class VertexAIBatchPipeline(BatchPipeline):
         output-token clamp (vtx:93-97) applies to the probe build."""
         sample = self.build_requests(df.limit(1), max_output_tokens=128, **kwargs)
         return sample.select("request").head() is not None
+
+    # -- vertex wire hooks ----------------------------------------------------
+
+    def _response_schema(self):
+        return schemas.VERTEX_RESPONSE
+
+    def _resp_error(self) -> Column:
+        return F.col("resp")["response"]["error"].isNotNull()
+
+    def _resp_custom_id(self) -> Column:
+        # the echoed request string carries the passthrough key
+        return F.from_json(
+            F.col("resp.request"), schemas.VERTEX_KEYED_REQUEST_LINE
+        )["custom_id"]
+
+    # -- BigQuery/GCS boundary (vtx:138-176, 282-296, 298-325) ----------------
+
+    def run_table_to_table(
+        self,
+        input_uri: str,
+        output_uri: str,
+        *,
+        text_col: str = "text",
+        order_col: str | None = None,
+        id_col: str = "idx",
+        **run_kwargs,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Table-in → table-out lifecycle: read the input relation via
+        URI-scheme dispatch (bq:// hits the TableStore), run the batch
+        lifecycle, write results back out the same way. Returns the
+        (results, errors) relations for further composition."""
+        df = bigquery.read_input(self.spark, input_uri, self.table_store)
+        if id_col not in df.columns:
+            df = ids.assign_ids(df, order_col or text_col, id_col=id_col)
+        results, errors = self.run(
+            df, text_col=text_col, id_col=id_col, **run_kwargs
+        )
+        bigquery.write_output(results, output_uri, self.table_store)
+        return results, errors

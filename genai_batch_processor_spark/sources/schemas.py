@@ -158,6 +158,17 @@ VERTEX_REQUEST_LINE = T.StructType(
     [T.StructField("request", VERTEX_REQUEST, False)]
 )
 
+# Keyed envelope: the reference correlates vertex results POSITIONALLY
+# (zip join, ex-vcls:149); we instead ride an explicit custom_id through
+# the line — Vertex batch prediction passes unknown input keys through
+# to the output, so the key comes back with the response.
+VERTEX_KEYED_REQUEST_LINE = T.StructType(
+    [
+        T.StructField("custom_id", T.StringType()),
+        T.StructField("request", VERTEX_REQUEST, False),
+    ]
+)
+
 VERTEX_RESPONSE = T.StructType(
     [
         T.StructField("request", T.StringType()),

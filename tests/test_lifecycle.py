@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from genai_batch_processor_spark import OpenAIBatchPipeline
+from genai_batch_processor_spark.plans.pipeline import VertexAIBatchPipeline
+from genai_batch_processor_spark.sources import bigquery
 from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.inference import mock, runner
 from genai_batch_processor_spark.operators import requests, responses
@@ -164,6 +166,69 @@ def test_cleanup_removes_owned_work_dir(spark, sf_dir):
     removed = pipe.cleanup()
     assert wd in removed and not os.path.exists(wd)
     assert pipe.cleanup() == []  # idempotent
+
+
+def test_vertex_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Full Vertex lifecycle: keyed envelope out, VERTEX_RESPONSE rows
+    back, join-back via the passthrough custom_id (no positional zip)."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    docs = ids.assign_ids(docs, "doc_id")
+    pipe = VertexAIBatchPipeline(spark, work_dir=str(tmp_path))
+    results, errors = pipe.run(docs, poll_interval_seconds=0.01)
+    n_res, n_err = results.count(), errors.count()
+    assert n_res + n_err == 40
+    assert n_err > 0  # deterministic mock injects errors
+    got = results.select(
+        F.col("doc_id"),
+        responses.extract_vertex_text(F.col("resp")).alias("label"),
+    ).collect()
+    assert all(r["label"] in mock.DEFAULT_LABELS for r in got)
+    # every result row joined back to the right input row
+    echo = results.select(
+        F.col("custom_id"),
+        F.col("idx"),
+    ).collect()
+    assert all(r["custom_id"] == f"request-{r['idx']}" for r in echo)
+
+
+def test_vertex_table_to_table_via_store_double(spark, sf_dir, tmp_path):
+    """bq:// in → bq:// out through the injectable TableStore double —
+    the reference's BigQuery input-table + result-scan path
+    (vtx:138-176, 282-296) without cloud credentials."""
+    store = bigquery.LocalParquetTableStore(str(tmp_path / "bq"))
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    store.write_table(docs, "bq://proj.ds.docs_in")
+    pipe = VertexAIBatchPipeline(
+        spark, work_dir=str(tmp_path / "wd"), table_store=store
+    )
+    results, errors = pipe.run_table_to_table(
+        "bq://proj.ds.docs_in",
+        "bq://proj.ds.results_out",
+        order_col="doc_id",
+        poll_interval_seconds=0.01,
+    )
+    assert results.count() + errors.count() == 30
+    # the results table is scannable back out of the store
+    back = store.read_table(spark, "bq://proj.ds.results_out")
+    assert back.count() == results.count()
+    assert "resp" in back.columns and "doc_id" in back.columns
+
+
+def test_bq_uri_parsing_and_dispatch(spark, tmp_path):
+    assert bigquery.parse_bq_table("bq://p.d.t") == "p.d.t"
+    assert bigquery.parse_bq_table("proj.ds.tbl") == "proj.ds.tbl"
+    assert bigquery.parse_bq_table("ds.tbl") == "ds.tbl"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bigquery.parse_bq_table("bq://not a table id")
+    with _pytest.raises(ValueError, match="TableStore"):
+        bigquery.read_input(spark, "bq://p.d.t", None)
+    # non-bq paths go through the plain parquet/extension dispatch
+    df = spark.range(5)
+    out = str(tmp_path / "plain")
+    bigquery.write_output(df, out, None)  # no store needed
+    assert bigquery.read_input(spark, out, None).count() == 5
 
 
 def test_json_array_sink_matches_json_dumps(spark, sf_dir, tmp_path):
