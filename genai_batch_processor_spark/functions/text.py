@@ -134,6 +134,37 @@ def lang_guess(text: Column | str) -> Column:
     return expr
 
 
+# PII patterns — engine-portable (Java regex and RE2 agree on these):
+# simple by design; production lists are longer, the DATAFLOW is the same.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_TOKEN = "[PII]"
+
+
+def email_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(EMAIL_RE))
+
+
+def phone_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(PHONE_RE))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email/phone matches with a redaction token — the standard
+    pre-training scrub, as pure JVM regexp_replace (no UDF)."""
+    t = F.regexp_replace(_c(text), EMAIL_RE, PII_TOKEN)
+    return F.regexp_replace(t, PHONE_RE, PII_TOKEN)
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """1 - distinct_words/words — the boilerplate/spam signal used by
+    quality filters (high ratio = heavily repeated content)."""
+    ws = words(text)
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(ws)).cast("double"), F.size(ws)
+    )
+
+
 def fingerprint(text: Column | str, n: int = 3) -> Column:
     """Document fingerprint: min portable-hash over word shingles
     (1-permutation MinHash — a rolling-hash content signature)."""
@@ -222,6 +253,24 @@ def sql_lang_guess(expr: str) -> str:
             f"THEN '{lang}' ELSE {out} END)"
         )
     return out
+
+
+def sql_email_count(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{EMAIL_RE}'))"
+
+
+def sql_phone_count(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{PHONE_RE}'))"
+
+
+def sql_redact_pii(expr: str) -> str:
+    inner = f"regexp_replace({expr}, '{EMAIL_RE}', '{PII_TOKEN}', 'g')"
+    return f"regexp_replace({inner}, '{PHONE_RE}', '{PII_TOKEN}', 'g')"
+
+
+def sql_repetition_ratio(expr: str) -> str:
+    w = sql_words(expr)
+    return f"(1.0 - len(list_distinct({w}))::DOUBLE / len({w}))"
 
 
 def sql_fingerprint(expr: str, n: int = 3) -> str:

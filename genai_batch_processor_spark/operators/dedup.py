@@ -394,6 +394,43 @@ def dedup_survivors(
     )
 
 
+# -- benchmark decontamination -----------------------------------------------
+
+CONTAMINATION_N = 5
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = CONTAMINATION_N,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of DISTINCT
+    word-n-gram hashes it shares with a benchmark/eval set — docs with
+    hits get filtered before training.
+
+    Scale shape: the benchmark shingle set is distinct-aggregated and
+    BROADCAST (eval sets are tiny next to a 100 TB corpus), so the
+    corpus side is one scan + explode + broadcast-hash-join; the only
+    shuffle is the final per-doc count, keyed on the doc id."""
+    bench = (
+        benchmark.select(
+            F.explode(shingle_hashes(text_col, n)).alias("h")
+        ).distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes(text_col, n)).alias("h"),
+    )
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy("__id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

@@ -1,0 +1,146 @@
+"""Deterministic sampling & split operators for training-data curation.
+
+A 100 TB corpus is never trained on whole: pipelines mix sources at
+tuned rates (stratified sampling), carve held-out splits, and cap
+per-source volume (quota sampling). The reference has no sampling
+surface; these are mandated training-data-pipeline extensions
+(SURVEY.md §2.D family), designed Spark-first:
+
+- every sample is a PURE FUNCTION of the row key via the portable md5
+  hash (functions/hashing.py) — no RNG state, no seed plumbing, no
+  sampleBy approximation. Re-running the job reproduces the sample
+  bit-for-bit on any engine (the DuckDB twins prove it), and adding
+  executors cannot change membership — the property `df.sample()`
+  cannot give you.
+- rate/split sampling is a stateless per-row filter: no shuffle, scales
+  embarrassingly, composes with partition pruning (the filter sits
+  right above the scan).
+- quota sampling is a per-stratum top-k: one shuffle on the stratum
+  key; rank by hash so the retained set is an unbiased fixed-size
+  subsample, not head-of-file bias. Strata counts are bounded by the
+  quota, so skew is structurally capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import hashing
+
+# hash-coordinate resolution: u = h32(key) mod 10^6 gives ~1e-6 rate
+# granularity while keeping all arithmetic exact int64
+COORD_MOD = 1_000_000
+
+SPLIT_NAMES = ("train", "val", "test")
+DEFAULT_SPLIT_PCTS = (80, 10, 10)
+
+
+def hash_coord(key: Column | str, salt: str = "") -> Column:
+    """Uniform sampling coordinate in [0, COORD_MOD) from the row key.
+    ``salt`` decorrelates independent sampling decisions over the same
+    key (sample vs split must not align)."""
+    c = F.col(key) if isinstance(key, str) else key
+    salted = F.concat(F.lit(salt), c.cast("string"))
+    return hashing.portable_hash32(salted) % COORD_MOD
+
+
+def sql_hash_coord(expr: str, salt: str = "") -> str:
+    salted = f"('{salt}' || CAST({expr} AS VARCHAR))"
+    return f"({hashing.sql_hash32(salted)} % {COORD_MOD})"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic uniform sample: keep rows whose hash coordinate
+    falls below ``fraction``. Stateless filter — zero shuffle."""
+    return df.filter(hash_coord(key_col, salt) < int(fraction * COORD_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum rates (source/language mixing weights): the rate is a
+    CASE over the stratum, the keep decision still a pure row-local
+    filter. Strata with no configured rate keep ``default_rate``."""
+    threshold: Column = F.lit(int(default_rate * COORD_MOD))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * COORD_MOD))
+        ).otherwise(threshold)
+    return df.filter(hash_coord(key_col, salt) < threshold)
+
+
+def sql_stratified_threshold(
+    strata_expr: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    out = str(int(default_rate * COORD_MOD))
+    for stratum, rate in sorted(rates.items()):
+        out = (
+            f"(CASE WHEN {strata_expr} = '{stratum}' "
+            f"THEN {int(rate * COORD_MOD)} ELSE {out} END)"
+        )
+    return out
+
+
+def assign_split(
+    key: Column | str,
+    pcts: tuple[int, ...] = DEFAULT_SPLIT_PCTS,
+    names: tuple[str, ...] = SPLIT_NAMES,
+    salt: str = "split",
+) -> Column:
+    """train/val/test label as a pure function of the row key — the
+    held-out set is stable across reruns, engines, and cluster sizes
+    (percentages over the 0-99 hash bucket)."""
+    assert sum(pcts) == 100 and len(pcts) == len(names)
+    bucket = hash_coord(key, salt) % 100
+    expr = F.lit(names[-1])
+    edge = 0
+    conds = []
+    for name, pct in zip(names[:-1], pcts[:-1]):
+        edge += pct
+        conds.append((edge, name))
+    for edge, name in reversed(conds):
+        expr = F.when(bucket < edge, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def sql_assign_split(
+    expr: str,
+    pcts: tuple[int, ...] = DEFAULT_SPLIT_PCTS,
+    names: tuple[str, ...] = SPLIT_NAMES,
+    salt: str = "split",
+) -> str:
+    bucket = f"({sql_hash_coord(expr, salt)} % 100)"
+    out = f"'{names[-1]}'"
+    edge = 0
+    conds = []
+    for name, pct in zip(names[:-1], pcts[:-1]):
+        edge += pct
+        conds.append((edge, name))
+    for edge, name in reversed(conds):
+        out = f"(CASE WHEN {bucket} < {edge} THEN '{name}' ELSE {out} END)"
+    return out
+
+
+def quota_sample(
+    df: DataFrame, key_col: str, strata_col: str, quota: int, salt: str = "quota"
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, chosen by hash rank (unbiased
+    fixed-size subsample, not head-of-file bias). One shuffle on the
+    stratum key; output per stratum is bounded by the quota so the
+    downstream relation cannot be skewed."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_coord(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__qrank", F.row_number().over(w))
+        .filter(F.col("__qrank") <= quota)
+        .drop("__qrank")
+    )

@@ -874,3 +874,69 @@ ORACLES["lang_vocab"] = """
     WHERE regexp_matches(term, '^[a-z]+$')
     GROUP BY lang
 """
+
+# -- training-data curation: sampling / splits / scrubbing / decontam --------
+
+from genai_batch_processor_spark.operators import sampling as _smp  # noqa: E402
+from genai_batch_processor_spark import queries as _q  # noqa: E402
+
+ORACLES["doc_sample"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_smp.sql_hash_coord('doc_id', 'sample')}
+          < {_smp.sql_stratified_threshold('lang', _q.SAMPLE_RATES, _q.SAMPLE_DEFAULT_RATE)}
+"""
+
+ORACLES["split_counts"] = f"""
+    SELECT {_smp.sql_assign_split('doc_id')} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+ORACLES["source_quota"] = f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_smp.sql_hash_coord('doc_id', 'quota')} ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= {_q.QUOTA_PER_SOURCE}
+"""
+
+ORACLES["pii_redaction"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-0142.'
+               ELSE text END AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+           {tx.sql_email_count('t2')} AS n_emails,
+           {tx.sql_phone_count('t2')} AS n_phones,
+           {sql_hash60(tx.sql_redact_pii('t2'))} AS redacted_fp
+    FROM t
+"""
+
+ORACLES["doc_repetition"] = f"""
+    SELECT doc_id,
+           round({tx.sql_repetition_ratio('text')}, 6) AS repetition
+    FROM documents
+"""
+
+ORACLES["decontaminate"] = f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({dedup.sql_shingle_hashes('text', dedup.CONTAMINATION_N)}) AS h
+      FROM documents WHERE doc_id < {_q.BENCHMARK_MAX_DOC_ID}
+    ), corp AS (
+      SELECT doc_id, unnest({dedup.sql_shingle_hashes('text', dedup.CONTAMINATION_N)}) AS h
+      FROM documents WHERE doc_id >= {_q.BENCHMARK_MAX_DOC_ID}
+    )
+    SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_hits
+    FROM corp c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+"""

@@ -19,6 +19,7 @@ from genai_batch_processor_spark.operators import (
     joinback,
     requests,
     responses,
+    sampling,
     similarity,
     temporal,
 )
@@ -1073,6 +1074,92 @@ def q_doc_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data curation: sampling / splits / scrubbing / decontam --------
+
+SAMPLE_RATES = {"en": 0.8, "de": 0.4}
+SAMPLE_DEFAULT_RATE = 0.2
+QUOTA_PER_SOURCE = 10
+BENCHMARK_MAX_DOC_ID = 20
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (source/language mixing): keep
+    rows whose md5 hash coordinate clears the per-lang rate — a pure
+    row-local filter (zero shuffle), reproducible bit-for-bit on any
+    engine and any cluster size (operators/sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang", "source")
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/val/test assignment as a pure function of the doc id
+    (hash-bucket percentages) — held-out membership survives reruns and
+    engine changes; per-(split, lang) counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", sampling.assign_split("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume cap: at most QUOTA_PER_SOURCE docs per source,
+    chosen by hash rank (unbiased subsample, not head-of-file bias).
+    One shuffle on source; output bounded by quota — skew-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.quota_sample(
+        docs, "doc_id", "source", QUOTA_PER_SOURCE
+    ).select("doc_id", "source")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails + phone patterns) as pure regexp_replace — the
+    standard pre-training redaction pass, no UDF. Synthetic PII is
+    injected deterministically (every 7th doc) so the op has real work;
+    the redacted text is fingerprinted for engine-exact comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0142."),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", injected.alias("t2"))
+    return t.select(
+        "doc_id",
+        tx.email_count("t2").alias("n_emails"),
+        tx.phone_count("t2").alias("n_phones"),
+        hashing.portable_hash60(tx.redact_pii("t2")).alias("redacted_fp"),
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (1 - distinct/total words):
+    boilerplate and spam score high and get filtered before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.repetition_ratio("text"), 6).alias("repetition"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with
+    the 'benchmark' slice (doc_id < 20 stands in for an eval set) are
+    flagged with their overlap count. Benchmark shingles broadcast;
+    corpus scanned once (operators/dedup.py:contamination_hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+    corpus = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    return dedup.contamination_hits(corpus, bench, "doc_id", "text")
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1130,4 +1217,10 @@ QUERIES: dict[str, callable] = {
     "above_avg_balance": q_above_avg_balance,
     "source_lang_pivot": q_source_lang_pivot,
     "doc_attr_map": q_doc_attr_map,
+    "doc_sample": q_doc_sample,
+    "split_counts": q_split_counts,
+    "source_quota": q_source_quota,
+    "pii_redaction": q_pii_redaction,
+    "doc_repetition": q_doc_repetition,
+    "decontaminate": q_decontaminate,
 }

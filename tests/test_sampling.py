@@ -1,0 +1,102 @@
+"""Sampling / split / curation operator tests: determinism, bounds, and
+the plan shapes the 100 TB design claims (zero-shuffle rate sampling)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark import queries
+from genai_batch_processor_spark.operators import dedup, sampling
+from genai_batch_processor_spark.sources.tables import load_table
+
+
+def test_hash_sample_deterministic_and_nested(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b  # rerun reproduces the sample exactly
+    wider = {
+        r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.6).collect()
+    }
+    assert a <= wider  # raising the rate only ADDS rows (nested samples)
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the requested rate
+
+
+def test_split_partition_is_total_and_disjoint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("split", sampling.assign_split("doc_id"))
+    counts = {r["split"]: r["n"] for r in
+              labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"] + counts["test"]  # ~80/10/10
+
+
+def test_split_independent_of_sample(spark, sf_dir):
+    """Salts decorrelate: the sampled subset must contain all three
+    splits (a shared hash would align the two decisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.hash_sample(docs, "doc_id", 0.3)
+    splits = {
+        r["split"]
+        for r in sampled.select(
+            sampling.assign_split("doc_id").alias("split")
+        ).distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}
+
+
+def test_quota_sample_bounds_every_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = sampling.quota_sample(docs, "doc_id", "source", 7)
+    per = capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 7 for r in per)
+    # sources with >= 7 docs hit the cap exactly
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in per}
+    for src, n in full.items():
+        assert got.get(src, 0) == min(n, 7)
+
+
+def test_rate_sampling_is_shuffle_free(spark, sf_dir):
+    """The 100 TB claim: stratified rate sampling is a pure row-local
+    filter — its plan must contain NO exchange at all."""
+    df = queries.QUERIES["doc_sample"](spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_contamination_flags_near_dups_of_benchmark(spark):
+    """Docs sharing 5-grams with the benchmark slice must be flagged;
+    a synthetic clone of a benchmark doc must score the highest."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    clone = bench.filter(F.col("doc_id") == 0).select(
+        F.lit(999_999).alias("doc_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text").unionAll(clone)
+    hits = {r.doc_id: r.n_hits for r in
+            dedup.contamination_hits(corpus, bench, "doc_id", "text").collect()}
+    assert 999_999 in hits
+    # the clone is FULLY contained: every one of its distinct 5-gram
+    # shingles is a hit
+    n_shingles = clone.select(
+        F.size(F.array_distinct(dedup.shingle_hashes("text", 5))).alias("n")
+    ).head()["n"]
+    assert hits[999_999] == n_shingles
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    df = queries.QUERIES["decontaminate"](spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
