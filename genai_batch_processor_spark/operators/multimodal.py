@@ -119,3 +119,49 @@ def fake_image_bytes(text: Column, n: int = 24) -> Column:
     """Deterministic stand-in for real image payloads in fixtures: the
     utf-8 bytes of a text prefix (parity-checkable via encode/to_base64)."""
     return F.encode(F.substring(text, 1, n), "utf-8")
+
+
+VIDEO_FRAMES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_fp", T.LongType()),
+    ]
+)
+
+MAX_FRAMES = 4
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Distributed frame sampling over binary video columns: one input
+    row fans out to N frame rows — the 1→many Arrow boundary a real
+    ``av``-based keyframe sampler uses (yield more rows than you read).
+
+    The stub derives a deterministic frame count (1..MAX_FRAMES) and a
+    per-frame 60-bit fingerprint from an md5 chain over the payload, so
+    the whole fan-out is REPLAYABLE in ANSI SQL — the oracle proves the
+    Spark plumbing (batch iteration, fan-out schema, scan partitioning,
+    no shuffle) delivers exactly the declared rows. Swap the md5 chain
+    for real frame decode + a feature net and nothing else changes.
+    """
+    id_name, data_name = id_col, data_col
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, idxs, fps = [], [], []
+        for pdf in batches:
+            for rid, b in zip(pdf[id_name], pdf[data_name]):
+                digest = hashlib.md5(b if b else b"\x00").hexdigest()
+                n_frames = 1 + int(digest[:2], 16) % MAX_FRAMES
+                for i in range(n_frames):
+                    sig = hashlib.md5(f"{digest}-{i}".encode()).hexdigest()
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    fps.append(int(sig[:15], 16))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_fp": fps}
+            )
+            ids, idxs, fps = [], [], []
+
+    return df.select(id_col, data_col).mapInPandas(sample, VIDEO_FRAMES)

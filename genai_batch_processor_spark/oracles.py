@@ -940,3 +940,49 @@ ORACLES["decontaminate"] = f"""
     FROM corp c JOIN bench b ON c.h = b.h
     GROUP BY c.doc_id
 """
+
+# Multimodal frame-sample fan-out: replay the stub's md5 chain in SQL.
+# generate_series(0, k) is INCLUSIVE, so k = h[0] % MAX_FRAMES yields
+# k+1 = 1..MAX_FRAMES frames — same count as the Python stub.
+from genai_batch_processor_spark.operators import multimodal as _mm  # noqa: E402
+
+ORACLES["video_frames"] = f"""
+    WITH t AS (
+      SELECT doc_id, md5(substr(text, 1, 24)) AS dig FROM documents
+    ), f AS (
+      SELECT doc_id, dig,
+             unnest(generate_series(
+               0, ('0x' || substr(dig, 1, 2))::INT % {_mm.MAX_FRAMES}
+             )) AS frame_idx
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           ('0x' || substr(md5(dig || '-' || CAST(frame_idx AS VARCHAR)), 1, 15))::BIGINT
+             AS frame_fp
+    FROM f
+"""
+
+# KMV distinct sketch: both engines replay the same md5 min-k, so even
+# the ESTIMATE matches exactly.
+from genai_batch_processor_spark.functions import sketches as _sk  # noqa: E402
+
+_TERMS_SQL = """
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+"""
+
+ORACLES["lang_distinct_sketch"] = f"""
+    WITH est AS (
+      {_sk.sql_kmv_distinct(
+          f"SELECT lang, term FROM ({_TERMS_SQL}) WHERE regexp_matches(term, '^[a-z]+$')",
+          "lang", "term")}
+    ), exact AS (
+      SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+      FROM ({_TERMS_SQL})
+      WHERE regexp_matches(term, '^[a-z]+$')
+      GROUP BY lang
+    )
+    SELECT e.lang, e.est_distinct, x.exact_distinct
+    FROM est e JOIN exact x ON e.lang = x.lang
+"""

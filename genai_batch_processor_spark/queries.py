@@ -1149,6 +1149,39 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary cardinality via the deterministic KMV
+    sketch (functions/sketches.py) next to the exact count — the
+    engine-portable answer to approx_count_distinct, oracle-checked to
+    the last bit because both engines replay the same md5 min-k."""
+    from genai_batch_processor_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    est = sketches.kmv_distinct(terms, "lang", "term")
+    exact = terms.groupBy("lang").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: each binary payload fans out to 1..4
+    frame rows through the Arrow-batched 1→many sampler
+    (operators/multimodal.py:sample_video_frames). The stub's md5 chain
+    is replayed exactly by the DuckDB oracle, so the fan-out count,
+    schema, and per-frame fingerprints are all verified."""
+    from genai_batch_processor_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", mm.fake_image_bytes(F.col("text")).alias("data")
+    )
+    return mm.sample_video_frames(media)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 5-gram with
     the 'benchmark' slice (doc_id < 20 stands in for an eval set) are
@@ -1223,4 +1256,6 @@ QUERIES: dict[str, callable] = {
     "pii_redaction": q_pii_redaction,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "video_frames": q_video_frames,
+    "lang_distinct_sketch": q_lang_distinct_sketch,
 }

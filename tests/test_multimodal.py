@@ -61,3 +61,21 @@ def test_decode_stub_partitioning_preserved(spark, sf_dir):
 def test_real_codec_boundary_is_marked():
     with pytest.raises(NotImplementedError):
         mm.require_real_codecs()
+
+
+def test_frame_sampler_fan_out_bounds_and_determinism(spark, sf_dir):
+    """1→many Arrow fan-out: every doc yields 1..MAX_FRAMES frames with
+    dense 0-based indices, deterministically."""
+    df = _docs_with_bytes(spark, sf_dir)
+    frames = mm.sample_video_frames(df)
+    assert frames.schema == mm.VIDEO_FRAMES
+    rows = frames.collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert len(per_doc) == df.count()  # every doc produced frames
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
+        assert 1 <= len(idxs) <= mm.MAX_FRAMES
+    again = {(r.doc_id, r.frame_idx): r.frame_fp for r in frames.collect()}
+    assert again == {(r.doc_id, r.frame_idx): r.frame_fp for r in rows}
