@@ -986,3 +986,50 @@ ORACLES["lang_distinct_sketch"] = f"""
     SELECT e.lang, e.est_distinct, x.exact_distinct
     FROM est e JOIN exact x ON e.lang = x.lang
 """
+
+# The mapInPandas runner must produce EXACTLY what the column-expr mock
+# produces — same oracle, so the distributed-inference plumbing is held
+# to the same bit-level contract.
+ORACLES["runner_responses"] = ORACLES["mock_responses"]
+
+ORACLES["events_rolling"] = """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM (
+      SELECT event_id, user_id, value,
+             (epoch_ns(ts) // 1000000000) AS sec
+      FROM events
+    )
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY sec
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+"""
+
+ORACLES["balance_quartiles"] = """
+    WITH q AS (
+      SELECT n.n_name AS nation, c.c_acctbal,
+             ntile(4) OVER (
+               PARTITION BY n.n_name
+               ORDER BY c.c_acctbal ASC, c.c_custkey ASC
+             ) AS quartile
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation, CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM q
+    GROUP BY nation, quartile
+"""
+
+# Streaming dedup twin: the doubled stream must collapse back to the
+# plain batch aggregation.
+ORACLES["events_dedup_stream"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+"""

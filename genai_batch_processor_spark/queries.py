@@ -1149,6 +1149,161 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_runner_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed live-inference path (mapInPandas runner,
+    inference/runner.py) made oracle-checkable: per-partition client,
+    micro-batches, retry machinery — and the output must STILL equal the
+    pure-column mock, so it shares mock_responses' oracle.
+
+    The client class is defined inside this function ON PURPOSE:
+    cloudpickle then ships it by value, so Python workers that cannot
+    import this repo (a caller's vanilla session) still run it. The
+    algorithm is the documented mock determinism rule (inference/mock.py
+    FIXTURES.md contract) with its constants captured as literals."""
+    from genai_batch_processor_spark.inference import runner
+
+    docs = _documents_with_ids(spark, sf_dir)
+    docs = docs.withColumn(
+        "prompt", requests.classification_prompt("text", LABELS)
+    ).withColumn("custom_id", ids.custom_id("idx"))
+
+    labels = tuple(LABELS)
+    modulus, residue = mock.ERROR_MODULUS, mock.ERROR_RESIDUE
+    err_msg = mock.ERROR_MESSAGE
+
+    def factory():
+        import hashlib
+
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+        class _Client:
+            def complete_batch(self, rows):
+                out = []
+                for cid, prompt in rows:
+                    if h32(cid) % modulus == residue:
+                        out.append(
+                            {
+                                "custom_id": cid,
+                                "error": {"message": err_msg},
+                                "response": None,
+                            }
+                        )
+                        continue
+                    label = labels[h32(prompt) % len(labels)]
+                    out.append(
+                        {
+                            "custom_id": cid,
+                            "error": None,
+                            "response": {
+                                "status_code": 200,
+                                "body": {
+                                    "choices": [
+                                        {
+                                            "message": {
+                                                "content": '{"answer": "%s"}'
+                                                % label,
+                                                "refusal": None,
+                                            }
+                                        }
+                                    ]
+                                },
+                            },
+                        }
+                    )
+                return out
+
+        return _Client()
+
+    out = runner.run_inference(docs, factory, micro_batch_size=64)
+    return out.select(
+        F.col("resp.custom_id").alias("custom_id"),
+        responses.status_branch(F.col("resp")).alias("status"),
+        responses.extract_content(F.col("resp")).alias("content"),
+    )
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregate via a RANGE window frame on
+    event-time seconds — the sliding-window analytics shape (alerting,
+    rate features). Decimal-exact sum so the frame total is
+    order-independent; peers at the same second are included on both
+    engines by RANGE semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of customer balance WITHIN each nation
+    (deterministic: unique order by balance, custkey), rolled up to
+    per-(nation, quartile) counts and boundary balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy(F.col("n_name").alias("nation"), "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup: two streams over the same events file are
+    unioned (every event arrives twice), then watermark-bounded
+    dropDuplicates recovers the distinct set — drained with availableNow
+    into an append-mode memory sink and aggregated per type. Oracle =
+    the plain batch aggregation: the stream must erase the duplication
+    exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"events_dedup_stream_{uuid.uuid4().hex[:8]}"
+    s1 = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    s2 = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    deduped = sw.dedup_events_stream(s1.unionAll(s2)).select(
+        "event_id", "event_type", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        sw.run_to_memory(deduped, name, "append", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def q_lang_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary cardinality via the deterministic KMV
     sketch (functions/sketches.py) next to the exact count — the
@@ -1258,4 +1413,8 @@ QUERIES: dict[str, callable] = {
     "decontaminate": q_decontaminate,
     "video_frames": q_video_frames,
     "lang_distinct_sketch": q_lang_distinct_sketch,
+    "runner_responses": q_runner_responses,
+    "events_rolling": q_events_rolling,
+    "balance_quartiles": q_balance_quartiles,
+    "events_dedup_stream": q_events_dedup_stream,
 }

@@ -150,6 +150,19 @@ def user_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated event ids with watermark-
+    bounded state — the streaming twin of the batch exact-dedup operator.
+    The event-time column rides in the dedup key so state for events
+    older than the watermark is EVICTED (without it the key set grows
+    forever on a 24/7 stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,
