@@ -1033,3 +1033,120 @@ ORACLES["events_dedup_stream"] = """
     FROM events
     GROUP BY event_type
 """
+
+# Deep relational shapes — identical SQL text to the Spark-side
+# spark.sql entry points (modulo view names), so DuckDB plans the same
+# correlated/EXISTS semantics independently.
+
+ORACLES["min_cost_supplier"] = """
+    SELECT DISTINCT p.p_partkey, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+"""
+
+ORACLES["small_qty_revenue"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+        SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                           AS DOUBLE) / count(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+"""
+
+ORACLES["lone_return_suppliers"] = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_lone_returns
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+"""
+
+ORACLES["price_moments"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_discount AS DECIMAL(9,6)))
+                  AS DOUBLE) AS sy,
+             -- DuckDB does not auto-widen decimal products; the wider
+             -- casts keep each product inside int128 (width <= 38) while
+             -- the values stay exactly what the Spark side sums.
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(29,4))
+                      * CAST(l_discount AS DECIMAL(9,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_discount AS DECIMAL(19,6))
+                      * CAST(l_discount AS DECIMAL(19,6)))
+                  AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_price_discount,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_price
+    FROM m
+"""
+
+ORACLES["embedding_centroids"] = """
+    WITH pe AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0) AS avg_val
+    FROM pe
+    GROUP BY label, dim
+"""
+
+ORACLES["quality_unpivot"] = f"""
+    WITH w AS (
+      SELECT source,
+             CAST(count(*) AS DOUBLE) AS m_docs,
+             CAST(sum({tx.sql_token_count('text')}) AS DOUBLE)
+               / count(*) AS m_tokens,
+             CAST(sum(CAST(round({tx.sql_quality_score('text')} * 1000000,
+                                 0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m_quality
+      FROM documents
+      GROUP BY source
+    )
+    SELECT source, 'n_docs' AS metric, m_docs AS value FROM w
+    UNION ALL
+    SELECT source, 'avg_tokens' AS metric, m_tokens AS value FROM w
+    UNION ALL
+    SELECT source, 'avg_quality' AS metric, m_quality AS value FROM w
+"""

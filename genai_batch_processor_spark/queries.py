@@ -1348,6 +1348,198 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_hits(corpus, bench, "doc_id", "text")
 
 
+# -- deep relational shapes (TPC-H Q2/Q17/Q21 flavors) -----------------------
+#
+# The reference has no engine-level joins or subqueries at all (SURVEY.md
+# §2.C "Joins — absent"); these queries pin down the decorrelation /
+# semi-anti-join surface a relational user of the engine needs, via the
+# SQL entry point so Catalyst's RewriteCorrelatedScalarSubquery +
+# RewritePredicateSubquery do the planning.
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier(s) selling it at
+    the global minimum price. The correlated min subquery decorrelates
+    into one aggregate over lineitem joined back on l_partkey — one scan
+    of the fact, no per-row re-execution; the p_size filter is pushed
+    into the part scan."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_v"
+    )
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey, s.s_name,
+               l.l_extendedprice AS min_price
+        FROM part_v p
+        JOIN lineitem_v l ON l.l_partkey = p.p_partkey
+        JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 5
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem_v l2
+            WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue locked in lines whose quantity is
+    below half the part's average. Correlated avg decorrelates into a
+    partial-aggregated groupBy(l_partkey) joined back to the fact; the
+    threshold runs through an exact decimal sum so it is
+    order-independent on both engines."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem_v l
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < (
+            SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                               AS DOUBLE) / count(*))
+            FROM lineitem_v l2
+            WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+def q_lone_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, returned lines in finalized
+    multi-supplier orders where no OTHER supplier had a return. The
+    EXISTS becomes a left-semi join and the NOT EXISTS a left-anti join
+    on l_orderkey — both shuffle-partitioned on the same key as the
+    l1⋈orders join, so AQE can reuse the exchange."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_v"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_lone_returns
+        FROM supplier_v s
+        JOIN lineitem_v l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders_v o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        """
+    )
+
+
+def q_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev) computed from
+    exact decimal moment sums, then finished in double — the
+    order-of-summation nondeterminism of a naive corr() over doubles
+    never appears, so the result is bit-stable on any partitioning and
+    engine. One scan, partial-aggregable (all five moments are plain
+    sums)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_discount AS DECIMAL(9,6)))
+                      AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(9,6)))
+                      AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_discount AS DECIMAL(9,6))
+                          * CAST(l_discount AS DECIMAL(9,6)))
+                      AS DOUBLE) AS syy
+          FROM lineitem_v
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag AS returnflag,
+               CAST(n AS BIGINT) AS n_lines,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 AS corr_price_discount,
+               (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+               sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_price
+        FROM m
+        """
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column: posexplode to
+    (label, dim, val) and average each coordinate. Means go through
+    scaled-integer sums (order-independent, engine-exact); the explode
+    fans 64× but feeds straight into a partial aggregate, so the shuffle
+    carries only label×dim partial sums — at 100 TB this is the same
+    map-side-combine shape as a word count, not a 64× shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    v6 = F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long")
+    return (
+        pe.select("label", "dim", v6.alias("v6"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum("v6").cast("double")
+                / (F.count("*") * F.lit(1_000_000.0))
+            ).alias("avg_val"),
+        )
+    )
+
+
+def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of source_lang_pivot): per-source
+    quality aggregates unpivoted to (source, metric, value) rows via
+    stack() — a generate, not a shuffle; the aggregate underneath is the
+    only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.token_count("text")
+    q6 = F.round(tx.quality_score("text") * 1_000_000, 0).cast("long")
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("m_docs"),
+        (F.sum(tok).cast("double") / F.count("*")).alias("m_tokens"),
+        (
+            F.sum(q6).cast("double")
+            / (F.count("*") * F.lit(1_000_000.0))
+        ).alias("m_quality"),
+    )
+    return wide.select(
+        "source",
+        F.expr(
+            "stack(3, 'n_docs', m_docs, 'avg_tokens', m_tokens,"
+            " 'avg_quality', m_quality) AS (metric, value)"
+        ),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1417,4 +1609,10 @@ QUERIES: dict[str, callable] = {
     "events_rolling": q_events_rolling,
     "balance_quartiles": q_balance_quartiles,
     "events_dedup_stream": q_events_dedup_stream,
+    "min_cost_supplier": q_min_cost_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "lone_return_suppliers": q_lone_return_suppliers,
+    "price_moments": q_price_moments,
+    "embedding_centroids": q_embedding_centroids,
+    "quality_unpivot": q_quality_unpivot,
 }

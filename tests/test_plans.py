@@ -42,6 +42,8 @@ JVM_ONLY = [
     "simhash",
     "events_hourly",
     "pricing_summary",
+    "price_moments",
+    "quality_unpivot",
 ]
 
 
@@ -145,3 +147,31 @@ def test_banding_does_not_recompute_signatures(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         for m in re.finditer(r"\(\d+\) Filter[^(]*\nInput[^\n]*\nCondition : ([^\n]*)", plan):
             assert "md5" not in m.group(1), f"{name}: filter recomputes hashing"
+
+
+def test_correlated_min_decorrelates(spark, sf_dir):
+    """Q2 shape: the correlated min subquery must plan as ONE aggregate
+    over lineitem joined back — no per-row subquery re-execution, no
+    cartesian product."""
+    plan = _plan(spark, "min_cost_supplier", sf_dir)
+    assert "Subquery" not in plan, "correlated subquery not decorrelated"
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_plans_as_semi_anti(spark, sf_dir):
+    """Q21 shape: EXISTS → left-semi, NOT EXISTS → left-anti; never a
+    materialized distinct + inner join."""
+    plan = _plan(spark, "lone_return_suppliers", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_partial_agg_after_explode(spark, sf_dir):
+    """posexplode fans 64× but the shuffle must carry only partial sums
+    per (label, dim): partial+final HashAggregate pair, JVM-side."""
+    plan = _plan(spark, "embedding_centroids", sf_dir)
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
