@@ -1150,3 +1150,63 @@ ORACLES["quality_unpivot"] = f"""
     UNION ALL
     SELECT source, 'avg_quality' AS metric, m_quality AS value FROM w
 """
+
+# Streaming sessionization twin: micros-precision islands with the
+# session_window merge rule — consecutive events belong to ONE session
+# iff their gap is strictly under 30 minutes (new session at >= gap),
+# matching Spark's session_window(ts, gap) semantics exactly.
+ORACLES["user_sessions_stream"] = """
+    WITH gapped AS (
+      SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS us,
+             (epoch_ns(ts) // 1000) - lag(epoch_ns(ts) // 1000) OVER w
+               AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END
+               AS new_sess
+      FROM gapped
+    ), sessioned AS (
+      SELECT user_id,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS sess_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sess_id, count(*) AS n_events
+      FROM sessioned GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_sess
+    GROUP BY user_id
+"""
+
+# Skew-mitigation twins: the oracles are the UNSALTED queries — salting
+# must be invisible in the results.
+ORACLES["salted_event_totals"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+ORACLES["salted_nation_balance"] = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+# Iterative k-means: the oracle unrolls the same Lloyd iterations as
+# CTEs from the same constants — generated by the operator module so the
+# two sides cannot drift.
+from genai_batch_processor_spark.operators import clustering as _clu
+
+ORACLES["kmeans_cells"] = _clu.sql_kmeans_cells()

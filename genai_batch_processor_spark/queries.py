@@ -1268,6 +1268,37 @@ def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization: event-time session_window (30 min gap)
+    per user, drained with availableNow in complete mode, then rolled up
+    to the same per-user shape as the batch islands query
+    (user_sessions). Oracle = micros-precision islands SQL with the
+    session_window merge rule (new session iff gap >= 30 min) — the
+    streaming operator must reproduce batch sessionization exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"user_sessions_stream_{uuid.uuid4().hex[:8]}"
+    stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    sess = sw.session_aggs(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        sw.run_to_memory(sess, name, "complete", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup: two streams over the same events file are
     unioned (every event arrives twice), then watermark-bounded
@@ -1540,6 +1571,56 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: events has ~5 event_type values over the
+    whole table — the textbook hot-key shape. The salted two-phase
+    aggregate (operators/skew.py) spreads each type over 16 reducers
+    before merging; the oracle is the PLAIN group-by, proving the salt
+    is invisible in the result."""
+    from genai_batch_processor_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_sum_count(
+        ev, ["event_type"], "value", entropy_col="event_id"
+    )
+
+
+def q_salted_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join: customer⋈nation with the small side replicated
+    16× and broadcast, the big side salted on c_custkey — each of the 25
+    hot n_nationkey values spreads over 16 tasks instead of one. The
+    oracle is the plain join + group-by: salting must not change row
+    multiplicity."""
+    from genai_batch_processor_spark.operators import skew
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = skew.salted_join(cust, nat, "c_nationkey", "c_custkey")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE algorithm: 2 Lloyd iterations of k-means over the
+    embedding corpus (operators/clustering.py) — the trainer for the
+    IVF cell table that embedding_topk_ivf stubs with literals.
+    Assignment is shuffle-free (literal centroids + struct-min argmin);
+    each update is one partial-aggregated (cell, dim) shuffle; driver
+    state is bounded at k×dim doubles. The DuckDB twin replays both
+    iterations exactly (scaled-integer centroid means), so the final
+    centroid table is engine-identical to the last bit."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_cells(emb)
+
+
 QUERIES: dict[str, callable] = {
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
@@ -1615,4 +1696,8 @@ QUERIES: dict[str, callable] = {
     "price_moments": q_price_moments,
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
+    "user_sessions_stream": q_user_sessions_stream,
+    "salted_event_totals": q_salted_event_totals,
+    "salted_nation_balance": q_salted_nation_balance,
+    "kmeans_cells": q_kmeans_cells,
 }

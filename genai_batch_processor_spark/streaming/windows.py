@@ -150,6 +150,30 @@ def user_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_aggs(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time SESSION windows per user (``session_window``): the
+    streaming twin of the batch islands sessionization
+    (queries.q_user_sessions). Sessions merge while consecutive events
+    are strictly less than ``gap`` apart; state for sessions older than
+    the watermark is evicted on a 24/7 stream.
+
+    Output-mode note: Spark supports only append/complete for session
+    windows. Append emits a session only once the watermark passes its
+    end — correct for a live pipeline, but an availableNow backfill
+    would hold back every session in the final watermark's window.
+    Drain with COMPLETE mode for batch-equivalent results."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
