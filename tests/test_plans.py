@@ -175,3 +175,80 @@ def test_centroids_partial_agg_after_explode(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """orders⋈lineitem written bucketed+sorted by orderkey: the join
+    must run with ZERO Exchange and ZERO Sort — the write-time shuffle
+    is amortized over every future join. The same join over the plain
+    parquet MUST show exchanges (proves bucketing, not AQE, removed
+    them)."""
+    from genai_batch_processor_spark.sources.bucketing import (
+        drop_table,
+        write_bucketed,
+    )
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark 3+ ignores bucket sort order unless this is on (and each
+    # bucket is one file — write_bucketed guarantees that).
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        write_bucketed(
+            orders, "orders_b", "o_orderkey", 8, str(tmp_path / "ob")
+        )
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b", "o_orderkey", 8, str(tmp_path / "lb"),
+        )
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"), "o_orderkey"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "(1) Sort" not in plan and ") Sort\n" not in plan, (
+            "bucketed+sorted join still sorts"
+        )
+
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        plain_plan = spark._jvm.PythonSQLUtils.explainString(
+            plain._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" in plain_plan, "control join should shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        )
+        drop_table(spark, "orders_b")
+        drop_table(spark, "lineitem_b")
+
+
+def test_salted_agg_spreads_hot_keys(spark, sf_dir):
+    """The salted aggregate must shuffle twice (once on (key, salt),
+    once on key) with map-side partial aggregation, and never funnel
+    through one partition before the final merge."""
+    plan = _plan(spark, "salted_event_totals", sf_dir)
+    assert plan.count("HashAggregate") >= 3
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_salted_join_broadcasts_replicated_small_side(spark, sf_dir):
+    """The salted join must broadcast the exploded small side (a
+    Generate feeding a BroadcastExchange) — never shuffle the big
+    side."""
+    plan = _plan(spark, "salted_nation_balance", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
