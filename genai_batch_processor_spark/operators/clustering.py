@@ -1,0 +1,194 @@
+"""K-means (Lloyd) training over ``array<float>`` embedding columns.
+
+The reference has no iterative algorithms at all (its only loop is the
+status poll, ``openai_batch_processor.py:184-203``); this supplies the
+training step that ``operators/similarity.py:topk_ivf`` stubs with
+deterministic literal centroids — at 100 TB the IVF cells should come
+from a few Lloyd iterations over a sample, and this operator IS that
+trainer, designed Spark-first:
+
+- **Assignment is shuffle-free.** Centroids are embedded as literal
+  arrays; each row scores all k centroids with JVM ``zip_with`` dot
+  products and picks the argmin via ``array_min`` over (score, cell)
+  structs — lexicographic struct ordering gives the deterministic
+  tie-break (lowest cell id). No explode, no join, no exchange.
+- **The update is one partial-aggregated shuffle** of (cell, dim)
+  scaled-integer sums — the same map-side-combine shape as a word
+  count, carrying k × dim longs per task, not vectors.
+- **Driver state is bounded at k × dim doubles per iteration** (the
+  collected centroid table — the same driver-side footprint Spark
+  MLlib's own KMeans accepts). Nothing else collects.
+- **Engine-exact math.** Scores use squared-Euclidean EXPANDED as
+  |c|² − 2·x·c (the |x|² term cannot change a row's argmin, so it is
+  dropped); dot products fold positionally in double on both engines
+  (proven bit-equal by the similarity queries); centroid means go
+  through scaled-integer sums, so every iteration's centroids — and
+  therefore every assignment — replay identically in the DuckDB twin
+  (``sql_kmeans_cells``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import vectors as vec
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_SCALE = 1_000_000
+
+
+def _score_to(vec_col: str, centroid: list[float]) -> Column:
+    """|c|² − 2·x·c: rank-equivalent to squared Euclidean distance."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    cc = vec.dot(lit_c, lit_c)  # constant-folded at plan time
+    return cc - F.lit(2.0) * vec.dot(vec_col, lit_c)
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the argmin ``cell`` column — deterministic ties (lowest
+    cell id) via lexicographic struct min; zero shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                _score_to(vec_col, c).alias("score"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(scored)["cell"])
+
+
+def _updated_centroids(
+    emb: DataFrame, vec_col: str
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """One Lloyd update: per-(cell, dim) scaled-integer sums → exact
+    means. Returns the new centroid list plus the aggregate relation."""
+    pe = emb.select(
+        "cell", F.posexplode(vec_col).alias("dim", "val")
+    )
+    v6 = F.round(F.col("val").cast("double") * _SCALE, 0).cast("long")
+    sums = pe.select("cell", "dim", v6.alias("v6")).groupBy(
+        "cell", "dim"
+    ).agg(
+        F.sum("v6").alias("s6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    by_cell: dict[int, list[tuple[int, int, int]]] = {}
+    for row in sums.collect():  # bounded: k × dim rows
+        by_cell.setdefault(row["cell"], []).append(
+            (row["dim"], row["s6"], row["n"])
+        )
+    centroids = [
+        (
+            cell,
+            [
+                s6 / (n * float(_SCALE))
+                for _, s6, n in sorted(dims)
+            ],
+        )
+        for cell, dims in sorted(by_cell.items())
+    ]
+    return centroids, sums
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations (init: the vectors with
+    ``id_col`` < k) and return the final per-(cell, dim) relation:
+    cell, dim, n_vecs, c_val — i.e. the trained centroid table in the
+    long form the IVF index would load."""
+    init_rows = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in sorted(init_rows, key=lambda r: r[id_col])
+    ]
+    sums = None
+    for _ in range(iters):
+        assigned = assign_cells(emb, centroids, vec_col)
+        centroids, sums = _updated_centroids(assigned, vec_col)
+    return sums.select(
+        "cell",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        (
+            F.col("s6").cast("double")
+            / (F.col("n") * F.lit(float(_SCALE)))
+        ).alias("c_val"),
+    )
+
+
+def sql_kmeans_cells(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin: the same iterations unrolled as CTEs. Assignment
+    uses a row_number argmin ordered by (score, cell) — semantically
+    identical to the struct-min tie-break."""
+    parts = [
+        f"""c0 AS (
+          SELECT CAST(vec_id AS INT) AS cell,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+          FROM embeddings WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""s{it} AS (
+          SELECT e.vec_id, p.cell,
+                 list_dot_product(p.c, p.c)
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], p.c)
+                   AS score
+          FROM embeddings e CROSS JOIN {prev} p)"""
+        )
+        parts.append(
+            f"""a{it} AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score, cell) AS rn
+            FROM s{it})
+          WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""x{it} AS (
+          SELECT a.cell,
+                 generate_subscripts(e.embedding, 1) - 1 AS dim,
+                 unnest(e.embedding) AS val
+          FROM embeddings e JOIN a{it} a USING (vec_id))"""
+        )
+        parts.append(
+            f"""m{it} AS (
+          SELECT cell, dim,
+                 sum(CAST(round(CAST(val AS DOUBLE) * {_SCALE}, 0)
+                          AS BIGINT)) AS s6,
+                 count(*) AS n
+          FROM x{it} GROUP BY cell, dim)"""
+        )
+        parts.append(
+            f"""c{it} AS (
+          SELECT cell,
+                 list(CAST(s6 AS DOUBLE) / (n * {_SCALE}.0)
+                      ORDER BY dim) AS c
+          FROM m{it} GROUP BY cell)"""
+        )
+        prev = f"c{it}"
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT cell, CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+           CAST(s6 AS DOUBLE) / (n * {_SCALE}.0) AS c_val
+    FROM m{iters}
+    """
