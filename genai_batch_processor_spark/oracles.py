@@ -1210,3 +1210,20 @@ ORACLES["salted_nation_balance"] = """
 from genai_batch_processor_spark.operators import clustering as _clu
 
 ORACLES["kmeans_cells"] = _clu.sql_kmeans_cells()
+
+# Stream-stream interval join twin: plain batch self-join in micros
+# (both engines compare micros-truncated event times).
+ORACLES["click_purchase_stream"] = """
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           (epoch_ns(b.ts) // 1000) - (epoch_ns(a.ts) // 1000) AS lag_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click'
+     AND b.event_type = 'purchase'
+     AND (epoch_ns(b.ts) // 1000) > (epoch_ns(a.ts) // 1000)
+     AND (epoch_ns(b.ts) // 1000)
+         <= (epoch_ns(a.ts) // 1000) + 3600000000
+"""

@@ -1606,6 +1606,35 @@ def q_salted_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases attributed to the same
+    user's clicks within 1 hour (streaming/windows.py:
+    click_purchase_join) — watermarks on both sides + the event-time
+    range condition bound the buffered state on a live run; the
+    availableNow drain must emit exactly the batch join, which is what
+    the micros-precision oracle checks."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"click_purchase_stream_{uuid.uuid4().hex[:8]}"
+    clicks = sw.stream_events(
+        spark, sf_dir, glob_filter="events.parquet"
+    ).filter(F.col("event_type") == "click")
+    purchases = sw.stream_events(
+        spark, sf_dir, glob_filter="events.parquet"
+    ).filter(F.col("event_type") == "purchase")
+    joined = sw.click_purchase_join(clicks, purchases)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        sw.run_to_memory(joined, name, "append", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERATIVE algorithm: 2 Lloyd iterations of k-means over the
     embedding corpus (operators/clustering.py) — the trainer for the
@@ -1700,4 +1729,5 @@ QUERIES: dict[str, callable] = {
     "salted_event_totals": q_salted_event_totals,
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
+    "click_purchase_stream": q_click_purchase_stream,
 }

@@ -187,6 +187,47 @@ def dedup_events_stream(
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: purchases attributed to a prior click
+    by the same user within ``horizon``. Both sides are watermarked and
+    the join carries an event-time range condition, so Spark bounds the
+    buffered state on a 24/7 run (a click older than watermark+horizon
+    can never match and is evicted). On an availableNow drain of bounded
+    input every match is emitted — batch-equivalent, which is what the
+    oracle checks."""
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] > c["click_ts"])
+        & (
+            p["purchase_ts"]
+            <= c["click_ts"] + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,

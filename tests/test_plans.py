@@ -252,3 +252,28 @@ def test_salted_join_broadcasts_replicated_small_side(spark, sf_dir):
     plan = _plan(spark, "salted_nation_balance", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan
+
+
+def test_partitioned_sink_prunes_at_read(spark, sf_dir, tmp_path):
+    """A lang-partitioned parquet sink must let a lang predicate prune
+    at the DIRECTORY level: the filter shows up as a PartitionFilter
+    (zero data files from other langs opened), not a post-scan
+    Filter."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(out)
+
+    rd = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        rd._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*=[^\]]*en", plan), (
+        "lang predicate did not become a partition filter"
+    )
+    n_langs = docs.select("lang").distinct().count()
+    assert rd.count() == docs.filter(F.col("lang") == "en").count()
+    assert n_langs > 1  # pruning actually skipped other directories
