@@ -1227,3 +1227,45 @@ ORACLES["click_purchase_stream"] = """
      AND (epoch_ns(b.ts) // 1000)
          <= (epoch_ns(a.ts) // 1000) + 3600000000
 """
+
+ORACLES["nation_trade"] = """
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE (n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+       OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1')
+    GROUP BY n2.n_name, n1.n_name, year(l.l_shipdate)
+"""
+
+ORACLES["market_share"] = """
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4))
+                                 - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST(0 AS DECIMAL(19,8)) END)
+                AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY year(o.o_orderdate)
+"""

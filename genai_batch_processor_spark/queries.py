@@ -1606,6 +1606,71 @@ def q_salted_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral revenue flow between two nations by
+    ship year — the six-table join with TWO aliases of the nation dim
+    (supplier side and customer side). Both nation filters reach their
+    scans; all four dims broadcast; only the fact⋈orders join
+    shuffles."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        JOIN customer_v c ON o.o_custkey = c.c_custkey
+        JOIN nation_v n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+        JOIN nation_v n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE (n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+           OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1')
+        GROUP BY n2.n_name, n1.n_name, year(l.l_shipdate)
+        """
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue among EUROPE
+    customers by order year — conditional aggregation (decimal-exact
+    numerator and denominator in one pass) over the full star join,
+    finished with a single double division."""
+    for t in (
+        "lineitem", "orders", "customer", "supplier", "nation", "region"
+    ):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4)))
+                             ELSE CAST(0 AS DECIMAL(19,8)) END)
+                    AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l.l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS mkt_share,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        JOIN customer_v c ON o.o_custkey = c.c_custkey
+        JOIN nation_v n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region_v r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+        JOIN nation_v n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY year(o.o_orderdate)
+        """
+    )
+
+
 def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join: purchases attributed to the same
     user's clicks within 1 hour (streaming/windows.py:
@@ -1730,4 +1795,6 @@ QUERIES: dict[str, callable] = {
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
     "click_purchase_stream": q_click_purchase_stream,
+    "nation_trade": q_nation_trade,
+    "market_share": q_market_share,
 }
