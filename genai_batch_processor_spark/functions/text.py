@@ -16,8 +16,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Explicit whitespace class: Java regex \s includes vertical tab
+# (\x0B) but RE2's \s does not — `\s` in a shared pattern silently
+# diverges between Spark and DuckDB on control characters (caught by
+# tests/test_fuzz_parity.py). Spell the class out so both engines see
+# identical semantics.
+WS_CLASS = r" \t\n\x0B\f\r"
+
 # BPE-ish token pattern: letter runs, digit runs, single punctuation.
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
+PUNCT_PATTERN = rf"[^A-Za-z0-9{WS_CLASS}]"
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deterministic and engine-portable; accuracy is secondary to parity.
@@ -91,7 +99,7 @@ def punct_ratio(text: Column | str) -> Column:
     corpora always contain some."""
     t = _c(text)
     return F.try_divide(
-        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double"),
+        F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double"),
         F.length(t),
     )
 
@@ -222,7 +230,7 @@ def sql_stopword_ratio(expr: str) -> str:
 
 def sql_punct_ratio(expr: str) -> str:
     return (
-        f"(len(regexp_extract_all({expr}, '[^A-Za-z0-9\\s]'))::DOUBLE"
+        f"(len(regexp_extract_all({expr}, '{PUNCT_PATTERN}'))::DOUBLE"
         f" / nullif(length({expr}), 0))"
     )
 

@@ -1,0 +1,113 @@
+"""Cross-engine fuzz: the Spark column exprs and their DuckDB SQL twins
+in functions/text.py and functions/hashing.py must agree on adversarial
+strings, not just on the friendly fixture corpus — empty strings,
+whitespace runs, unicode, emails/phones, pathological repetition.
+
+Deterministic generation (seeded) so failures reproduce; one Spark job
+and one DuckDB query over the whole batch (not per-example roundtrips).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import hashing, text as tx
+
+_MARKERS = [
+    "the", "and", "der", "und", "le", "la", "el", "los", "de",
+    "你好", "世界", "é", "ü", "ñ",
+]
+
+
+def _gen_strings(n: int = 300) -> list[str]:
+    rng = random.Random(20260813)
+    corpus: list[str] = [
+        "",
+        " ",
+        "   ",
+        "\n",
+        "\t",
+        "a",
+        "A" * 500,
+        "word " * 100,
+        "a@b.co reach me at c.d@e-f.org or (555) 123-4567",
+        "+1-555-000-1111 is my number; 555 867 5309 is not formatted",
+        "!!!???...,,,;;;:::",
+        "1234567890 0987654321",
+        "the the the the the the",
+        "der und der und der und",
+        "你好世界你好世界你好世界",
+        "mixed ASCII und 世界 avec é and ñ words",
+        "Question: what?\nAnswer: that.",
+        'quotes "double" and \'single\' and `backtick`',
+        "tab\tseparated\tfields",
+        "trailing space ",
+        " leading space",
+    ]
+    pools = [
+        string.ascii_lowercase + " ",
+        string.ascii_letters + string.digits + " .,!?",
+        string.printable,
+        "abc 你好 émü ",
+    ]
+    while len(corpus) < n:
+        pool = rng.choice(pools)
+        length = rng.randint(0, 120)
+        corpus.append("".join(rng.choice(pool) for _ in range(length)))
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def fuzz_data(spark):
+    strings = _gen_strings()
+    rows = list(enumerate(strings))
+    sdf = spark.createDataFrame(rows, "i LONG, text STRING")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "fuzz_pd", pd.DataFrame({"i": range(len(strings)), "text": strings})
+    )
+    con.execute("CREATE TABLE fuzz AS SELECT * FROM fuzz_pd")
+    yield sdf, con
+    con.close()
+
+
+_CASES = {
+    "word_count": (tx.word_count, tx.sql_word_count),
+    "token_count": (tx.token_count, tx.sql_token_count),
+    "stopword_ratio": (tx.stopword_ratio, tx.sql_stopword_ratio),
+    "punct_ratio": (tx.punct_ratio, tx.sql_punct_ratio),
+    "mean_word_length": (tx.mean_word_length, tx.sql_mean_word_length),
+    "quality_score": (tx.quality_score, tx.sql_quality_score),
+    "lang_guess": (tx.lang_guess, tx.sql_lang_guess),
+    "email_count": (tx.email_count, tx.sql_email_count),
+    "phone_count": (tx.phone_count, tx.sql_phone_count),
+    "redact_pii": (tx.redact_pii, tx.sql_redact_pii),
+    "repetition_ratio": (tx.repetition_ratio, tx.sql_repetition_ratio),
+    "fingerprint": (tx.fingerprint, tx.sql_fingerprint),
+    "hash60": (
+        lambda c: hashing.portable_hash60(F.col(c)),
+        lambda e: hashing.sql_hash60(e),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_text_twins_agree_on_adversarial_input(fuzz_data, name):
+    from tests.util import duck_rows, rows_of
+
+    sdf, con = fuzz_data
+    fn, sql_fn = _CASES[name]
+    spark_df = sdf.select("i", fn("text").alias("v"))
+    sql = f"SELECT i, {sql_fn('text')} AS v FROM fuzz"
+    s, d = rows_of(spark_df), duck_rows(con, sql)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
