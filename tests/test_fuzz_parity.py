@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import hashing, text as tx
+from genai_batch_processor_spark.functions import vectors as vec
 
 _MARKERS = [
     "the", "and", "der", "und", "le", "la", "el", "los", "de",
@@ -108,6 +109,88 @@ def test_text_twins_agree_on_adversarial_input(fuzz_data, name):
     fn, sql_fn = _CASES[name]
     spark_df = sdf.select("i", fn("text").alias("v"))
     sql = f"SELECT i, {sql_fn('text')} AS v FROM fuzz"
+    s, d = rows_of(spark_df), duck_rows(con, sql)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+# -- vector twins over degenerate embeddings ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def vec_data(spark):
+    rng = random.Random(20260814)
+    vecs: list[list[float]] = [
+        [],
+        [0.0],
+        [0.0] * 64,
+        [1.0],
+        [-1.0, 1.0],
+        [1e-30] * 8,
+        [1e30, -1e30, 1.0],
+        [0.1] * 3,  # shorter than the 8 sign bits
+    ]
+    while len(vecs) < 120:
+        dim = rng.choice([1, 2, 7, 8, 9, 64])
+        vecs.append(
+            [rng.uniform(-1, 1) for _ in range(dim)]
+        )
+    # dot/cosine contract: both vectors share the corpus dimension (a
+    # real embedding table has ONE dim) — pair each vector with a
+    # same-length partner: its reverse, itself, or a zero vector.
+    rng2 = random.Random(20260815)
+    rows = []
+    for i, a in enumerate(vecs):
+        partner = rng2.choice(
+            [list(reversed(a)), list(a), [0.0] * len(a)]
+        )
+        rows.append((i, a, partner))
+    sdf = spark.createDataFrame(
+        rows, "i LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "vec_pd",
+        pd.DataFrame(
+            {
+                "i": [r[0] for r in rows],
+                "a": [r[1] for r in rows],
+                "b": [r[2] for r in rows],
+            }
+        ),
+    )
+    con.execute("CREATE TABLE vecs AS SELECT * FROM vec_pd")
+    yield sdf, con
+    con.close()
+
+
+_VEC_CASES = {
+    "dot": (
+        lambda: vec.dot("a", "b"),
+        lambda: vec.sql_dot("a", "b"),
+    ),
+    "cosine": (
+        lambda: vec.cosine("a", "b"),
+        lambda: vec.sql_cosine("a", "b"),
+    ),
+    "sign_bits": (
+        lambda: vec.sign_bits_bucket("a"),
+        lambda: vec.sql_sign_bits_bucket("a"),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_VEC_CASES))
+def test_vector_twins_agree_on_degenerate_input(vec_data, name):
+    from tests.util import duck_rows, rows_of
+
+    sdf, con = vec_data
+    fn, sql_fn = _VEC_CASES[name]
+    spark_df = sdf.select("i", fn().alias("v"))
+    sql = f"SELECT i, {sql_fn()} AS v FROM vecs"
     s, d = rows_of(spark_df), duck_rows(con, sql)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
