@@ -1269,3 +1269,6 @@ ORACLES["market_share"] = """
     WHERE r.r_name = 'EUROPE'
     GROUP BY year(o.o_orderdate)
 """
+
+# Star-algorithm components must equal label-propagation components.
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]

@@ -255,6 +255,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering via alternating large-star/small-star
+    (operators/dedup.py:connected_components_star) — O(log²) rounds on
+    arbitrarily deep pair graphs where label propagation needs
+    diameter-many. Shares dedup_components' oracle: both algorithms must
+    produce identical labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    return dedup.connected_components_star(pairs)
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup: one survivor (min id) per near-dup component,
     singletons kept."""
@@ -1764,6 +1775,7 @@ QUERIES: dict[str, callable] = {
     "supplier_balance": q_supplier_balance,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "dedup_survivors": q_dedup_survivors,
     "order_revenue_topk": q_order_revenue_topk,
     "lang_source_grouping_sets": q_lang_source_grouping_sets,

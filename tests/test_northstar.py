@@ -183,3 +183,56 @@ def test_embedding_hot_cell_dropped_not_joined(spark):
     assert pairs == {(100, 101)}
     uncapped = similarity.embedding_near_dup_pairs(emb, threshold=0.5, max_cell=64)
     assert len(uncapped.collect()) > 1  # sanity: hot cell pairs without cap
+
+
+def test_star_components_match_label_propagation(spark, sf_dir):
+    """large-star/small-star must produce EXACTLY the labels min-label
+    propagation produces — on toy graphs and on the real LSH pair
+    relation from the fixture corpus."""
+    toy = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    a = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(toy).collect()
+    }
+    b = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components_star(toy).collect()
+    }
+    assert a == b
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    lp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    st = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert lp == st
+
+
+def test_star_components_converge_on_deep_chain(spark):
+    """A 64-node path graph has diameter 63: label propagation would
+    need ~63 rounds, large-star/small-star must finish in O(log² n) —
+    well under 10 — with no convergence warning."""
+    import warnings
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = {
+            r.doc_id: r.component_id
+            for r in dedup.connected_components_star(
+                chain, max_iter=10
+            ).collect()
+        }
+    assert comp == {i: 0 for i in range(65)}
