@@ -228,6 +228,41 @@ def click_purchase_join(
     )
 
 
+def run_to_parquet(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Production-shaped sink: ``foreachBatch`` writing each micro-batch
+    to ``{out_dir}/batch={epoch_id}`` with overwrite — replaying a batch
+    after a crash rewrites the same directory instead of duplicating
+    rows, so the sink is idempotent under Structured Streaming's
+    at-least-once batch replay. Restarting a finished availableNow run
+    from the same checkpoint writes nothing new (exactly-once
+    end-to-end).
+
+    Read contract per mode: ``append`` → union all ``batch=*`` dirs
+    (each row emitted exactly once); ``complete`` → each dir is a full
+    snapshot, readers take the max epoch. The memory sink
+    (:func:`run_to_memory`) is for tests; this is the pattern a real
+    pipeline deploys."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={epoch_id}"
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,

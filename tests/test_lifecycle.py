@@ -257,3 +257,32 @@ def test_cleanup_spares_caller_work_dir(spark, sf_dir, tmp_path):
     pipe.run(docs, poll_interval_seconds=0.01)
     assert pipe.cleanup() == []  # caller-owned: ledger never held it
     assert os.path.exists(str(tmp_path))
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    """64-shard fragmented dataset -> size-targeted compaction: far
+    fewer files, identical rows, and the file count tracks the byte
+    budget computed from the REAL on-disk size."""
+    from genai_batch_processor_spark.sources.compaction import (
+        compact_parquet,
+        dir_stats,
+    )
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    frag = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.parquet(frag)
+    n_before, total = dir_stats(spark, frag)
+    assert n_before == 64
+
+    out = str(tmp_path / "compact")
+    # target sized to land at ~4 files for this fixture
+    target = max(1, total // 4)
+    n_planned = compact_parquet(spark, frag, out, target_bytes=target)
+    n_after, _ = dir_stats(spark, out)
+    assert n_after == n_planned <= 6
+    assert n_after < n_before
+
+    a = sorted(r.doc_id for r in spark.read.parquet(frag).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert a == b

@@ -61,3 +61,50 @@ def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
     multi = out.groupby("user_id").size()
     assert (multi > 1).any()
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_foreach_batch_sink_idempotent_restart(spark, sf_dir, tmp_path):
+    """run_to_parquet: the foreachBatch parquet sink must (a) reproduce
+    the batch aggregation exactly, and (b) write NOTHING new when a
+    finished availableNow run restarts from the same checkpoint —
+    exactly-once end-to-end."""
+    import os
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    agg = sw.hourly_counts(stream)
+    sw.run_to_parquet(agg, out, ckpt, output_mode="complete")
+
+    def snapshot():
+        files = []
+        for root, _, names in os.walk(out):
+            files += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        return sorted(files)
+
+    first = snapshot()
+    # complete mode: each batch dir is a full snapshot — read the latest
+    latest = max(
+        (d for d in os.listdir(out) if d.startswith("batch=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    got = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(f"{out}/{latest}").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in queries.q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # restart from the same checkpoint: no new batch dirs, same files
+    stream2 = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    sw.run_to_parquet(
+        sw.hourly_counts(stream2), out, ckpt, output_mode="complete"
+    )
+    assert snapshot() == first
