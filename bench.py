@@ -47,7 +47,7 @@ def plan_info(df) -> dict | None:
     norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
     norm = re.sub(r"\[codegen id : \d+\]", "", norm)
     norm = re.sub(r"(file|dbfs|s3a?|gs)://?\S+", "path:", norm)
-    norm = re.sub(r"events_hourly_stream_[0-9a-f]+|user_stats_stream_[0-9a-f]+", "stream_tbl", norm)
+    norm = re.sub(r"[a-z_]+_stream_[0-9a-f]+", "stream_tbl", norm)
     return {
         "digest": hashlib.sha256(norm.encode()).hexdigest()[:12],
         "exchanges": len(re.findall(r"\bExchange\b", s)),
@@ -93,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "n_queries": len(times),
+                "sec_per_query": round(total / max(len(times), 1), 3),
                 "sf": float(sf),
                 "plans": plans,
             }

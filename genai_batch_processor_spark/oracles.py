@@ -1272,3 +1272,20 @@ ORACLES["market_share"] = """
 
 # Star-algorithm components must equal label-propagation components.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+ORACLES["daily_new_users"] = """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+"""

@@ -1711,6 +1711,30 @@ def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-style analytics: per day, first-time users and the
+    running cumulative total. The running sum windows over the tiny
+    per-day aggregate (≤ a few hundred rows), not the event fact —
+    the fact is reduced by two partial aggregations (user→first day,
+    day→count) before any window runs, so no single-reducer pass ever
+    sees raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERATIVE algorithm: 2 Lloyd iterations of k-means over the
     embedding corpus (operators/clustering.py) — the trainer for the
@@ -1806,6 +1830,7 @@ QUERIES: dict[str, callable] = {
     "salted_event_totals": q_salted_event_totals,
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
+    "daily_new_users": q_daily_new_users,
     "click_purchase_stream": q_click_purchase_stream,
     "nation_trade": q_nation_trade,
     "market_share": q_market_share,

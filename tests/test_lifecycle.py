@@ -286,3 +286,32 @@ def test_compaction_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
     a = sorted(r.doc_id for r in spark.read.parquet(frag).collect())
     b = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """A long-lived dataset gains columns over time: old shards lack
+    them. mergeSchema reads must surface the union schema with NULLs
+    for pre-evolution rows — the standard contract for a corpus that
+    accretes metadata (quality scores, lang tags) across reprocessing
+    generations."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    base = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 100).write.parquet(base + "/gen=1")
+    docs.filter(F.col("doc_id") >= 100).withColumn(
+        "quality", F.length("text").cast("double")
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    old = merged.filter(F.col("doc_id") < 100)
+    assert old.count() > 0
+    assert old.filter(F.col("quality").isNotNull()).count() == 0
+    new = merged.filter(F.col("doc_id") >= 100)
+    assert new.filter(F.col("quality").isNull()).count() == 0
+    assert merged.count() == docs.count()
