@@ -1289,3 +1289,32 @@ ORACLES["daily_new_users"] = """
            ) AS BIGINT) AS cum_users
     FROM daily
 """
+
+# Hopping windows: each event contributes to its 30-min bucket's window
+# and the one starting 30 minutes earlier.
+ORACLES["events_sliding"] = """
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM shifted
+    GROUP BY 1, 2
+"""
+
+ORACLES["user_value_share"] = """
+    SELECT event_id, user_id,
+           value / nullif(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id
+           ) AS DOUBLE), 0) AS value_share
+    FROM events
+"""

@@ -1711,6 +1711,54 @@ def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows: 1-hour windows every 30 minutes —
+    each event lands in exactly two windows. F.window's slide duration
+    is a generate + partial agg, not a self-join; the oracle builds the
+    same two window starts per event with time_bucket and a shifted
+    union."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "wstart"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-frame analytic: each event's share of its user's total
+    value. The denominator is a decimal-exact partition sum (no frame →
+    one pass, no sort needed beyond the partition shuffle); share is a
+    single double division, NULL-safe for zero totals."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    denom = (
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.try_divide(F.col("value"), denom).alias("value_share"),
+    )
+
+
 def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-style analytics: per day, first-time users and the
     running cumulative total. The running sum windows over the tiny
@@ -1831,6 +1879,8 @@ QUERIES: dict[str, callable] = {
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
     "daily_new_users": q_daily_new_users,
+    "events_sliding": q_events_sliding,
+    "user_value_share": q_user_value_share,
     "click_purchase_stream": q_click_purchase_stream,
     "nation_trade": q_nation_trade,
     "market_share": q_market_share,
