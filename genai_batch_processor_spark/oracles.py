@@ -1318,3 +1318,16 @@ ORACLES["user_value_share"] = """
            ) AS DOUBLE), 0) AS value_share
     FROM events
 """
+
+# Hierarchical rollup twin: direct daily aggregation over RAW events —
+# the two-level hourly→daily path must be lossless.
+ORACLES["events_daily_rollup"] = """
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d')
+             AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""

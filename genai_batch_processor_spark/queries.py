@@ -1759,6 +1759,34 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: the DAILY aggregate is
+    computed FROM the hourly aggregate, not from raw events — sums of
+    sums and sums of counts re-aggregate exactly because every measure
+    is decomposable and the hourly sums are decimal-exact. At 100 TB
+    this is the continuous-aggregate pattern: materialize hours once,
+    serve days/months from 24×/720× less data. Oracle = direct daily
+    aggregation over raw events, proving the two-level path is
+    lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
 def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-style analytics: per day, first-time users and the
     running cumulative total. The running sum windows over the tiny
@@ -1879,6 +1907,7 @@ QUERIES: dict[str, callable] = {
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
     "daily_new_users": q_daily_new_users,
+    "events_daily_rollup": q_events_daily_rollup,
     "events_sliding": q_events_sliding,
     "user_value_share": q_user_value_share,
     "click_purchase_stream": q_click_purchase_stream,

@@ -1,0 +1,76 @@
+"""Copy-on-write upsert over immutable parquet — corpus refresh without
+a table format.
+
+Training corpora live on immutable object storage but still need
+row-level refresh (re-scored quality, re-deduped shards, license
+takedowns). Without a transactional table format the portable pattern
+is copy-on-write:
+
+- :func:`upsert_parquet` — full rewrite to a NEW version directory
+  (readers flip atomically by path; old version stays for rollback).
+- :func:`upsert_partitioned` — dynamic partition overwrite: only the
+  partitions the update batch touches are rewritten IN PLACE; a 100 TB
+  corpus with a 3-partition update rewrites 3 partitions, not 100 TB.
+  Untouched partition files are left bit-identical (asserted in tests).
+
+Upsert semantics: an update row REPLACES the base row with the same
+key; unmatched update rows are inserts (the left-anti join keeps every
+base row whose key is absent from the updates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _merge(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    survivors = base.join(
+        updates.select(key).distinct(), key, "left_anti"
+    )
+    return updates.unionByName(survivors)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    key: str,
+    out_dir: str,
+) -> None:
+    """Full-rewrite upsert into a fresh version directory."""
+    base = spark.read.parquet(base_dir)
+    _merge(base, updates, key).write.mode("overwrite").parquet(out_dir)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    part_col: str,
+) -> list:
+    """Partition-scoped in-place upsert via dynamic partition overwrite;
+    returns the partition values rewritten. The merged relation is
+    localCheckpointed before the write — Spark (correctly) refuses to
+    overwrite a path that is still a live scan source in the same plan,
+    and the checkpoint severs that lineage. The update batch must carry
+    ``part_col``; rows may move INTO a partition but a key's old row in
+    another partition is only replaced if that partition is also
+    touched — keep partition assignment stable under updates (standard
+    copy-on-write contract)."""
+    parts = [
+        r[0]
+        for r in updates.select(part_col).distinct().collect()
+    ]  # bounded: one value per touched partition
+    base = spark.read.parquet(table_dir).filter(
+        F.col(part_col).isin(parts)
+    )
+    merged = _merge(base, updates, key).localCheckpoint(eager=True)
+    (
+        merged.write.partitionBy(part_col)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_dir)
+    )
+    return parts

@@ -315,3 +315,81 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     new = merged.filter(F.col("doc_id") >= 100)
     assert new.filter(F.col("quality").isNull()).count() == 0
     assert merged.count() == docs.count()
+
+
+def test_upsert_full_rewrite(spark, sf_dir, tmp_path):
+    """Update rows replace same-key base rows; unmatched updates insert;
+    everything else survives."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.sources.upsert import upsert_parquet
+
+    base_dir = str(tmp_path / "v1")
+    out_dir = str(tmp_path / "v2")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docs.write.parquet(base_dir)
+    n = docs.count()
+
+    updates = spark.createDataFrame(
+        [(0, "REPLACED", "en"), (10**9, "INSERTED", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    upsert_parquet(spark, base_dir, updates, "doc_id", out_dir)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n + 1
+    assert out.filter(F.col("doc_id") == 0).collect()[0].text == "REPLACED"
+    assert out.filter(F.col("text") == "INSERTED").count() == 1
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Dynamic partition overwrite: untouched partitions keep their
+    exact files; only the updated partition's directory changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.sources.upsert import (
+        upsert_partitioned,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docs.write.partitionBy("lang").parquet(tbl)
+    n = docs.count()
+
+    def files_of(lang):
+        d = os.path.join(tbl, f"lang={lang}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    langs = sorted(
+        r.lang for r in docs.select("lang").distinct().collect()
+    )
+    untouched = [lang for lang in langs if lang != "en"]
+    before = {lang: files_of(lang) for lang in untouched}
+
+    some_en = docs.filter(F.col("lang") == "en").limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [(some_en.doc_id, "REWRITTEN", "en"), (10**9, "NEWDOC", "en")],
+        "doc_id long, text string, lang string",
+    )
+    parts = upsert_partitioned(spark, tbl, updates, "doc_id", "lang")
+    assert parts == ["en"]
+
+    out = spark.read.parquet(tbl)
+    assert out.count() == n + 1
+    assert (
+        out.filter(F.col("doc_id") == some_en.doc_id).collect()[0].text
+        == "REWRITTEN"
+    )
+    for lang in untouched:
+        assert files_of(lang) == before[lang], f"{lang} was rewritten"
