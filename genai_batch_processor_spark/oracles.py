@@ -1331,3 +1331,44 @@ ORACLES["events_daily_rollup"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+# Mergeable histogram quantiles: same fixed buckets, same ceil-rank rule.
+ORACLES["value_histogram_quantiles"] = """
+    WITH hist AS (
+      SELECT event_type, CAST(floor(value * 2) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END)
+                AS DOUBLE) / 2.0 AS p50_est,
+           CAST(min(CASE WHEN cum >= ceil(0.95 * total) THEN bucket END)
+                AS DOUBLE) / 2.0 AS p95_est,
+           CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END)
+                AS DOUBLE) / 2.0 AS p99_est,
+           CAST(max(total) AS BIGINT) AS n
+    FROM c GROUP BY event_type
+"""
+
+ORACLES["daily_activity_full_outer"] = """
+    WITH od AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), ed AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(coalesce(od.d, ed.d), '%Y-%m-%d') AS day,
+           od.n_orders, ed.n_events
+    FROM od FULL OUTER JOIN ed ON od.d = ed.d
+"""

@@ -1759,6 +1759,74 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_activity_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated daily relations (order
+    volume vs event volume) — days present in either side survive with
+    NULLs on the absent side. Both inputs reduce to a few hundred rows
+    before the join, so the full-outer shuffle moves aggregates, never
+    facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    od = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ed = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    joined = od.join(ed, "d", "full_outer")
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        "n_events",
+    )
+
+
+def q_value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE quantiles: fixed-width histogram (0.5-wide buckets) →
+    cumulative counts → quantile = lower edge of the first bucket whose
+    cumulative count reaches ceil(p·n). Exact percentiles
+    (events_value_percentiles) shuffle every value; the histogram is a
+    bounded-size partial aggregate that merges associatively — the
+    1000-executor path for p99 over 100 TB, with error bounded by the
+    bucket width. Integer bucket counts make it engine-exact, unlike
+    percentile_approx's implementation-defined sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") * 2).cast("long")
+    hist = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+
+    def est(p: float, name: str):
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+            F.col("bucket"),
+        )
+        return (F.min(hit).cast("double") / 2.0).alias(name)
+
+    return c.groupBy("event_type").agg(
+        est(0.5, "p50_est"),
+        est(0.95, "p95_est"),
+        est(0.99, "p99_est"),
+        F.max("total").cast("long").alias("n"),
+    )
+
+
 def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical (hypertable-style) rollup: the DAILY aggregate is
     computed FROM the hourly aggregate, not from raw events — sums of
@@ -1908,6 +1976,8 @@ QUERIES: dict[str, callable] = {
     "kmeans_cells": q_kmeans_cells,
     "daily_new_users": q_daily_new_users,
     "events_daily_rollup": q_events_daily_rollup,
+    "value_histogram_quantiles": q_value_histogram_quantiles,
+    "daily_activity_full_outer": q_daily_activity_full_outer,
     "events_sliding": q_events_sliding,
     "user_value_share": q_user_value_share,
     "click_purchase_stream": q_click_purchase_stream,

@@ -74,3 +74,62 @@ def upsert_partitioned(
         .parquet(table_dir)
     )
     return parts
+
+
+def _drop_partition_dirs(
+    spark: SparkSession, table_dir: str, part_col: str, values: list
+) -> None:
+    """Remove partition directories via the Hadoop FS API (filesystem-
+    agnostic): dynamic overwrite only rewrites partitions PRESENT in the
+    output, so a partition whose every row was deleted must be dropped
+    explicitly."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{table_dir}/{part_col}={v}"
+        )
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key: str,
+    part_col: str,
+) -> list:
+    """Row-level takedown (license removal, GDPR erasure) rewriting only
+    the partitions that actually contain the keys: semi-join locates the
+    touched partitions, anti-join drops the rows, dynamic partition
+    overwrite replaces those partitions in place — and partitions left
+    EMPTY by the delete are removed explicitly (dynamic overwrite cannot
+    express an empty partition). Returns the touched partition values."""
+    base = spark.read.parquet(table_dir)
+    touched = [
+        r[0]
+        for r in base.join(keys, key, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return []
+    scoped = base.filter(F.col(part_col).isin(touched))
+    kept = scoped.join(keys, key, "left_anti").localCheckpoint(
+        eager=True
+    )
+    surviving = [
+        r[0] for r in kept.select(part_col).distinct().collect()
+    ]
+    if surviving:
+        (
+            kept.write.partitionBy(part_col)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(table_dir)
+        )
+    emptied = sorted(set(touched) - set(surviving))
+    _drop_partition_dirs(spark, table_dir, part_col, emptied)
+    return sorted(touched)

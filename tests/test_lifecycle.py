@@ -393,3 +393,55 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(
     )
     for lang in untouched:
         assert files_of(lang) == before[lang], f"{lang} was rewritten"
+
+
+def test_delete_keys_partitioned_takedown(spark, sf_dir, tmp_path):
+    """Row deletes rewrite only containing partitions; a partition left
+    empty disappears entirely; untouched partitions keep exact files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.sources.upsert import (
+        delete_keys_partitioned,
+    )
+
+    tbl = str(tmp_path / "tbl_del")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docs.write.partitionBy("lang").parquet(tbl)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    wipe_lang = langs[0]
+    keep_lang = langs[1]
+
+    def files_of(lang):
+        d = os.path.join(tbl, f"lang={lang}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    untouched = [lang for lang in langs[2:]]
+    before = {lang: files_of(lang) for lang in untouched}
+
+    # delete ALL docs of wipe_lang + one doc of keep_lang
+    one_keep = docs.filter(F.col("lang") == keep_lang).limit(1).collect()[0]
+    victims = docs.filter(F.col("lang") == wipe_lang).select(
+        "doc_id"
+    ).unionAll(
+        spark.createDataFrame([(one_keep.doc_id,)], "doc_id long")
+    )
+    touched = delete_keys_partitioned(spark, tbl, victims, "doc_id", "lang")
+    assert touched == sorted([wipe_lang, keep_lang])
+
+    assert files_of(wipe_lang) is None  # emptied partition dropped
+    out = spark.read.parquet(tbl)
+    assert out.filter(F.col("lang") == wipe_lang).count() == 0
+    assert out.filter(F.col("doc_id") == one_keep.doc_id).count() == 0
+    expect = docs.count() - docs.filter(
+        F.col("lang") == wipe_lang
+    ).count() - 1
+    assert out.count() == expect
+    for lang in untouched:
+        assert files_of(lang) == before[lang], f"{lang} was rewritten"
