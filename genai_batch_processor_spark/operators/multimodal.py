@@ -165,3 +165,26 @@ def sample_video_frames(
             ids, idxs, fps = [], [], []
 
     return df.select(id_col, data_col).mapInPandas(sample, VIDEO_FRAMES)
+
+
+def sql_image_features(text_expr: str, n: int = 24) -> str:
+    """DuckDB twin of fake_image_bytes → decode_image_stub: replays the
+    md5-derived pseudo-decode over the same utf-8 prefix bytes, so the
+    Arrow-batched Python boundary is held to an exact oracle. The
+    feature vector is emitted as a scaled-integer join (floats never
+    cross the engine boundary as formatted strings)."""
+    prefix = f"substr({text_expr}, 1, {n})"
+    h = f"md5({prefix})"
+    byte = lambda i: f"(('0x' || substr({h}, {2 * i + 1}, 2))::INT)"  # noqa: E731
+    feat = ", ".join(
+        f"CAST(round({byte(i)} / 255.0, 6) * 1000000 AS BIGINT)"
+        for i in range(2, 2 + FEATURE_DIM)
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(64 + {byte(0)} % 192 AS INT) AS width,
+               CAST(64 + {byte(1)} % 192 AS INT) AS height,
+               CAST(strlen({prefix}) AS BIGINT) AS n_bytes,
+               array_to_string([{feat}], '-') AS feature6
+        FROM documents
+    """

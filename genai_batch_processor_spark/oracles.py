@@ -1372,3 +1372,8 @@ ORACLES["daily_activity_full_outer"] = """
            od.n_orders, ed.n_events
     FROM od FULL OUTER JOIN ed ON od.d = ed.d
 """
+
+# Multimodal decode boundary twin — generated by the operator module.
+from genai_batch_processor_spark.operators import multimodal as _mm
+
+ORACLES["image_features"] = _mm.sql_image_features("text")

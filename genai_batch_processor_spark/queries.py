@@ -1759,6 +1759,36 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract boundary as an oracle-paired
+    query: deterministic fake image bytes → Arrow-batched mapInPandas
+    pseudo-decode (operators/multimodal.py:decode_image_stub — the
+    exact seam where PIL decode+resize would run) → width/height/
+    feature vector. The DuckDB twin replays the md5 math, holding the
+    Python boundary to bit-level parity; the feature vector crosses the
+    compare as scaled integers so float formatting never does."""
+    from genai_batch_processor_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", mm.fake_image_bytes(F.col("text")).alias("data")
+    )
+    feats = mm.decode_image_stub(media)
+    f6 = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * 1_000_000, 0)
+        .cast("long")
+        .cast("string"),
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.array_join(f6, "-").alias("feature6"),
+    )
+
+
 def q_daily_activity_full_outer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1978,6 +2008,7 @@ QUERIES: dict[str, callable] = {
     "events_daily_rollup": q_events_daily_rollup,
     "value_histogram_quantiles": q_value_histogram_quantiles,
     "daily_activity_full_outer": q_daily_activity_full_outer,
+    "image_features": q_image_features,
     "events_sliding": q_events_sliding,
     "user_value_share": q_user_value_share,
     "click_purchase_stream": q_click_purchase_stream,
