@@ -1377,3 +1377,33 @@ ORACLES["daily_activity_full_outer"] = """
 from genai_batch_processor_spark.operators import multimodal as _mm
 
 ORACLES["image_features"] = _mm.sql_image_features("text")
+
+ORACLES["events_daily_spine"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+      FROM bounds
+    )
+    SELECT strftime(CAST(s.d AS DATE), '%Y-%m-%d') AS day,
+           CAST(coalesce(dl.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily dl ON CAST(s.d AS DATE) = dl.d
+"""
+
+ORACLES["doc_word_filters"] = f"""
+    SELECT doc_id,
+           CAST(len(list_filter({tx.sql_words('text')},
+                                x -> length(x) > 6)) AS INT)
+             AS n_long_words,
+           CAST(list_max(list_transform({tx.sql_words('text')},
+                                        x -> length(x))) AS INT)
+             AS max_word_len,
+           (len(list_filter({tx.sql_words('text')},
+                            x -> regexp_matches(x, '[0-9]'))) > 0)
+             AS has_digit_token
+    FROM documents
+"""

@@ -1759,6 +1759,52 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: a generated date spine (sequence +
+    explode between min and max day — driver never materializes it)
+    LEFT-joined to the daily counts, absent days zero-filled. The spine
+    generation is one row exploded JVM-side; the join is broadcast
+    (a spine is always tiny relative to facts)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+def q_doc_word_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions JVM-side: filter (long words),
+    transform + array_max (longest word length), exists (digit token) —
+    the lambda expressions run inside codegen, never in Python; DuckDB's
+    list_filter/list_transform twins mirror each."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tx.words("text")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(ws, lambda w: F.length(w) > 6)
+        ).alias("n_long_words"),
+        F.array_max(
+            F.transform(ws, lambda w: F.length(w))
+        ).alias("max_word_len"),
+        F.exists(ws, lambda w: w.rlike("[0-9]")).alias(
+            "has_digit_token"
+        ),
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract boundary as an oracle-paired
     query: deterministic fake image bytes → Arrow-batched mapInPandas
@@ -2009,6 +2055,8 @@ QUERIES: dict[str, callable] = {
     "value_histogram_quantiles": q_value_histogram_quantiles,
     "daily_activity_full_outer": q_daily_activity_full_outer,
     "image_features": q_image_features,
+    "events_daily_spine": q_events_daily_spine,
+    "doc_word_filters": q_doc_word_filters,
     "events_sliding": q_events_sliding,
     "user_value_share": q_user_value_share,
     "click_purchase_stream": q_click_purchase_stream,
