@@ -1407,3 +1407,40 @@ ORACLES["doc_word_filters"] = f"""
              AS has_digit_token
     FROM documents
 """
+
+ORACLES["word_bigrams"] = f"""
+    WITH ws AS (
+      SELECT {tx.sql_words('text')} AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1]))
+               AS bigram
+      FROM ws WHERE len(w) > 1
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1 HAVING count(*) >= 20
+"""
+
+ORACLES["hourly_value_change"] = """
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             sum(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           CAST(v AS DOUBLE) AS total_value,
+           CAST(v - lag(v) OVER (
+             PARTITION BY event_type ORDER BY h
+           ) AS DOUBLE) AS delta
+    FROM hourly
+"""
+
+ORACLES["distinct_buyers_daily"] = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+             AS buying_users
+    FROM events
+    GROUP BY 1
+"""

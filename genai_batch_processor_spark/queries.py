@@ -1759,6 +1759,77 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram (2-gram) language statistics: consecutive word pairs via
+    an index-sequence transform (JVM lambda — no explode of a
+    quadratic), counted corpus-wide with a frequency floor. The
+    n-gram-LM-style companion to term_frequencies; the fan-out feeds a
+    partial aggregate so the shuffle carries (bigram, partial-count)
+    pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tx.words("text")
+    pairs = F.when(
+        F.size(ws) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    )
+
+
+BIGRAM_MIN_COUNT = 20
+
+
+def q_hourly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate: hourly totals per event_type with the
+    delta vs the previous OBSERVED hour (lag over the tiny hourly
+    relation, partitioned by type — no global ordering, no raw-fact
+    window)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("w.start")
+    return hourly.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.col("v").cast("double").alias("total_value"),
+        (F.col("v") - F.lag("v").over(w)).cast("double").alias("delta"),
+    )
+
+
+def q_distinct_buyers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct aggregation: per day, distinct purchasing
+    users vs distinct active users in one pass (count_distinct expands
+    to Spark's two-stage distinct aggregate — keys shuffle, not rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyer = F.when(
+        F.col("event_type") == "purchase", F.col("user_id")
+    )
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count_distinct(buyer).alias("buying_users"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "buying_users",
+        )
+    )
+
+
 def q_events_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled time series: a generated date spine (sequence +
     explode between min and max day — driver never materializes it)
@@ -2056,6 +2127,9 @@ QUERIES: dict[str, callable] = {
     "daily_activity_full_outer": q_daily_activity_full_outer,
     "image_features": q_image_features,
     "events_daily_spine": q_events_daily_spine,
+    "word_bigrams": q_word_bigrams,
+    "hourly_value_change": q_hourly_value_change,
+    "distinct_buyers_daily": q_distinct_buyers_daily,
     "doc_word_filters": q_doc_word_filters,
     "events_sliding": q_events_sliding,
     "user_value_share": q_user_value_share,
