@@ -445,3 +445,32 @@ def test_delete_keys_partitioned_takedown(spark, sf_dir, tmp_path):
     assert out.count() == expect
     for lang in untouched:
         assert files_of(lang) == before[lang], f"{lang} was rewritten"
+
+
+def test_orc_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    """ORC source/sink: lineitem survives parquet→ORC→read bit-exactly
+    (schema and row-level values), and predicates push into the ORC
+    scan like they do for parquet."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "li_orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == li.schema
+    a = li.agg(
+        F.count(F.lit(1)), F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+    ).collect()[0]
+    b = back.agg(
+        F.count(F.lit(1)), F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back.filter(F.col("l_quantity") > 40.0)
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan

@@ -277,3 +277,34 @@ def test_partitioned_sink_prunes_at_read(spark, sf_dir, tmp_path):
     n_langs = docs.select("lang").distinct().count()
     assert rd.count() == docs.filter(F.col("lang") == "en").count()
     assert n_langs > 1  # pruning actually skipped other directories
+
+
+def test_histogram_quantiles_partial_agg(spark, sf_dir):
+    """The mergeable-quantile path must partial-aggregate the histogram
+    map-side (the whole point vs exact percentiles) and stay JVM-only."""
+    plan = _plan(spark, "value_histogram_quantiles", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bigrams_aggregate_after_generate(spark, sf_dir):
+    """Bigram fan-out must feed a partial aggregate — the shuffle
+    carries (bigram, count) partials, never the expanded pair rows
+    unaggregated."""
+    plan = _plan(spark, "word_bigrams", sf_dir)
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_daily_rollup_reaggregates_hourly(spark, sf_dir):
+    """The daily level must aggregate the hourly aggregate (4
+    HashAggregates: partial+final at each level), not rescan raw events
+    twice."""
+    plan = _plan(spark, "events_daily_rollup", sf_dir)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, "rollup must scan events once"
+    assert plan.count("HashAggregate") >= 4
