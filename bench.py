@@ -27,6 +27,35 @@ HEADLINE = [
     "mock_responses",
 ]
 
+# The exact query set BENCH_r01 measured (93.965 s total at sf0.1).
+# The headline `value` sums ONLY these, so round-over-round totals
+# compare the same work even as the sweep grows; `full_total` covers
+# every registered query.
+R1_BASELINE_SET = frozenset(
+    {
+        "joinback", "label_distribution", "build_requests",
+        "mock_responses", "above_avg_balance", "assign_ids",
+        "azure_model_rewrite", "customer_order_setops",
+        "customers_without_orders", "dedup_components",
+        "dedup_survivors", "doc_attr_map", "doc_stats",
+        "embedding_label_stats", "embedding_near_dup", "embedding_topk",
+        "embedding_topk_ivf", "embedding_topk_lsh",
+        "embedding_topk_pandas", "error_split", "events_asof",
+        "events_cube", "events_hourly", "events_hourly_stream",
+        "events_json_props", "events_value_percentiles", "exact_dedup",
+        "extract_answer", "lang_id_confusion",
+        "lang_source_grouping_sets", "lang_source_rollup", "lang_vocab",
+        "lsh_candidates", "minhash_signatures", "multimodal_requests",
+        "near_dup_pairs", "ngram_jaccard", "order_priority_returns",
+        "order_revenue_topk", "price_bracket_join", "pricing_summary",
+        "question_preview", "regional_revenue", "simhash",
+        "simhash_near_dup", "source_lang_pivot", "source_quality",
+        "supplier_balance", "term_frequencies", "tfidf_top_terms",
+        "top_customers_per_nation", "user_funnel", "user_sessions",
+        "vertex_requests", "vertex_responses",
+    }
+)
+
 
 def plan_info(df) -> dict | None:
     """Normalized formatted-plan digest + shape counters, so a plan
@@ -85,16 +114,23 @@ def main() -> None:
         if info is not None:
             plans[name] = info
 
-    total = round(sum(times.values()), 3)
+    full_total = round(sum(times.values()), 3)
+    baseline_total = round(
+        sum(t for n, t in times.items() if n in R1_BASELINE_SET), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
+                # r1-comparable: same 55-query set BENCH_r01 measured
+                "value": baseline_total,
                 "unit": "sec",
                 "queries": times,
                 "n_queries": len(times),
-                "sec_per_query": round(total / max(len(times), 1), 3),
+                "full_total": full_total,
+                "sec_per_query": round(
+                    full_total / max(len(times), 1), 3
+                ),
                 "sf": float(sf),
                 "plans": plans,
             }
