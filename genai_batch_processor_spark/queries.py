@@ -849,7 +849,8 @@ def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sw.user_stats_stream(stream)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        sw.run_to_memory(out, name, "update", ckpt)
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(out, name, "update", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     tbl = spark.table(name)
@@ -1297,7 +1298,8 @@ def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sw.session_aggs(stream)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        sw.run_to_memory(sess, name, "complete", ckpt)
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(sess, name, "complete", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
@@ -1331,7 +1333,8 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        sw.run_to_memory(deduped, name, "append", ckpt)
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(deduped, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
@@ -1705,7 +1708,8 @@ def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = sw.click_purchase_join(clicks, purchases)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        sw.run_to_memory(joined, name, "append", ckpt)
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(joined, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
