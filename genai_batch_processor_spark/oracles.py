@@ -1444,3 +1444,6 @@ ORACLES["distinct_buyers_daily"] = """
     FROM events
     GROUP BY 1
 """
+
+# Streaming hopping windows share the batch sliding oracle.
+ORACLES["events_sliding_stream"] = ORACLES["events_sliding"]

@@ -1312,6 +1312,48 @@ def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hopping windows: the 1h/30min sliding aggregation over
+    readStream with watermark, drained availableNow in complete mode —
+    must equal the batch events_sliding exactly (same oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    name = f"events_sliding_stream_{uuid.uuid4().hex[:8]}"
+    stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "wstart"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    try:
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(agg, name, "complete", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup: two streams over the same events file are
     unioned (every event arrives twice), then watermark-bounded
@@ -2115,6 +2157,7 @@ QUERIES: dict[str, callable] = {
     "events_rolling": q_events_rolling,
     "balance_quartiles": q_balance_quartiles,
     "events_dedup_stream": q_events_dedup_stream,
+    "events_sliding_stream": q_events_sliding_stream,
     "min_cost_supplier": q_min_cost_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "lone_return_suppliers": q_lone_return_suppliers,

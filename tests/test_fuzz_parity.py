@@ -194,3 +194,45 @@ def test_vector_twins_agree_on_degenerate_input(vec_data, name):
     s, d = rows_of(spark_df), duck_rows(con, sql)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+# -- dedup signature twins over adversarial text -----------------------------
+
+from genai_batch_processor_spark.operators import dedup
+
+
+_DEDUP_CASES = {
+    "minhash_signature": (
+        lambda c: F.array_join(
+            F.transform(
+                dedup.minhash_signature(dedup.shingle_hashes(c)),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        ),
+        lambda e: (
+            "array_to_string("
+            + dedup.sql_minhash_signature(dedup.sql_shingle_hashes(e))
+            + ", '-')"
+        ),
+    ),
+    "simhash": (
+        lambda c: dedup.simhash(c),
+        lambda e: dedup.sql_simhash_from_hashes(
+            dedup.sql_word_hashes(e)
+        ),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DEDUP_CASES))
+def test_dedup_signature_twins_agree(fuzz_data, name):
+    from tests.util import duck_rows, rows_of
+
+    sdf, con = fuzz_data
+    fn, sql_fn = _DEDUP_CASES[name]
+    spark_df = sdf.select("i", fn("text").alias("v"))
+    sql = f"SELECT i, {sql_fn('text')} AS v FROM fuzz"
+    s, d = rows_of(spark_df), duck_rows(con, sql)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
