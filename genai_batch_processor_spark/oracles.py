@@ -1447,3 +1447,20 @@ ORACLES["distinct_buyers_daily"] = """
 
 # Streaming hopping windows share the batch sliding oracle.
 ORACLES["events_sliding_stream"] = ORACLES["events_sliding"]
+
+ORACLES["top_balance_percentile"] = """
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             percent_rank() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal ASC, c_custkey ASC
+             ) AS pr
+      FROM customer
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_top_decile,
+           min(r.c_acctbal) AS decile_floor
+    FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE r.pr >= 0.9
+    GROUP BY n.n_name
+"""

@@ -1627,6 +1627,32 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank over a UNIQUE ordering (balance, custkey — ties
+    broken by key, so the rank is deterministic), rolled up to the top
+    decile per nation. Completes the ranking-function family next to
+    row_number (top_customers_per_nation) and ntile
+    (balance_quartiles)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+    ).filter(F.col("pr") >= 0.9)
+    return (
+        ranked.join(F.broadcast(nat), ranked.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_decile"),
+            F.min("c_acctbal").alias("decile_floor"),
+        )
+    )
+
+
 def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof aggregation: events has ~5 event_type values over the
     whole table — the textbook hot-key shape. The salted two-phase
@@ -2165,6 +2191,7 @@ QUERIES: dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
+    "top_balance_percentile": q_top_balance_percentile,
     "salted_event_totals": q_salted_event_totals,
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
