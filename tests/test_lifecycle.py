@@ -474,3 +474,37 @@ def test_orc_roundtrip_preserves_values(spark, sf_dir, tmp_path):
         "formatted",
     )
     assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_gzip_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """Real corpora arrive as .jsonl.gz: the JSONL reader must consume
+    gzip shards transparently (codec inferred from extension) with the
+    same schema and values as the uncompressed form."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plain = str(tmp_path / "plain")
+    docs.select(F.to_json(F.struct("doc_id", "text")).alias("value")) \
+        .write.text(plain)
+
+    gzdir = str(tmp_path / "gz")
+    os.makedirs(gzdir)
+    for name in os.listdir(plain):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(plain, name), "rb") as src:
+            with gzip.open(
+                os.path.join(gzdir, name + ".gz"), "wb"
+            ) as dst:
+                dst.write(src.read())
+
+    back = spark.read.schema("doc_id LONG, text STRING").json(gzdir)
+    assert back.count() == docs.count()
+    a = sorted(r.doc_id for r in back.collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
