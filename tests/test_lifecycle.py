@@ -508,3 +508,34 @@ def test_gzip_jsonl_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(r.doc_id for r in back.collect())
     b = sorted(r.doc_id for r in docs.collect())
     assert a == b
+
+
+def test_ignore_corrupt_files_salvages_good_shards(spark, sf_dir, tmp_path):
+    """A 100 TB scan WILL meet a truncated shard eventually; with
+    ignoreCorruptFiles the scan salvages every healthy file instead of
+    dying, and without it the corruption is a loud error — both
+    behaviors pinned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "with_corrupt")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(out)
+    with open(os.path.join(out, "part-99999-garbage.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(out).count()
+        assert got == docs.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(out).count()
