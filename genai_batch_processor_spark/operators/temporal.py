@@ -36,13 +36,23 @@ def asof_join(
     right_seq: str | None = None,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row: columns of the most recent right row with
-    ``right.ts <= left.ts`` and the same ``on`` key.
+    """For each left row: columns of the nearest right row with the same
+    ``on`` key — ``direction='backward'`` takes the most recent right
+    row with ``right.ts <= left.ts`` (tie on equal right ts: LATEST
+    ``right_seq`` wins), ``'forward'`` the earliest right row with
+    ``right.ts >= left.ts`` (tie: LOWEST seq wins) — the pandas
+    ``merge_asof`` surface, still one shuffle + one window.
 
+    ``tolerance_seconds`` bounds the match distance; beyond it the
+    right columns null out (and ``how='inner'`` drops the row).
     ``right_cols`` are emitted with an ``asof_`` prefix. ``how='left'``
     keeps unmatched left rows with nulls; ``'inner'`` drops them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -66,9 +76,17 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *left.columns,
     )
+    if direction == "backward":
+        # ascending scan: at equal ts rights sort first (<= matches);
+        # equal-ts rights resolve latest-seq-last → latest wins
+        order = [F.col("__t").asc(), F.col("__tag").asc(), F.col("__seq").asc()]
+    else:
+        # descending scan: the last right seen before a left is the
+        # SMALLEST ts >= left.ts; equal-ts rights resolve min-seq-last
+        order = [F.col("__t").desc(), F.col("__tag").asc(), F.col("__seq").desc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__tag", "__seq")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -81,6 +99,13 @@ def asof_join(
         F.col("__asof.__ts").alias(f"asof_{right_ts}"),
         *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )
+    if tolerance_seconds is not None:
+        lus = F.unix_micros(F.col(left_ts))
+        rus = F.unix_micros(F.col(f"asof_{right_ts}"))
+        delta = (lus - rus) if direction == "backward" else (rus - lus)
+        ok = delta <= int(tolerance_seconds * 1_000_000)
+        for c in [f"asof_{right_ts}", *[f"asof_{c}" for c in right_cols]]:
+            out = out.withColumn(c, F.when(ok, F.col(c)))
     if how == "inner":
         out = out.filter(F.col(f"asof_{right_ts}").isNotNull())
     return out

@@ -1464,3 +1464,31 @@ ORACLES["top_balance_percentile"] = """
     WHERE r.pr >= 0.9
     GROUP BY n.n_name
 """
+
+# Forward as-of with tolerance: nearest purchase at-or-after each click
+# within 2h, ties on equal purchase ts broken by lowest event id.
+ORACLES["events_asof_forward"] = """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             (epoch_ns(ts) // 1000) AS cus
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id,
+             (epoch_ns(ts) // 1000) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.user_id, c.click_id, p.purchase_id, p.pus, c.cus,
+             row_number() OVER (
+               PARTITION BY c.click_id
+               ORDER BY p.pus ASC, p.purchase_id ASC
+             ) AS rn
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.pus >= c.cus
+       AND p.pus <= c.cus + 7200000000
+    )
+    SELECT user_id, click_id,
+           purchase_id AS asof_purchase_id,
+           pus - cus AS lag_us
+    FROM j WHERE rn = 1
+"""

@@ -1627,6 +1627,40 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof surface): each
+    click joined to the same user's next purchase within 2 hours —
+    still one shuffle + one window (operators/temporal.py:asof_join,
+    direction='forward'). Deterministic ties: equal-timestamp purchases
+    resolve to the lowest event id, which the window-SQL oracle spells
+    out explicitly."""
+    from genai_batch_processor_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = temporal.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_seq="purchase_id",
+        right_cols=["purchase_id"],
+        direction="forward",
+        tolerance_seconds=7200,
+        how="inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "asof_purchase_id",
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("lag_us"),
+    )
+
+
 def q_top_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank over a UNIQUE ordering (balance, custkey — ties
     broken by key, so the rank is deterministic), rolled up to the top
@@ -2191,6 +2225,7 @@ QUERIES: dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
+    "events_asof_forward": q_events_asof_forward,
     "top_balance_percentile": q_top_balance_percentile,
     "salted_event_totals": q_salted_event_totals,
     "salted_nation_balance": q_salted_nation_balance,
