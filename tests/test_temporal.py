@@ -44,3 +44,56 @@ def test_asof_left_keeps_unmatched(spark):
     got = {r.name: r.asof_seq for r in out.collect()}
     assert got["l3"] is None and got["l4"] is None
     assert len(got) == 4
+
+
+def test_asof_forward_tolerance_and_ties(spark):
+    """Forward direction: nearest right at-or-after left.ts; equal-ts
+    rights resolve to LOWEST seq; matches beyond tolerance null out
+    (how='left') or drop (how='inner')."""
+    from pyspark.sql import functions as F
+
+    def with_ts(rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        return df.withColumn("ts", F.timestamp_micros(F.col("us")))
+
+    left = with_ts(
+        [(1, 100_000_000, "a"), (1, 160_000_000, "b"), (2, 10, "c")],
+        "k long, us long, name string",
+    ).select("k", "ts", "name")
+    right = with_ts(
+        [
+            (1, 90_000_000, 1),   # before "a": never matches forward
+            (1, 100_000_000, 5),  # ts tie with "a"
+            (1, 100_000_000, 3),  # ts tie: lowest seq must win
+            (1, 250_000_000, 7),  # 90s after "b": beyond 50s tolerance
+        ],
+        "k long, us long, rid long",
+    ).select("k", "ts", "rid")
+
+    out = temporal.asof_join(
+        left,
+        right,
+        on="k",
+        right_seq="rid",
+        right_cols=["rid"],
+        direction="forward",
+        tolerance_seconds=50,
+        how="left",
+    )
+    got = {
+        r.name: r.asof_rid
+        for r in out.collect()
+    }
+    assert got == {"a": 3, "b": None, "c": None}
+
+    inner = temporal.asof_join(
+        left,
+        right,
+        on="k",
+        right_seq="rid",
+        right_cols=["rid"],
+        direction="forward",
+        tolerance_seconds=50,
+        how="inner",
+    )
+    assert [r.name for r in inner.collect()] == ["a"]
