@@ -109,6 +109,8 @@ def kmeans_cells(
     ``id_col`` < k) and return the final per-(cell, dim) relation:
     cell, dim, n_vecs, c_val — i.e. the trained centroid table in the
     long form the IVF index would load."""
+    if iters < 1:
+        raise ValueError(f"kmeans_cells needs iters >= 1, got {iters}")
     init_rows = (
         emb.filter(F.col(id_col) < k)
         .select(id_col, vec_col)
@@ -118,6 +120,12 @@ def kmeans_cells(
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in sorted(init_rows, key=lambda r: r[id_col])
     ]
+    if not centroids:
+        raise ValueError(
+            f"kmeans_cells: no init vectors with {id_col} < {k} — "
+            "ids must start at 0 (or pass explicit centroids via "
+            "assign_cells)"
+        )
     sums = None
     for _ in range(iters):
         assigned = assign_cells(emb, centroids, vec_col)

@@ -173,8 +173,12 @@ def sql_image_features(text_expr: str, n: int = 24) -> str:
     Arrow-batched Python boundary is held to an exact oracle. The
     feature vector is emitted as a scaled-integer join (floats never
     cross the engine boundary as formatted strings)."""
-    prefix = f"substr({text_expr}, 1, {n})"
-    h = f"md5({prefix})"
+    # _decode_bytes hashes b"\x00" for empty/NULL payloads (and an
+    # empty prefix byte-length is 0) — mirror both so an empty or NULL
+    # document can't split the engines.
+    raw = f"substr({text_expr}, 1, {n})"
+    prefix = f"coalesce({raw}, '')"
+    h = f"md5(CASE WHEN {prefix} = '' THEN chr(0) ELSE {prefix} END)"
     byte = lambda i: f"(('0x' || substr({h}, {2 * i + 1}, 2))::INT)"  # noqa: E731
     feat = ", ".join(
         f"CAST(round({byte(i)} / 255.0, 6) * 1000000 AS BIGINT)"

@@ -1324,27 +1324,7 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"events_sliding_stream_{uuid.uuid4().hex[:8]}"
     stream = sw.stream_events(spark, sf_dir, glob_filter="events.parquet")
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "wstart"
-            ),
-            "event_type",
-            "n",
-            "total_value",
-        )
-    )
+    agg = sw.sliding_counts(stream.withWatermark("ts", "2 hours"))
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
         with sw.stream_state_partitions(spark):
@@ -1823,27 +1803,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a generate + partial agg, not a self-join; the oracle builds the
     same two window starts per event with time_bucket and a shifted
     union."""
+    from genai_batch_processor_spark.streaming import windows as sw
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "wstart"
-            ),
-            "event_type",
-            "n",
-            "total_value",
-        )
-    )
+    return sw.sliding_counts(ev)
 
 
 def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:

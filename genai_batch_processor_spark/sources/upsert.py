@@ -63,6 +63,15 @@ def upsert_partitioned(
         r[0]
         for r in updates.select(part_col).distinct().collect()
     ]  # bounded: one value per touched partition
+    if any(v is None for v in parts):
+        # isin() never matches NULL, so a null partition would drop all
+        # existing null-partition rows from the merge while dynamic
+        # overwrite still rewrote __HIVE_DEFAULT_PARTITION__ with only
+        # the updates — silent data loss. Refuse instead.
+        raise ValueError(
+            "upsert_partitioned: update batch has NULL "
+            f"{part_col!r} values; assign a real partition first"
+        )
     base = spark.read.parquet(table_dir).filter(
         F.col(part_col).isin(parts)
     )
@@ -76,21 +85,50 @@ def upsert_partitioned(
     return parts
 
 
+def _unescape_partition_value(name: str) -> str:
+    """Decode Spark's %XX partition-path escaping (space, ':', '=', …)."""
+    out = []
+    i = 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
 def _drop_partition_dirs(
     spark: SparkSession, table_dir: str, part_col: str, values: list
 ) -> None:
     """Remove partition directories via the Hadoop FS API (filesystem-
     agnostic): dynamic overwrite only rewrites partitions PRESENT in the
     output, so a partition whose every row was deleted must be dropped
-    explicitly."""
+    explicitly. Directory names are matched by LISTING the table and
+    percent-decoding each ``part=value`` dir — building the path by
+    string formatting would miss any value Spark escaped on write
+    (spaces, ':', '=', …), silently leaving 'erased' data on disk."""
+    targets = {str(v) for v in values}
+    if not targets:
+        return
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    for v in values:
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{table_dir}/{part_col}={v}"
-        )
-        fs = p.getFileSystem(conf)
-        fs.delete(p, True)
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = root.getFileSystem(conf)
+    prefix = f"{part_col}="
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = _unescape_partition_value(name[len(prefix):])
+        if value in targets:
+            fs.delete(status.getPath(), True)
 
 
 def delete_keys_partitioned(
@@ -116,6 +154,14 @@ def delete_keys_partitioned(
     ]
     if not touched:
         return []
+    if any(v is None for v in touched):
+        # isin() can't scope a NULL partition and the default-partition
+        # dir name doesn't round-trip through value matching — refuse
+        # rather than silently skipping those rows' erasure.
+        raise ValueError(
+            "delete_keys_partitioned: matched rows live in a NULL "
+            f"{part_col!r} partition; erase those with a full rewrite"
+        )
     scoped = base.filter(F.col(part_col).isin(touched))
     kept = scoped.join(keys, key, "left_anti").localCheckpoint(
         eager=True

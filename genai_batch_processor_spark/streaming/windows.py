@@ -62,6 +62,35 @@ def stream_events(
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1h/30min hopping-window aggregation — ONE definition shared by
+    the batch query (events_sliding) and the streaming twin
+    (events_sliding_stream): both check against the same oracle, so the
+    window width / decimal scale / label format must never drift apart.
+    Works on a batch frame as-is; callers add the watermark for
+    streaming input before calling."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "wstart"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation — the streaming twin of
     queries.q_events_hourly (same window, same decimal-exact sum)."""

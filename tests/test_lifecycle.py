@@ -539,3 +539,41 @@ def test_ignore_corrupt_files_salvages_good_shards(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.parquet(out).count()
+
+
+def test_upsert_and_delete_refuse_null_partitions(spark, sf_dir, tmp_path):
+    """NULL partition values cannot be scoped by isin(); both the
+    upsert and the takedown must refuse loudly instead of silently
+    losing or retaining rows."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.sources.upsert import (
+        delete_keys_partitioned,
+        upsert_partitioned,
+    )
+
+    tbl = str(tmp_path / "tbl_null")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    # poison one row's partition with NULL
+    poisoned = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    poisoned.write.partitionBy("lang").parquet(tbl)
+
+    null_update = spark.createDataFrame(
+        [(7, "x", None)], "doc_id long, text string, lang string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        upsert_partitioned(spark, tbl, null_update, "doc_id", "lang")
+
+    null_key = spark.createDataFrame([(3,)], "doc_id long")
+    with _pytest.raises(ValueError, match="NULL"):
+        delete_keys_partitioned(spark, tbl, null_key, "doc_id", "lang")

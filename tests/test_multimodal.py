@@ -79,3 +79,31 @@ def test_frame_sampler_fan_out_bounds_and_determinism(spark, sf_dir):
         assert 1 <= len(idxs) <= mm.MAX_FRAMES
     again = {(r.doc_id, r.frame_idx): r.frame_fp for r in frames.collect()}
     assert again == {(r.doc_id, r.frame_idx): r.frame_fp for r in rows}
+
+
+def test_image_features_oracle_handles_empty_and_null_text():
+    """The md5-replay oracle must follow _decode_bytes' b"\\x00"
+    substitution for empty/NULL payloads — checked directly in DuckDB
+    against the Python decode, no Spark needed."""
+    import duckdb
+
+    from genai_batch_processor_spark.operators import multimodal as mm
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'hello world'), (1, ''), (2, NULL)"
+        ") t(doc_id, text)"
+    )
+    rows = {
+        r[0]: r[1:]
+        for r in con.execute(mm.sql_image_features("text")).fetchall()
+    }
+    for doc_id, payload in [(0, b"hello world"), (1, b""), (2, None)]:
+        w, h, feat = mm._decode_bytes(payload or b"")
+        exp_bytes = len(payload) if payload else 0
+        exp_feat = "-".join(
+            str(int(round(x * 1_000_000))) for x in feat
+        )
+        assert rows[doc_id] == (w, h, exp_bytes, exp_feat), doc_id
+    con.close()

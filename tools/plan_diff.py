@@ -24,7 +24,13 @@ def load(path: str) -> dict:
     except json.JSONDecodeError:
         d = json.loads(text.splitlines()[-1])
     if "plans" not in d and "tail" in d:
-        line = d["tail"][d["tail"].rindex('{"metric"'):]
+        tail = d["tail"]
+        if '{"metric"' not in tail:
+            sys.exit(
+                f"{path}: driver record holds no bench JSON line "
+                "(run may have crashed before printing)"
+            )
+        line = tail[tail.rindex('{"metric"'):]
         d = json.loads(line.split("\n")[0])
     return d
 
