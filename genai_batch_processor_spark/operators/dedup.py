@@ -322,7 +322,10 @@ def connected_components(
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    )
+    ).filter(F.col("u") != F.col("v"))
+    # self-loops dropped: a node paired only with itself is not a
+    # duplicate of anything (and the star variant agrees — property-
+    # tested against union-find in tests/test_properties.py)
     edges = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)

@@ -1492,3 +1492,23 @@ ORACLES["events_asof_forward"] = """
            pus - cus AS lag_us
     FROM j WHERE rn = 1
 """
+
+ORACLES["nation_revenue_pareto"] = """
+    WITH per_nation AS (
+      SELECT n.n_name,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(row_number() OVER w AS INT) AS rank,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER (
+             w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+    FROM per_nation
+    WINDOW w AS (ORDER BY rev DESC, n_name ASC)
+"""

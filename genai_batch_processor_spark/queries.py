@@ -1607,6 +1607,40 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: nations ranked by revenue with each one's
+    cumulative share of the total. The windows run over the 25-row
+    nation aggregate (facts reduced first); shares divide exact decimal
+    sums so the curve is engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                "rev"
+            )
+        )
+    )
+    w_rank = Window.orderBy(F.col("rev").desc(), F.col("n_name").asc())
+    w_cum = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.row_number().over(w_rank).alias("rank"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(total).cast("double")
+        ).alias("cum_share"),
+    )
+
+
 def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of with tolerance (pandas merge_asof surface): each
     click joined to the same user's next purchase within 2 hours —
@@ -2188,6 +2222,7 @@ QUERIES: dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
+    "nation_revenue_pareto": q_nation_revenue_pareto,
     "events_asof_forward": q_events_asof_forward,
     "top_balance_percentile": q_top_balance_percentile,
     "salted_event_totals": q_salted_event_totals,
