@@ -63,3 +63,85 @@ def test_components_match_union_find(spark, edges):
     }
     assert lp == expected
     assert star == expected
+
+
+# -- as-of join vs pandas merge_asof -----------------------------------------
+
+import pandas as pd
+
+from genai_batch_processor_spark.operators import temporal
+
+asof_frames = st.tuples(
+    # left rows: (key, ts_us)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    # right rows: (key, ts_us, value)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frames=asof_frames, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, frames, direction):
+    left_rows, right_rows = frames
+    # unique ts per (key, side): merge_asof tie order is input-order
+    # dependent, ours is seq-based — dedupe so ties cannot occur
+    left_rows = list({(k, t): None for k, t in left_rows})
+    right_rows = list(
+        {(k, t): (k, t, v) for k, t, v in right_rows}.values()
+    )
+
+    from pyspark.sql import functions as F
+
+    left = (
+        spark.createDataFrame(left_rows, "k long, us long")
+        .withColumn("ts", F.timestamp_micros("us"))
+        .select("k", "ts", "us")
+    )
+    right = (
+        spark.createDataFrame(right_rows, "k long, us long, v long")
+        .withColumn("ts", F.timestamp_micros("us"))
+        .select("k", "ts", "v")
+    )
+    out = temporal.asof_join(
+        left,
+        right,
+        on="k",
+        right_cols=["v"],
+        direction=direction,
+        how="left",
+    )
+    got = {
+        (r.k, r.us): r.asof_v for r in out.collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "us"]).sort_values("us")
+    rp = pd.DataFrame(
+        right_rows, columns=["k", "us", "v"]
+    ).sort_values("us")
+    merged = pd.merge_asof(
+        lp, rp, on="us", by="k", direction=direction
+    )
+    want = {
+        (int(r.k), int(r.us)): (None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want
