@@ -577,3 +577,20 @@ def test_upsert_and_delete_refuse_null_partitions(spark, sf_dir, tmp_path):
     null_key = spark.createDataFrame([(3,)], "doc_id long")
     with _pytest.raises(ValueError, match="NULL"):
         delete_keys_partitioned(spark, tbl, null_key, "doc_id", "lang")
+
+
+def test_query_index_is_current():
+    """QUERIES.md must match its generator — a stale index misstates
+    coverage."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/gen_query_index.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    ).stdout
+    with open("/root/repo/QUERIES.md") as f:
+        assert f.read() == out
