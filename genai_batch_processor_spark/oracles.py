@@ -1512,3 +1512,35 @@ ORACLES["nation_revenue_pareto"] = """
     FROM per_nation
     WINDOW w AS (ORDER BY rev DESC, n_name ASC)
 """
+
+# Chunking / packing twins — generated by the operator module so the
+# window geometry can't drift between engines.
+from genai_batch_processor_spark.operators import chunking as _chk
+
+ORACLES["doc_chunks"] = _chk.sql_chunk_documents()
+
+ORACLES["chunk_packing"] = f"""
+    WITH chunks AS (
+      {_chk.sql_chunk_documents()}
+    ), with_src AS (
+      SELECT c.*, d.source
+      FROM chunks c JOIN documents d USING (doc_id)
+    ), binned AS (
+      SELECT source,
+             CAST(floor((sum(n_words) OVER w - n_words)
+                        / {_chk.PACK_BUDGET}) AS BIGINT) AS bin,
+             n_words
+      FROM with_src
+      WINDOW w AS (
+        PARTITION BY source ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS packed_words,
+           CAST(sum(n_words) AS DOUBLE) / {_chk.PACK_BUDGET}.0
+             AS fill_ratio
+    FROM binned
+    GROUP BY source, bin
+"""

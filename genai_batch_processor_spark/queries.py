@@ -1607,6 +1607,35 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document exploded into 64-word
+    windows with 16-word overlap (operators/chunking.py) — the 1→many
+    step before request building on real corpora. Pure JVM
+    sequence+slice fan-out, no shuffle; the final short chunk rule is
+    replayed exactly by the DuckDB twin."""
+    from genai_batch_processor_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs)
+
+
+def q_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunks assigned to 512-word training bins by
+    cumulative offset WITHIN each source (per-source windows
+    parallelize; a global packing order would serialize at scale).
+    Output is the per-bin fill relation — the padding-waste metric a
+    training pipeline actually watches."""
+    from genai_batch_processor_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return chunking.pack_chunks(
+        chunks, group_col="source", order_cols=["doc_id", "chunk_idx"]
+    )
+
+
 def q_nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: nations ranked by revenue with each one's
     cumulative share of the total. The windows run over the 25-row
@@ -2222,6 +2251,8 @@ QUERIES: dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
+    "doc_chunks": q_doc_chunks,
+    "chunk_packing": q_chunk_packing,
     "nation_revenue_pareto": q_nation_revenue_pareto,
     "events_asof_forward": q_events_asof_forward,
     "top_balance_percentile": q_top_balance_percentile,

@@ -236,3 +236,57 @@ def test_star_components_converge_on_deep_chain(spark):
             ).collect()
         }
     assert comp == {i: 0 for i in range(65)}
+
+
+def test_chunking_overlap_and_short_tail(spark):
+    """Chunk geometry: starts advance by chunk-overlap; consecutive
+    chunks share exactly `overlap` words; the tail chunk may be short;
+    a short doc yields one chunk."""
+    from genai_batch_processor_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "only three words")],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_documents(
+        docs, chunk_words=4, overlap=2
+    ).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_text, r.n_words)
+        )
+    # doc 1: starts 1,3,5,7,9 over 10 words
+    assert by_doc[1] == [
+        ("w0 w1 w2 w3", 4),
+        ("w2 w3 w4 w5", 4),
+        ("w4 w5 w6 w7", 4),
+        ("w6 w7 w8 w9", 4),
+        ("w8 w9", 2),
+    ]
+    assert by_doc[2] == [("only three words", 3), ("words", 1)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunking.chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+def test_packing_respects_budget_offsets(spark):
+    """Offset packing: bin boundaries land at multiples of the budget
+    in the cumulative word stream; totals are preserved."""
+    from genai_batch_processor_spark.operators import chunking
+
+    chunks = spark.createDataFrame(
+        [("s", 1, 0, 300), ("s", 1, 1, 300), ("s", 2, 0, 300),
+         ("s", 3, 0, 50)],
+        "source string, doc_id long, chunk_idx int, n_words int",
+    )
+    out = {
+        r.bin: (r.n_chunks, r.packed_words)
+        for r in chunking.pack_chunks(
+            chunks, "source", ["doc_id", "chunk_idx"], budget_words=512
+        ).collect()
+    }
+    # offsets before each chunk: 0, 300, 600, 900 → bins 0,0,1,1
+    assert out == {0: (2, 600), 1: (2, 350)}
