@@ -83,3 +83,51 @@ def sql_sign_bits_bucket(a: str, n_bits: int = 8) -> str:
         for i in range(n_bits)
     )
     return f"(CAST({terms} AS BIGINT))"
+
+
+def quantize_int8_stats(a: Column | str) -> Column:
+    """Symmetric int8 quantization diagnostics for an embedding column:
+    struct(scale, max_abs_err, n_saturated). scale = max|x| / 127;
+    codes = round(x / scale) clamped to [-127, 127]; the error stats
+    are order-free (max / count), so both engines agree bit-exactly
+    without relying on a summation order. Zero vectors quantize to
+    scale 0 and NULL error stats (the 0/0 code is NULL on both
+    engines), so they surface rather than silently passing."""
+    arr = _c(a)
+    absmax = F.array_max(F.transform(arr, lambda x: F.abs(x.cast("double"))))
+    scale = F.try_divide(absmax, F.lit(127.0))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.round(F.try_divide(x.cast("double"), scale), 0)),
+    )
+    err = F.transform(
+        arr, lambda x: F.abs(x.cast("double") - code(x) * scale)
+    )
+    n_sat = F.size(
+        F.filter(arr, lambda x: F.abs(code(x)) >= F.lit(127.0))
+    )
+    return F.struct(
+        scale.alias("scale"),
+        F.array_max(err).alias("max_abs_err"),
+        n_sat.cast("int").alias("n_saturated"),
+    )
+
+
+def sql_quantize_int8_stats(a: str) -> str:
+    """DuckDB twin of :func:`quantize_int8_stats` — emitted as three
+    parallel expressions via a struct_pack for SELECT-side splitting."""
+    absmax = f"list_max(list_transform({a}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"({absmax} / nullif(127.0, 0))"
+    code = (
+        f"greatest(-127.0, least(127.0, "
+        f"round(CAST(x AS DOUBLE) / nullif({scale}, 0), 0)))"
+    )
+    err = (
+        f"list_transform({a}, x -> abs(CAST(x AS DOUBLE) - {code} * {scale}))"
+    )
+    nsat = f"len(list_filter({a}, x -> abs({code}) >= 127.0))"
+    return (
+        f"struct_pack(scale := {scale}, "
+        f"max_abs_err := list_max({err}), "
+        f"n_saturated := CAST({nsat} AS INT))"
+    )

@@ -1544,3 +1544,16 @@ ORACLES["chunk_packing"] = f"""
     FROM binned
     GROUP BY source, bin
 """
+
+from genai_batch_processor_spark.functions import vectors as _vec
+
+ORACLES["embedding_quantization"] = f"""
+    SELECT vec_id,
+           (q).scale AS scale,
+           (q).max_abs_err AS max_abs_err,
+           (q).n_saturated AS n_saturated
+    FROM (
+      SELECT vec_id, {_vec.sql_quantize_int8_stats('embedding')} AS q
+      FROM embeddings
+    )
+"""

@@ -1607,6 +1607,24 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization audit over the embedding corpus: per-vector
+    scale, worst reconstruction error, and saturation count
+    (functions/vectors.py:quantize_int8_stats) — the memory-4× lever
+    for serving ANN at 100 TB, with order-free stats so both engines
+    agree without a summation-order contract."""
+    from genai_batch_processor_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = V.quantize_int8_stats("embedding")
+    return emb.select(
+        "vec_id",
+        q["scale"].alias("scale"),
+        q["max_abs_err"].alias("max_abs_err"),
+        q["n_saturated"].alias("n_saturated"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: each document exploded into 64-word
     windows with 16-word overlap (operators/chunking.py) — the 1→many
@@ -2251,6 +2269,7 @@ QUERIES: dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
+    "embedding_quantization": q_embedding_quantization,
     "doc_chunks": q_doc_chunks,
     "chunk_packing": q_chunk_packing,
     "nation_revenue_pareto": q_nation_revenue_pareto,
