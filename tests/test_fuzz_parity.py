@@ -180,6 +180,18 @@ _VEC_CASES = {
         lambda: vec.sign_bits_bucket("a"),
         lambda: vec.sql_sign_bits_bucket("a"),
     ),
+    "quantize_scale": (
+        lambda: vec.quantize_int8_stats("a")["scale"],
+        lambda: f"({vec.sql_quantize_int8_stats('a')}).scale",
+    ),
+    "quantize_err": (
+        lambda: vec.quantize_int8_stats("a")["max_abs_err"],
+        lambda: f"({vec.sql_quantize_int8_stats('a')}).max_abs_err",
+    ),
+    "quantize_sat": (
+        lambda: vec.quantize_int8_stats("a")["n_saturated"],
+        lambda: f"({vec.sql_quantize_int8_stats('a')}).n_saturated",
+    ),
 }
 
 

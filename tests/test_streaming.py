@@ -108,3 +108,69 @@ def test_foreach_batch_sink_idempotent_restart(spark, sf_dir, tmp_path):
         sw.hourly_counts(stream2), out, ckpt, output_mode="complete"
     )
     assert snapshot() == first
+
+
+def test_watermark_semantics_on_late_batch(spark, sf_dir, tmp_path):
+    """Pins Spark's ACTUAL watermark guarantee, which is one-directional:
+    data within the watermark is aggregated exactly; data arriving
+    after the watermark passed MAY still aggregate — the watermark
+    bounds STATE, it is not a strict input filter. Concretely: a
+    days-late micro-batch whose windows were never in state aggregates
+    fresh and emits in the late batch (no silent loss), which is why
+    append-mode consumers must merge by window key downstream (the
+    complete-snapshot foreachBatch pattern sidesteps this entirely)."""
+    import os
+
+    stream_dir = str(tmp_path / "ev_late")
+    os.makedirs(stream_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_add(F.min(F.to_date("ts")), 5).alias("c")
+    ).collect()[0]["c"]
+    old = ev.filter(F.to_date("ts") < F.lit(cutoff))
+    new = ev.filter(F.to_date("ts") >= F.lit(cutoff))
+    assert old.count() > 0 and new.count() > 0
+
+    raw_long = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.unix_micros("ts") * 1000
+    )
+    raw_long(new).coalesce(1).write.mode("append").parquet(stream_dir)
+    raw_long(old).coalesce(1).write.mode("append").parquet(stream_dir)
+    new_count = new.count()
+    for f in os.listdir(stream_dir):
+        if not f.endswith(".parquet"):
+            continue
+        full = os.path.join(stream_dir, f)
+        n = spark.read.parquet(full).count()
+        t = 1_000_000_000 if n == new_count else 2_000_000_000
+        os.utime(full, (t, t))  # new file replays first
+
+    stream = sw.stream_events(spark, stream_dir, max_files_per_trigger=1)
+    agg = sw.hourly_counts(stream)  # 2h watermark
+    per_batch: dict[int, set] = {}
+
+    def sink(df, eid):
+        per_batch[eid] = {r.hour for r in df.select("hour").collect()}
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_l"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    old_hours = {
+        r[0]
+        for r in old.select(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            )
+        ).distinct().collect()
+    }
+    # batch 0 (watermark still at epoch): nothing closes, nothing emits
+    assert per_batch[0] == set()
+    # the late batch's windows emit THERE — late data is re-aggregated
+    # after state eviction, never silently lost
+    assert old_hours <= per_batch[1]
