@@ -131,3 +131,47 @@ def sql_quantize_int8_stats(a: str) -> str:
         f"max_abs_err := list_max({err}), "
         f"n_saturated := CAST({nsat} AS INT))"
     )
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Symmetric int8 scale: max|x| / 127 (0.0 for the zero vector)."""
+    arr = _c(a)
+    absmax = F.array_max(
+        F.transform(arr, lambda x: F.abs(x.cast("double")))
+    )
+    return F.try_divide(absmax, F.lit(127.0))
+
+
+def int8_codes(a: Column | str) -> Column:
+    """Quantized codes as INTEGER-VALUED doubles (round(x/scale)
+    clamped to ±127) — double-typed so :func:`dot` consumes them
+    directly, and every value is an exact small integer, making the
+    code dot product order-independent by construction. Zero vectors
+    yield NULL codes (0/0), which downstream ranking drops."""
+    arr = _c(a)
+    scale = int8_scale(arr)
+    return F.transform(
+        arr,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.round(F.try_divide(x.cast("double"), scale), 0),
+            ),
+        ),
+    )
+
+
+def sql_int8_scale(a: str) -> str:
+    return (
+        f"(list_max(list_transform({a}, x -> abs(CAST(x AS DOUBLE))))"
+        f" / nullif(127.0, 0))"
+    )
+
+
+def sql_int8_codes(a: str) -> str:
+    scale = sql_int8_scale(a)
+    return (
+        f"list_transform({a}, x -> greatest(-127.0, least(127.0, "
+        f"round(CAST(x AS DOUBLE) / nullif({scale}, 0), 0))))"
+    )

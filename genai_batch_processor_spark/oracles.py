@@ -1557,3 +1557,41 @@ ORACLES["embedding_quantization"] = f"""
       FROM embeddings
     )
 """
+
+ORACLES["embedding_topk_int8"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_vec.sql_int8_scale('embedding')} AS qs,
+             {_vec.sql_int8_codes('embedding')} AS qc
+      FROM embeddings WHERE vec_id < {_ANN_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_vec.sql_int8_scale('embedding')} AS cs,
+             {_vec.sql_int8_codes('embedding')} AS cc
+      FROM embeddings
+    ), approxed AS (
+      SELECT q.query_id, c.neighbor_id, c.cv, q.qv,
+             list_dot_product(c.cc::DOUBLE[], q.qc::DOUBLE[])
+               * c.cs * q.qs AS approx
+      FROM c CROSS JOIN q
+      WHERE c.neighbor_id <> q.query_id
+    ), short AS (
+      SELECT * FROM approxed
+      WHERE approx IS NOT NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC
+      ) <= {similarity.INT8_SHORTLIST_FACTOR * similarity.TOPK_DEFAULT}
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {_vec.sql_cosine('qv', 'cv')} AS cos
+      FROM short
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INT) AS "rank",
+           round(cos, 6) AS cosine
+    FROM scored
+    WHERE cos IS NOT NULL
+    QUALIFY "rank" <= {similarity.TOPK_DEFAULT}
+"""

@@ -1607,6 +1607,17 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieve / exact-rescore ANN: int8 code scoring
+    shortlists 2k candidates (4× less memory traffic — the bandwidth
+    lever at serving scale), exact cosine rescores only the shortlist
+    (operators/similarity.py:topk_int8). Code dots are exact integer
+    sums, so shortlist and results replay identically in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_int8(emb, queries)
+
+
 def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization audit over the embedding corpus: per-vector
     scale, worst reconstruction error, and saturation count
@@ -2270,6 +2281,7 @@ QUERIES: dict[str, callable] = {
     "quality_unpivot": q_quality_unpivot,
     "user_sessions_stream": q_user_sessions_stream,
     "embedding_quantization": q_embedding_quantization,
+    "embedding_topk_int8": q_embedding_topk_int8,
     "doc_chunks": q_doc_chunks,
     "chunk_packing": q_chunk_packing,
     "nation_revenue_pareto": q_nation_revenue_pareto,
