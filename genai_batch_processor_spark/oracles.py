@@ -1595,3 +1595,34 @@ ORACLES["embedding_topk_int8"] = f"""
     WHERE cos IS NOT NULL
     QUALIFY "rank" <= {similarity.TOPK_DEFAULT}
 """
+
+# Embedding-side dedup closure: recursive transitive closure over the
+# SAME pair SQL as embedding_near_dup, survivors = everyone not a loser.
+_EMB_PAIRS = ORACLES["embedding_near_dup"].replace(
+    "WITH b AS", "WITH RECURSIVE b AS", 1
+)
+_EMB_SELECT_IDX = _EMB_PAIRS.rindex("SELECT id_a")
+ORACLES["embedding_dedup_survivors"] = (
+    _EMB_PAIRS[:_EMB_SELECT_IDX].rstrip().rstrip(")")
+    + """),
+    verified AS (
+      """
+    + _EMB_PAIRS[_EMB_SELECT_IDX:].strip()
+    + """
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS vid, min(v) AS cid FROM reach GROUP BY u
+    ), losers AS (
+      SELECT vid FROM comp WHERE vid <> cid
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vid FROM losers)
+"""
+)

@@ -322,6 +322,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb)
 
 
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EMBEDDING dedup: cosine near-dup pairs (bucketed,
+    capped) → large-star/small-star components → one survivor per
+    cluster — the semantic-dedup analog of the MinHash pipeline, on the
+    modality where paraphrases collide that text shingles never catch.
+    Oracle: recursive-CTE transitive closure over the same pair SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb)
+    comps = dedup.connected_components_star(pairs)
+    return dedup.dedup_survivors(emb, comps, "vec_id").select(
+        "vec_id", "label"
+    )
+
+
 # -- north-star: text analysis ----------------------------------------------
 
 
@@ -2282,6 +2296,7 @@ QUERIES: dict[str, callable] = {
     "user_sessions_stream": q_user_sessions_stream,
     "embedding_quantization": q_embedding_quantization,
     "embedding_topk_int8": q_embedding_topk_int8,
+    "embedding_dedup_survivors": q_embedding_dedup_survivors,
     "doc_chunks": q_doc_chunks,
     "chunk_packing": q_chunk_packing,
     "nation_revenue_pareto": q_nation_revenue_pareto,
