@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import hashing, text as tx
 from genai_batch_processor_spark.functions import vectors as vec
+from genai_batch_processor_spark.operators import sampling
 
 _MARKERS = [
     "the", "and", "der", "und", "le", "la", "el", "los", "de",
@@ -97,6 +98,14 @@ _CASES = {
     "hash60": (
         lambda c: hashing.portable_hash60(F.col(c)),
         lambda e: hashing.sql_hash60(e),
+    ),
+    "hash_coord": (
+        lambda c: sampling.hash_coord(c, salt="fuzz"),
+        lambda e: sampling.sql_hash_coord(e, salt="fuzz"),
+    ),
+    "assign_split": (
+        lambda c: sampling.assign_split(c),
+        lambda e: sampling.sql_assign_split(e),
     ),
 }
 
