@@ -308,3 +308,30 @@ def test_daily_rollup_reaggregates_hourly(spark, sf_dir):
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) == 1, "rollup must scan events once"
     assert plan.count("HashAggregate") >= 4
+
+
+def test_int8_topk_broadcasts_queries_and_avoids_corpus_shuffle(
+    spark, sf_dir
+):
+    """Quantized retrieve must keep the brute-force shape: query side
+    broadcast, corpus never hash-shuffled except for the two per-query
+    rank windows (shortlist + final)."""
+    plan = _plan(spark, "embedding_topk_int8", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_chunking_is_jvm_only_and_packing_partitions_by_group(
+    spark, sf_dir
+):
+    """The chunk fan-out must stay inside codegen (no Python), and
+    packing must window per source — never a global single-partition
+    order."""
+    plan = _plan(spark, "doc_chunks", sf_dir)
+    assert "Generate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    plan = _plan(spark, "chunk_packing", sf_dir)
+    assert "SinglePartition" not in plan
