@@ -1626,3 +1626,32 @@ ORACLES["embedding_dedup_survivors"] = (
     WHERE e.vec_id NOT IN (SELECT vid FROM losers)
 """
 )
+
+ORACLES["bigram_followers"] = f"""
+    WITH ws AS (
+      SELECT {tx.sql_words('text')} AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> struct_pack(head := w[i],
+                                                    follower := w[i + 1])))
+               AS p
+      FROM ws WHERE len(w) > 1
+    ), counts AS (
+      SELECT (p).head AS head, (p).follower AS follower,
+             count(*) AS n_pair
+      FROM pairs GROUP BY 1, 2
+    ), ranked AS (
+      SELECT head, follower, n_pair,
+             sum(n_pair) OVER (PARTITION BY head) AS n_head,
+             row_number() OVER (
+               PARTITION BY head ORDER BY n_pair DESC, follower ASC
+             ) AS rn
+      FROM counts
+    )
+    SELECT head, follower,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_head AS BIGINT) AS n_head,
+           CAST(n_pair AS DOUBLE) / CAST(n_head AS DOUBLE) AS p_follow
+    FROM ranked
+    WHERE rn = 1 AND n_head >= 20
+"""

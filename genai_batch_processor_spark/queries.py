@@ -1934,6 +1934,54 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities: for each frequent head word,
+    the most likely follower and P(follower | head) — count-based LM
+    statistics, exact int/int division so both engines agree to the
+    bit. Ties break lexicographically; heads below the frequency floor
+    drop (their estimates are noise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tx.words("text")
+    pairs = F.when(
+        F.size(ws) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("head"),
+                F.element_at(ws, i + 1).alias("follower"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<head:string,follower:string>>"))
+    bg = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.head").alias("head"),
+        F.col("p.follower").alias("follower"),
+    )
+    counts = bg.groupBy("head", "follower").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    w_head = Window.partitionBy("head")
+    w_rank = Window.partitionBy("head").orderBy(
+        F.col("n_pair").desc(), F.col("follower").asc()
+    )
+    return (
+        counts.withColumn("n_head", F.sum("n_pair").over(w_head))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(
+            (F.col("__rn") == 1) & (F.col("n_head") >= BIGRAM_MIN_COUNT)
+        )
+        .select(
+            "head",
+            "follower",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_head").cast("long").alias("n_head"),
+            (
+                F.col("n_pair").cast("double")
+                / F.col("n_head").cast("double")
+            ).alias("p_follow"),
+        )
+    )
+
+
 def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram (2-gram) language statistics: consecutive word pairs via
     an index-sequence transform (JVM lambda — no explode of a
@@ -2312,6 +2360,7 @@ QUERIES: dict[str, callable] = {
     "image_features": q_image_features,
     "events_daily_spine": q_events_daily_spine,
     "word_bigrams": q_word_bigrams,
+    "bigram_followers": q_bigram_followers,
     "hourly_value_change": q_hourly_value_change,
     "distinct_buyers_daily": q_distinct_buyers_daily,
     "doc_word_filters": q_doc_word_filters,
