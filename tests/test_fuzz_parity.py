@@ -257,3 +257,21 @@ def test_dedup_signature_twins_agree(fuzz_data, name):
     s, d = rows_of(spark_df), duck_rows(con, sql)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_kmv_sketch_twin_on_adversarial_strings(fuzz_data):
+    """The KMV cardinality sketch must replay identically over
+    adversarial strings — hash collisions aside, the k-th minimum and
+    the small-group exact path are both order-free."""
+    from genai_batch_processor_spark.functions import sketches
+    from tests.util import duck_rows, rows_of
+
+    sdf, con = fuzz_data
+    grouped = sdf.select((F.col("i") % 5).alias("g"), "text")
+    spark_df = sketches.kmv_distinct(grouped, "g", "text")
+    sql = sketches.sql_kmv_distinct(
+        "SELECT i % 5 AS g, text FROM fuzz", "g", "text"
+    )
+    s, d = rows_of(spark_df), duck_rows(con, sql)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"kmv: first mismatches {mismatches[:3]}"
