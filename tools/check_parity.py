@@ -81,6 +81,7 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     ok = True
+    n_ok = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,10 +90,14 @@ def main():
             print(f"SKIP {name:28s} (no oracle; rows={n})")
             continue
         try:
-            ok &= compare(name, fn(spark, sf_dir), con, sqls[name])
+            good = compare(name, fn(spark, sf_dir), con, sqls[name])
         except Exception as e:
-            ok = False
+            good = False
             print(f"FAIL {name:28s} EXC {type(e).__name__}: {e}")
+        ok &= good
+        n_ok += good
+        n_fail += not good
+    print(f"== {n_ok} ok, {n_fail} fail ==")
     sys.exit(0 if ok else 1)
 
 
