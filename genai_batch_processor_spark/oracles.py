@@ -1655,3 +1655,16 @@ ORACLES["bigram_followers"] = f"""
     FROM ranked
     WHERE rn = 1 AND n_head >= 20
 """
+
+ORACLES["source_diversity"] = """
+    WITH per AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           1.0 - CAST(sum(n * n) AS DOUBLE)
+                   / CAST(sum(n) * sum(n) AS DOUBLE) AS gini_simpson
+    FROM per GROUP BY source
+"""

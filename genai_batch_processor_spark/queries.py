@@ -1070,6 +1070,29 @@ def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity metric for curation: per-source language count
+    and Gini-Simpson index 1 - sum(p_i^2) — a mix dominated by one
+    language scores near 0, an even mix near 1. All ratios are exact
+    int/int divisions in double, so the index is engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # 1 - sum(n_i^2)/N^2: integer sums are exact and order-free; the
+    # single double division at the end is deterministic (a float
+    # sum of p_i^2 would depend on aggregation order)
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("n").cast("long").alias("n_docs"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("gini_simpson"),
+    )
+
+
 def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot reshaping: per-source doc counts spread into one column per
     language. The value list is explicit, so the output schema is static
@@ -2320,6 +2343,7 @@ QUERIES: dict[str, callable] = {
     "user_funnel": q_user_funnel,
     "tfidf_top_terms": q_tfidf_top_terms,
     "above_avg_balance": q_above_avg_balance,
+    "source_diversity": q_source_diversity,
     "source_lang_pivot": q_source_lang_pivot,
     "doc_attr_map": q_doc_attr_map,
     "doc_sample": q_doc_sample,
