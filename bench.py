@@ -115,27 +115,45 @@ def main() -> None:
             plans[name] = info
 
     full_total = round(sum(times.values()), 3)
+    # Guard the r1-comparable headline: if a baseline query was renamed or
+    # skipped, the sum silently covers less work. Flag it loudly instead.
+    missing_baseline = sorted(R1_BASELINE_SET - times.keys())
     baseline_total = round(
         sum(t for n, t in times.items() if n in R1_BASELINE_SET), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                # r1-comparable: same 55-query set BENCH_r01 measured
-                "value": baseline_total,
-                "unit": "sec",
-                "queries": times,
-                "n_queries": len(times),
-                "full_total": full_total,
-                "sec_per_query": round(
-                    full_total / max(len(times), 1), 3
-                ),
-                "sf": float(sf),
-                "plans": plans,
-            }
-        )
+
+    # Full per-query times + plan digests go to a side file (and an earlier
+    # stdout line): the driver captures only the LAST ~2000 chars of stdout,
+    # so the FINAL line must stay small (r2's 14 kB line was unparseable).
+    side = {"queries": times, "plans": plans}
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
     )
+    with open(side_path, "w") as f:
+        json.dump(side, f, indent=1, sort_keys=True)
+    print(json.dumps(side))  # earlier line: scrolls out of the tail capture
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        # r1-comparable: same 55-query set BENCH_r01 measured
+        "value": baseline_total,
+        "unit": "sec",
+        "queries": slowest,  # top-15 slowest; full map in BENCH_PLANS.json
+        "n_queries": len(times),
+        "full_total": full_total,
+        "sec_per_query": round(full_total / max(len(times), 1), 3),
+        "sf": float(sf),
+    }
+    if missing_baseline:
+        summary["missing_baseline"] = missing_baseline
+    line = json.dumps(summary)
+    if len(line) > 1500:  # hard cap: never overflow the tail capture again
+        summary["queries"] = {}
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
