@@ -120,11 +120,12 @@ def kmeans_cells(
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in sorted(init_rows, key=lambda r: r[id_col])
     ]
-    if not centroids:
+    if len(centroids) < k:
         raise ValueError(
-            f"kmeans_cells: no init vectors with {id_col} < {k} — "
-            "ids must start at 0 (or pass explicit centroids via "
-            "assign_cells)"
+            f"kmeans_cells: only {len(centroids)} init vectors with "
+            f"{id_col} < {k} — a sparse id space would silently train "
+            "fewer than k cells; ids must densely cover [0, k) (or pass "
+            "explicit centroids via assign_cells)"
         )
     sums = None
     for _ in range(iters):

@@ -460,14 +460,22 @@ def connected_components_star(
             break
         prev_sig = sig
     else:
-        import warnings
-
-        warnings.warn(
-            f"connected_components_star: not converged after {max_iter} "
-            "rounds; results may split components",
-            RuntimeWarning,
-            stacklevel=2,
+        # Checksums never repeated within the budget. Before letting a
+        # possibly-split labeling flow downstream as if valid, run ONE
+        # exact fixed-point check (a round + symmetric exceptAll): if
+        # the edge set truly moved, fail loudly — a silently wrong
+        # dedup clustering is worse than a failed job.
+        nxt = small_star(large_star(cur))
+        moved = (
+            nxt.exceptAll(cur).limit(1).count()
+            or cur.exceptAll(nxt).limit(1).count()
         )
+        if moved:
+            raise RuntimeError(
+                f"connected_components_star: not converged after "
+                f"{max_iter} rounds (edge set still changing); raise "
+                "max_iter"
+            )
     # fixed point: every edge is (node, component-min) with node > min
     centers = cur.select(F.col("b").alias("doc_id")).distinct()
     return (

@@ -1664,7 +1664,10 @@ ORACLES["source_diversity"] = """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_langs,
            CAST(sum(n) AS BIGINT) AS n_docs,
-           1.0 - CAST(sum(n * n) AS DOUBLE)
-                   / CAST(sum(n) * sum(n) AS DOUBLE) AS gini_simpson
+           1.0 - CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                      AS DOUBLE)
+                   / CAST(CAST(sum(n) AS DECIMAL(19,0))
+                          * CAST(sum(n) AS DECIMAL(19,0)) AS DOUBLE)
+             AS gini_simpson
     FROM per GROUP BY source
 """

@@ -1081,14 +1081,18 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1 - sum(n_i^2)/N^2: integer sums are exact and order-free; the
     # single double division at the end is deterministic (a float
-    # sum of p_i^2 would depend on aggregation order)
+    # sum of p_i^2 would depend on aggregation order). The squares and
+    # the N*N product run in decimal — a source with >~3e9 docs would
+    # overflow a bigint product and (under ANSI mode) abort the job.
+    n19 = F.col("n").cast("decimal(19,0)")
+    s19 = F.sum("n").cast("decimal(19,0)")
     return per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_langs"),
         F.sum("n").cast("long").alias("n_docs"),
         (
             F.lit(1.0)
-            - F.sum(F.col("n") * F.col("n")).cast("double")
-            / (F.sum("n") * F.sum("n")).cast("double")
+            - F.sum(n19 * n19).cast("double")
+            / (s19 * s19).cast("double")
         ).alias("gini_simpson"),
     )
 

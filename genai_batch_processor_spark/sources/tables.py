@@ -32,18 +32,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); vanilla sessions reject it
-        # with PARQUET_TYPE_ILLEGAL. nanosAsLong is a runtime-settable SQL
-        # conf, so set it here — the loader must work under ANY session,
-        # not just the one session.get_spark builds.
+        # The events fixture has shipped with two physical ts layouts
+        # across rounds: TIMESTAMP(NANOS) (vanilla sessions reject it with
+        # PARQUET_TYPE_ILLEGAL unless nanos surface as long) and plain
+        # timestamp[us] with isAdjustedToUTC=false (which Spark ≥3.4 infers
+        # as TIMESTAMP_NTZ — a type most ts arithmetic rejects). Both confs
+        # are runtime-settable SQL confs, so set them here — the loader
+        # must work under ANY session, not just the one session.get_spark
+        # builds.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # nanos-as-long → truncate to micros → timestamp. The fixture DOES
         # carry sub-microsecond parts; truncation loses <1µs per value but
         # matches DuckDB's own nanos→micros truncation exactly, so
         # engine-parity (and any ts arithmetic) stays bit-identical.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Belt-and-braces for sessions where inferTimestampNTZ was read
+        # before we set it: session tz is UTC, so the NTZ wall clock IS
+        # the instant — the cast relabels without shifting values.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -31,16 +31,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(
@@ -49,17 +50,33 @@ def stream_events(
     max_files_per_trigger: int | None = None,
     glob_filter: str | None = None,
 ) -> DataFrame:
-    """File-source event stream; nanos-long ts normalized to timestamp
-    exactly like the batch loader (sources/tables.py). ``path`` must be
-    a directory (file-stream source contract); use ``glob_filter`` to
-    select specific files inside it."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source event stream; ``ts`` normalized to a (UTC) timestamp
+    exactly like the batch loader (sources/tables.py), whichever
+    physical layout the fixture shipped with — TIMESTAMP(NANOS) read as
+    long nanos, or timestamp[us] (declaring TimestampType on a naive
+    micros column relabels the UTC wall clock without shifting values).
+    A file stream needs its schema up front, so the layout is probed
+    once from a footer via a driver-side batch read of the same path.
+    ``path`` must be a directory (file-stream source contract); use
+    ``glob_filter`` to select specific files inside it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    probe = spark.read.option(
+        "pathGlobFilter", glob_filter or "*"
+    ).parquet(path)
+    ts_is_nanos_long = dict(probe.dtypes).get("ts") == "bigint"
+
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if ts_is_nanos_long else T.TimestampType())
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if glob_filter is not None:
         reader = reader.option("pathGlobFilter", glob_filter)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_nanos_long:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def sliding_counts(events: DataFrame) -> DataFrame:

@@ -238,6 +238,34 @@ def test_star_components_converge_on_deep_chain(spark):
     assert comp == {i: 0 for i in range(65)}
 
 
+def test_star_components_raise_when_budget_too_small(spark):
+    """An exhausted round budget must FAIL, not hand a possibly-split
+    labeling downstream: the exact fixed-point check (one extra round +
+    symmetric exceptAll) catches a still-moving edge set."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.connected_components_star(chain, max_iter=1)
+
+
+def test_kmeans_rejects_sparse_init_ids(spark):
+    """Fewer than k vectors with id < k must raise — silently training
+    fewer cells shrinks the IVF table under callers expecting k."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.0, 1.0]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="init vectors"):
+        clustering.kmeans_cells(emb, k=4, iters=1)
+
+
 def test_chunking_overlap_and_short_tail(spark):
     """Chunk geometry: starts advance by chunk-overlap; consecutive
     chunks share exactly `overlap` words; the tail chunk may be short;
