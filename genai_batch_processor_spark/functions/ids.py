@@ -18,8 +18,14 @@ per-execution sampling, and the offsets job and the final job could see
 DIFFERENT boundaries — value bucketing is a pure function of the data,
 so both jobs agree. Cost: 2 tiny agg jobs (min/max, per-bucket counts)
 before the one real shuffle; skewed key distributions skew buckets
-(raise ``buckets`` or pre-map the key if so). Non-numeric keys fall back
-to the single-window path (fine for dimension-sized inputs).
+(raise ``buckets`` or pre-map the key if so). String keys bucket by a
+numeric PROXY — the first 7 UTF-8 bytes zero-padded and read as an
+integer — which is monotone non-decreasing w.r.t. Spark's string
+ordering (UTF8String compares raw bytes; zero-padding is the infimum
+of all extensions; the double rounding above 2^53 is itself monotone),
+so per-bucket ranking by the REAL key still composes into the exact
+global ordinal. Only exotic key types (binary, struct, …) fall back to
+the single-window path (fine for dimension-sized inputs).
 
 ``custom_id_from_key`` is the zero-shuffle path when a natural key
 already exists (every fixture table has one).
@@ -37,6 +43,24 @@ _NUMERIC = (
 )
 
 
+def _order_proxy(order_by: str, dtype) -> Column | None:
+    """Numeric bucket coordinate, monotone non-decreasing w.r.t. the
+    key's sort order — or None when the type has no cheap proxy."""
+    if isinstance(dtype, _NUMERIC):
+        return F.col(order_by).cast("double")
+    if isinstance(dtype, T.StringType):
+        # First 7 UTF-8 bytes, zero-padded, as a base-256 integer:
+        # key1 < key2 (byte-wise, which IS Spark string ordering)
+        # implies proxy1 <= proxy2. 7 bytes = 14 hex digits < 2^56,
+        # inside conv's long range.
+        return F.conv(
+            F.hex(F.expr(f"rpad(encode(`{order_by}`, 'UTF-8'), 7, x'00')")),
+            16,
+            10,
+        ).cast("double")
+    return None
+
+
 def assign_ids(
     df: DataFrame,
     order_by: str,
@@ -50,11 +74,10 @@ def assign_ids(
     if buckets is None:
         buckets = df.sparkSession.sparkContext.defaultParallelism * 2
 
-    if not isinstance(dtype, _NUMERIC) or buckets <= 1:
+    knum = _order_proxy(order_by, dtype)
+    if knum is None or buckets <= 1:
         w = Window.orderBy(key)
         return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
-
-    knum = key.cast("double")
     lo, hi = df.agg(F.min(knum), F.max(knum)).first()
     if lo is None or lo == hi:
         w = Window.orderBy(key)

@@ -60,6 +60,27 @@ def test_no_python_in_jvm_pipelines(spark, sf_dir, name):
         assert marker not in plan, f"{name} dropped into Python: {marker}"
 
 
+def test_string_key_assign_ids_is_bucket_parallel(spark, sf_dir):
+    """A string-keyed assign_ids must use the byte-proxy bucketed path:
+    no unpartitioned row_number window (= no SinglePartition exchange),
+    and the ordinal must equal the sorted position under Spark's own
+    (UTF-8 byte-wise) string ordering."""
+    from genai_batch_processor_spark.functions import ids
+
+    docs = queries.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = ids.assign_ids(docs, "text", buckets=8)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, "string key fell back to 1 task"
+
+    rows = out.select("text", "idx").collect()
+    by_key = sorted(rows, key=lambda r: r["text"].encode("utf-8"))
+    assert [r["idx"] for r in by_key] == list(range(len(rows)))
+
+
 def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
     plan = _plan(spark, "pricing_summary", sf_dir)
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
