@@ -142,6 +142,25 @@ def kmeans_cells(
     )
 
 
+def centroids_from_cells(
+    cells: DataFrame,
+) -> list[tuple[int, list[float]]]:
+    """Collect the long-form (cell, dim, c_val) centroid relation that
+    :func:`kmeans_cells` emits into the wide list shape the IVF search
+    path inlines as literals (operators/similarity.py:topk_ivf).
+    Driver state stays bounded at k × dim doubles — the same footprint
+    the trainer itself already collects per iteration."""
+    by_cell: dict[int, list[tuple[int, float]]] = {}
+    for r in cells.select("cell", "dim", "c_val").collect():
+        by_cell.setdefault(int(r["cell"]), []).append(
+            (int(r["dim"]), float(r["c_val"]))
+        )
+    return [
+        (cell, [v for _, v in sorted(dims)])
+        for cell, dims in sorted(by_cell.items())
+    ]
+
+
 def sql_kmeans_cells(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """DuckDB twin: the same iterations unrolled as CTEs. Assignment
     uses a row_number argmin ordered by (score, cell) — semantically

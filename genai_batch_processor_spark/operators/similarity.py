@@ -215,19 +215,24 @@ def topk_ivf(
     k: int = TOPK_DEFAULT,
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBES,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to their
     nearest 'centroid' cell; queries probe their ``n_probe`` nearest
     cells and score only within them.
 
-    Centroids here are the first ``n_cells`` corpus vectors — a
-    deterministic stand-in for trained k-means centroids (training is an
-    offline step; the SEARCH dataflow is identical). They are collected
-    to the driver (tiny: n_cells × dim floats) and inlined as literals,
-    so cell assignment is shuffle-free per-row math. Expected compute
-    drops to ~n_probe/n_cells of brute force; recall < 1 by design.
+    Pass ``centroids`` (the (cell, vector) list
+    ``operators/clustering.py:centroids_from_cells`` builds from a
+    trained ``kmeans_cells`` relation) to search real IVF cells — the
+    production path, where recall depends on trained cells. Without it,
+    the first ``n_cells`` corpus vectors stand in deterministically
+    (training is an offline step; the SEARCH dataflow is identical).
+    Either way centroids live on the driver (tiny: n_cells × dim) and
+    are inlined as literals, so cell assignment is shuffle-free per-row
+    math. Expected compute drops to ~n_probe/n_cells of brute force;
+    recall < 1 by design.
     """
-    cents = [
+    cents = centroids if centroids is not None else [
         (r[id_col], list(r[vec_col]))
         for r in corpus.filter(F.col(id_col) < n_cells).collect()
     ]

@@ -1211,6 +1211,43 @@ from genai_batch_processor_spark.operators import clustering as _clu
 
 ORACLES["kmeans_cells"] = _clu.sql_kmeans_cells()
 
+# Trained-IVF search: the SAME unrolled training replayed as a derived
+# table (bit-identical centroids via scaled-integer means), then the
+# IVF assign/probe/score dataflow of embedding_topk_ivf over it.
+ORACLES["embedding_topk_ivf_trained"] = f"""
+    WITH cent_long AS (
+      SELECT * FROM ({_clu.sql_kmeans_cells()})
+    ), cent AS (
+      SELECT cell, list(c_val ORDER BY dim) AS cv
+      FROM cent_long GROUP BY cell
+    ), assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS nvec,
+             (SELECT c.cell FROM cent c
+              ORDER BY {_COS_CE} DESC, c.cell LIMIT 1) AS cell
+      FROM embeddings e
+    ), probed AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, p.cell
+      FROM embeddings q,
+           LATERAL (
+             SELECT c.cell FROM cent c
+             ORDER BY {_COS_CQ} DESC, c.cell LIMIT {_IVF_PROBES}
+           ) p
+      WHERE q.vec_id < {_ANN_N_QUERIES}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {vec.sql_cosine('p.qv', 'a.nvec')} AS cos
+      FROM probed p JOIN assigned a ON p.cell = a.cell
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INT) AS "rank",
+           round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY "rank" <= 5
+"""
+
 # Stream-stream interval join twin: plain batch self-join in micros
 # (both engines compare micros-truncated event times).
 ORACLES["click_purchase_stream"] = """
@@ -1670,4 +1707,38 @@ ORACLES["source_diversity"] = """
                           * CAST(sum(n) AS DECIMAL(19,0)) AS DOUBLE)
              AS gini_simpson
     FROM per GROUP BY source
+"""
+
+# ANN recall@k: every approximate method's oracle replayed as a derived
+# table, tagged, unioned and LEFT-joined against the brute-force truth.
+# Composed from the SAME oracle strings the individual queries use, so
+# the recall contract can never drift from the per-method contracts.
+ORACLES["embedding_ann_recall"] = f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({ORACLES["embedding_topk"]})
+    ), tagged AS (
+      SELECT 'int8' AS method, query_id, neighbor_id
+      FROM ({ORACLES["embedding_topk_int8"]})
+      UNION ALL
+      SELECT 'ivf', query_id, neighbor_id
+      FROM ({ORACLES["embedding_topk_ivf"]})
+      UNION ALL
+      SELECT 'ivf_trained', query_id, neighbor_id
+      FROM ({ORACLES["embedding_topk_ivf_trained"]})
+      UNION ALL
+      SELECT 'lsh', query_id, neighbor_id
+      FROM ({ORACLES["embedding_topk_lsh"]})
+    )
+    SELECT g.method,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    FROM tagged g
+    LEFT JOIN truth t
+      ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+    GROUP BY g.method
 """

@@ -609,6 +609,84 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(emb, queries)
 
 
+def q_embedding_topk_ivf_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF top-5 over TRAINED cells: kmeans_cells (2 Lloyd iterations,
+    operators/clustering.py) supplies the centroid relation, collected
+    once (k × dim doubles) and inlined into the shuffle-free cell
+    assignment — the trainer → index wiring the literal-centroid
+    stand-in (embedding_topk_ivf) defers. The DuckDB oracle replays the
+    exact training iterations (scaled-integer means ⇒ bit-identical
+    centroids), so assignment, probing and ranking all match."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.topk_ivf(emb, qs, centroids=cents)
+
+
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN path against the brute-force
+    truth — the quality contract of the scale paths: at 100 TB only the
+    approximate variants are viable, so their recall must be MEASURED,
+    not assumed. Deterministic inputs ⇒ exact expected recall, so the
+    oracle pins it to the bit.
+
+    Shape: each method's (query_id, neighbor_id) pairs are tagged and
+    unioned, LEFT-joined against the (bounded: n_queries × k rows,
+    broadcast) truth set, then one tiny per-method aggregate. The
+    denominator |truth| rides along as a broadcast 1-row aggregate —
+    no driver collect anywhere."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    truth = similarity.topk_bruteforce(emb, qs).select(
+        "query_id", "neighbor_id"
+    )
+    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    methods = {
+        "int8": similarity.topk_int8(emb, qs),
+        "ivf": similarity.topk_ivf(emb, qs),
+        "ivf_trained": similarity.topk_ivf(emb, qs, centroids=cents),
+        "lsh": similarity.topk_lsh(emb, qs),
+    }
+    tagged = None
+    for name, df in methods.items():
+        part = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    n_truth = F.broadcast(
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    return (
+        hits.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+        .crossJoin(n_truth)
+        .select(
+            "method",
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click joined to the user's most recent prior (or
     simultaneous) purchase; age of that purchase in micros."""
@@ -2324,6 +2402,8 @@ QUERIES: dict[str, callable] = {
     "top_customers_per_nation": q_top_customers_per_nation,
     "customer_order_setops": q_customer_order_setops,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    "embedding_ann_recall": q_embedding_ann_recall,
     "events_asof": q_events_asof,
     "vertex_responses": q_vertex_responses,
     "lang_source_rollup": q_lang_source_rollup,
