@@ -36,6 +36,27 @@ def _documents_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.assign_ids(docs, "doc_id")
 
 
+# Verified MinHash near-dup pairs, shared by near_dup_pairs /
+# dedup_components / dedup_components_star / dedup_survivors. Each of
+# those used to re-shingle and re-hash the whole corpus; the pair
+# relation is tiny (one row per verified duplicate pair), so persist it
+# once per (session, sf_dir) and every family member after the first
+# reads the materialized stage instead of recomputing the signature
+# scan. At 100 TB the same seam is a parquet temp table written by the
+# signature job and scanned by the downstream dedup jobs.
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = dedup.near_dup_pairs(docs, "doc_id", "text").persist()
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 def _request_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ids → prompt → typed request struct (#3-#6, #33-34)."""
     docs = _documents_with_ids(spark, sf_dir)
@@ -241,17 +262,16 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicates, Jaccard-verified at ≥ 0.8."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs(docs, "doc_id", "text")
+    """MinHash-LSH near-duplicates, Jaccard-verified at ≥ 0.8 (shared
+    materialized stage — see _near_dup_pairs_shared)."""
+    return _near_dup_pairs_shared(spark, sf_dir)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the verified
     MinHash-LSH pair graph (iterative min-label propagation; DuckDB twin
     is a recursive-CTE transitive closure)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
     return dedup.connected_components(pairs)
 
 
@@ -261,8 +281,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrarily deep pair graphs where label propagation needs
     diameter-many. Shares dedup_components' oracle: both algorithms must
     produce identical labels."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
     return dedup.connected_components_star(pairs)
 
 
@@ -270,7 +289,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup: one survivor (min id) per near-dup component,
     singletons kept."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
     comps = dedup.connected_components(pairs)
     return dedup.dedup_survivors(docs, comps, "doc_id").select(
         "doc_id", "lang", "source"
