@@ -211,11 +211,28 @@ def run_job(
         time.sleep(poll_interval_seconds)
 
     states = {backend.status(b) for b in job.batch_ids}
-    job.state = "completed" if states == {"completed"} else "failed"
-    job.save(manifest_dir)
-    if job.state != "completed":
+    if states != {"completed"}:
+        job.state = "failed"
+        job.save(manifest_dir)
         raise RuntimeError(f"{job.job_id}: terminal states {states}")
+    # fetch BEFORE marking completed: a crash mid-download leaves the
+    # manifest resumable (resume_job re-polls — instant, already
+    # terminal — and re-fetches) instead of completed-but-empty.
+    _fetch_results(backend, job)
+    job.state = "completed"
+    job.save(manifest_dir)
     return job
+
+
+def _fetch_results(backend: BatchBackend, job: JobManifest) -> None:
+    """Remote-wire backends (OpenAI Files+Batches) hold results server-
+    side until downloaded (the oai:206-238 retrieve step); backends that
+    already wrote ``output_path`` during submit (the local mocks, Vertex
+    writing straight to GCS/BQ) expose no ``fetch`` and skip."""
+    fetch = getattr(backend, "fetch", None)
+    if fetch is not None:
+        for b in job.batch_ids:
+            fetch(b, job.output_path)
 
 
 def resume_job(
@@ -250,8 +267,11 @@ def resume_job(
         time.sleep(poll_interval_seconds)
 
     states = {backend.status(b) for b in job.batch_ids}
-    job.state = "completed" if states == {"completed"} else "failed"
-    job.save(manifest_dir)
-    if job.state != "completed":
+    if states != {"completed"}:
+        job.state = "failed"
+        job.save(manifest_dir)
         raise RuntimeError(f"{job_id}: terminal states {states}")
+    _fetch_results(backend, job)
+    job.state = "completed"
+    job.save(manifest_dir)
     return job

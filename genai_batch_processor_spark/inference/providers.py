@@ -1,0 +1,402 @@
+"""Real provider wire backends behind the :class:`BatchBackend` protocol.
+
+The reference drives OpenAI Files+Batches through the `openai` SDK
+(``openai_batch_processor.py:150-203``) and Vertex batch prediction
+through `google-genai` (``vertex_ai_batch_processor.py:178-236``). Here
+the same public wire formats are spoken directly over a tiny injectable
+:class:`Transport` seam (stdlib urllib in production), so
+
+- the wire-format code is REAL — request shapes, auth headers, state
+  machines — and unit-testable against a recorded/fake transport with
+  zero network (this container has none);
+- Spark never sees any of it: these are driver-side control-plane
+  calls; the data plane stays JSONL shards the sinks already write.
+
+State mapping lands on the orchestrator's terminal set
+(``openai_batch_processor.py:199``): OpenAI's in-flight states
+(validating / in_progress / finalizing / cancelling) report as
+``in_progress``; Vertex's ``JOB_STATE_*`` set
+(``vertex_ai_batch_processor.py:225``) maps onto
+completed/failed/cancelled.
+
+Improvements over the reference, consistent with the orchestrator:
+multi-shard submit (one provider job per JSONL shard — the reference
+uploads exactly one file, ``oai:136``), the optional sync pre-flight
+probe (``oai:92-125``) aborts BEFORE any upload, and no exception
+swallowing anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Callable, Protocol
+
+
+class TransportError(RuntimeError):
+    """Non-2xx provider response (except 400 → :class:`BadRequest`)."""
+
+
+class BadRequest(ValueError):
+    """HTTP 400 — the reference's BadRequestError abort path (oai:119)."""
+
+
+class Transport(Protocol):
+    """Minimal HTTP seam: implementations must not raise on HTTP error
+    statuses — return (status, body) and let callers decide."""
+
+    def request(
+        self,
+        method: str,
+        url: str,
+        headers: dict[str, str],
+        body: bytes | None = None,
+    ) -> tuple[int, bytes]: ...
+
+
+class UrllibTransport:
+    """stdlib transport — no third-party HTTP dependency."""
+
+    def __init__(self, timeout_seconds: float = 60.0):
+        self.timeout_seconds = timeout_seconds
+
+    def request(
+        self,
+        method: str,
+        url: str,
+        headers: dict[str, str],
+        body: bytes | None = None,
+    ) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=body, headers=headers, method=method
+        )
+        try:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout_seconds
+            ) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:  # non-2xx: surface, don't raise
+            return e.code, e.read()
+
+
+def _multipart(
+    fields: dict[str, str], file_field: str, filename: str, data: bytes
+) -> tuple[bytes, str]:
+    """multipart/form-data body + content-type for files.create."""
+    boundary = f"----spark-graft-{uuid.uuid4().hex}"
+    parts: list[bytes] = []
+    for k, v in fields.items():
+        parts.append(
+            (
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'
+            ).encode()
+        )
+    parts.append(
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="{file_field}"; '
+            f'filename="{filename}"\r\n'
+            "Content-Type: application/jsonl\r\n\r\n"
+        ).encode()
+    )
+    parts.append(data)
+    parts.append(f"\r\n--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _local_shards(input_path: str) -> list[str]:
+    """JSONL shard files under a sink path (dir of part files, or one
+    file) — sorted so batch ids line up with shard order."""
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith((".jsonl", ".json", ".txt"))
+            or f.startswith("part-")
+        )
+    return [input_path]
+
+
+# OpenAI wire statuses that are still in flight (everything terminal is
+# the oai:199 set the orchestrator polls for).
+_OPENAI_PENDING = {"validating", "in_progress", "finalizing", "cancelling"}
+
+
+class OpenAIBatchBackend:
+    """OpenAI (or Azure OpenAI) Files+Batches over the raw REST wire.
+
+    submit = [optional sync probe] → files.create(purpose="batch") →
+    batches.create(endpoint, completion_window="24h") per shard
+    (``oai:150-182``); status = batches.retrieve → status string
+    (``oai:184-203``); fetch = files.content(output_file_id) →
+    ``{output_path}/{batch_id}.jsonl`` (``oai:206-238``).
+
+    Config mirrors the reference's client setup (``oai:39-77``):
+    OpenAI key from the arg or ``OPENAI_API_KEY``; passing
+    ``azure_endpoint`` switches to Azure OpenAI (key from
+    ``AZURE_OPENAI_API_KEY``, ``api-key`` header, ``api-version``
+    query, deployment-name model rewrite handled upstream by the
+    request projection)."""
+
+    def __init__(
+        self,
+        api_key: str | None = None,
+        *,
+        base_url: str = "https://api.openai.com/v1",
+        endpoint: str = "/v1/chat/completions",
+        completion_window: str = "24h",
+        azure_endpoint: str | None = None,
+        api_version: str = "2024-02-01",
+        preflight: bool = False,
+        transport: Transport | None = None,
+    ):
+        self.is_azure = azure_endpoint is not None
+        if self.is_azure:
+            api_key = api_key or os.getenv("AZURE_OPENAI_API_KEY")
+            if not api_key:
+                raise ValueError(
+                    "Azure OpenAI API key required (arg or "
+                    "AZURE_OPENAI_API_KEY)"
+                )
+            self.base_url = azure_endpoint.rstrip("/") + "/openai"
+        else:
+            api_key = api_key or os.getenv("OPENAI_API_KEY")
+            if not api_key:
+                raise ValueError(
+                    "OpenAI API key required (arg or OPENAI_API_KEY)"
+                )
+            self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.endpoint = endpoint
+        self.completion_window = completion_window
+        self.api_version = api_version
+        self.preflight = preflight
+        self.transport = transport or UrllibTransport()
+
+    # -- wire plumbing -----------------------------------------------------
+
+    def _url(self, path: str) -> str:
+        url = f"{self.base_url}{path}"
+        if self.is_azure:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}api-version={self.api_version}"
+        return url
+
+    def _headers(self, content_type: str | None = None) -> dict[str, str]:
+        h = (
+            {"api-key": self.api_key}
+            if self.is_azure
+            else {"Authorization": f"Bearer {self.api_key}"}
+        )
+        if content_type:
+            h["Content-Type"] = content_type
+        return h
+
+    def _call(
+        self,
+        method: str,
+        path: str,
+        payload: dict | None = None,
+        body: bytes | None = None,
+        content_type: str | None = None,
+    ) -> dict:
+        if payload is not None:
+            body = json.dumps(payload).encode()
+            content_type = "application/json"
+        status, raw = self.transport.request(
+            method, self._url(path), self._headers(content_type), body
+        )
+        if status == 400:
+            raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
+        if not 200 <= status < 300:
+            raise TransportError(
+                f"{method} {path} -> HTTP {status}: "
+                f"{raw[:500].decode(errors='replace')}"
+            )
+        return json.loads(raw) if raw else {}
+
+    def _raw(self, method: str, path: str) -> bytes:
+        status, raw = self.transport.request(
+            method, self._url(path), self._headers()
+        )
+        if not 200 <= status < 300:
+            raise TransportError(f"{method} {path} -> HTTP {status}")
+        return raw
+
+    # -- BatchBackend ------------------------------------------------------
+
+    def validate(self, request_body: dict) -> None:
+        """Sync pre-flight probe (oai:92-125): one real
+        chat.completions call with a sample body; BadRequest aborts the
+        whole submit BEFORE any upload."""
+        self._call("POST", "/chat/completions", payload=request_body)
+
+    def submit(
+        self, input_path: str, output_path: str, meta: dict
+    ) -> list[str]:
+        shards = _local_shards(input_path)
+        if not shards:
+            raise ValueError(f"no JSONL shards under {input_path}")
+        if self.preflight:
+            with open(shards[0], "rb") as f:
+                first = f.readline()
+            if first.strip():
+                self.validate(json.loads(first)["body"])
+        batch_ids: list[str] = []
+        for shard in shards:
+            with open(shard, "rb") as f:
+                data = f.read()
+            body, ctype = _multipart(
+                {"purpose": "batch"}, "file", os.path.basename(shard), data
+            )
+            file_id = self._call(
+                "POST", "/files", body=body, content_type=ctype
+            )["id"]
+            batch = self._call(
+                "POST",
+                "/batches",
+                payload={
+                    "input_file_id": file_id,
+                    "endpoint": self.endpoint,
+                    "completion_window": self.completion_window,
+                    "metadata": meta or None,
+                },
+            )
+            batch_ids.append(batch["id"])
+        return batch_ids
+
+    def status(self, batch_id: str) -> str:
+        s = self._call("GET", f"/batches/{batch_id}")["status"]
+        return "in_progress" if s in _OPENAI_PENDING else s
+
+    def fetch(self, batch_id: str, output_path: str) -> None:
+        """Download a completed batch's output (and error) JSONL into
+        ``output_path`` — the oai:206-238 retrieve step, one file per
+        batch so multi-shard jobs land as a shard set the result scan
+        already reads."""
+        batch = self._call("GET", f"/batches/{batch_id}")
+        os.makedirs(output_path, exist_ok=True)
+        for key, suffix in (
+            ("output_file_id", ".jsonl"),
+            ("error_file_id", ".errors.jsonl"),
+        ):
+            fid = batch.get(key)
+            if fid:
+                raw = self._raw("GET", f"/files/{fid}/content")
+                dest = os.path.join(output_path, f"{batch_id}{suffix}")
+                with open(dest, "wb") as f:
+                    f.write(raw)
+
+
+# Vertex JOB_STATE_* → orchestrator terminal set (vtx:225).
+_VERTEX_STATE = {
+    "JOB_STATE_SUCCEEDED": "completed",
+    "JOB_STATE_FAILED": "failed",
+    "JOB_STATE_CANCELLED": "cancelled",
+    "JOB_STATE_EXPIRED": "expired",
+}
+
+
+class VertexBatchBackend:
+    """Vertex AI batch prediction over the public REST wire.
+
+    submit = one batchPredictionJobs.create per call with gs:// or
+    bq:// src/dest dispatch (``vtx:178-202``, output-location dispatch
+    ``vtx:288``); status = jobs.get → JOB_STATE_* mapped onto the
+    terminal set SUCCEEDED/FAILED/CANCELLED (``vtx:204-236``).
+
+    Auth is a bearer-token provider callable: in production that is
+    ``google.auth`` token refresh (not vendored here — this container
+    is offline); tests inject a constant. Vertex reads inputs from GCS/
+    BigQuery server-side, so unlike OpenAI there is no upload step —
+    the JSONL sink already wrote the shards to ``input_path`` (the
+    path-scheme-agnostic sink handles gs://)."""
+
+    def __init__(
+        self,
+        project_id: str,
+        model: str,
+        token_provider: Callable[[], str],
+        *,
+        location: str = "us-central1",
+        transport: Transport | None = None,
+    ):
+        if not project_id:
+            raise ValueError("a Google Cloud project_id is required")
+        self.project_id = project_id
+        self.model = model
+        self.location = location
+        self.token_provider = token_provider
+        self.transport = transport or UrllibTransport()
+        self.base_url = (
+            f"https://{location}-aiplatform.googleapis.com/v1"
+        )
+        self.parent = f"projects/{project_id}/locations/{location}"
+
+    def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
+        body = json.dumps(payload).encode() if payload is not None else None
+        headers = {
+            "Authorization": f"Bearer {self.token_provider()}",
+            "Content-Type": "application/json",
+        }
+        status, raw = self.transport.request(
+            method, f"{self.base_url}/{path}", headers, body
+        )
+        if status == 400:
+            raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
+        if not 200 <= status < 300:
+            raise TransportError(
+                f"{method} {path} -> HTTP {status}: "
+                f"{raw[:500].decode(errors='replace')}"
+            )
+        return json.loads(raw) if raw else {}
+
+    @staticmethod
+    def _io_config(uri: str, is_input: bool) -> dict:
+        """gs:// vs bq:// dispatch, the vtx:288 output-location branch
+        applied symmetrically to inputs."""
+        if uri.startswith("bq://"):
+            key = "bigquerySource" if is_input else "bigqueryDestination"
+            field = "inputUri" if is_input else "outputUri"
+            cfg: dict = {key: {field: uri}}
+            if is_input:
+                cfg["instancesFormat"] = "bigquery"
+            else:
+                cfg["predictionsFormat"] = "bigquery"
+            return cfg
+        if uri.startswith("gs://"):
+            if is_input:
+                return {
+                    "instancesFormat": "jsonl",
+                    "gcsSource": {"uris": [uri]},
+                }
+            return {
+                "predictionsFormat": "jsonl",
+                "gcsDestination": {"outputUriPrefix": uri},
+            }
+        raise ValueError(f"Vertex batch URIs must be gs:// or bq://: {uri}")
+
+    def submit(
+        self, input_path: str, output_path: str, meta: dict
+    ) -> list[str]:
+        payload = {
+            "displayName": meta.get(
+                "display_name", f"spark-graft-{uuid.uuid4().hex[:8]}"
+            ),
+            "model": self.model,
+            "inputConfig": self._io_config(input_path, is_input=True),
+            "outputConfig": self._io_config(output_path, is_input=False),
+        }
+        job = self._call(
+            "POST", f"{self.parent}/batchPredictionJobs", payload
+        )
+        return [job["name"]]
+
+    def status(self, batch_id: str) -> str:
+        job = self._call("GET", batch_id)
+        return _VERTEX_STATE.get(job.get("state", ""), "in_progress")

@@ -1,0 +1,346 @@
+"""Wire-format tests for the real provider backends (inference/providers.py)
+against a recorded fake transport — the network seam stays mocked, the
+request shapes / auth headers / state machines / retrieve step are real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from genai_batch_processor_spark.inference import orchestrator
+from genai_batch_processor_spark.inference.providers import (
+    BadRequest,
+    OpenAIBatchBackend,
+    TransportError,
+    VertexBatchBackend,
+)
+
+
+class FakeTransport:
+    """Routes by (method, url-substring); records every call in order."""
+
+    def __init__(self, handler):
+        self.handler = handler
+        self.calls: list[tuple[str, str, dict, bytes | None]] = []
+
+    def request(self, method, url, headers, body=None):
+        self.calls.append((method, url, headers, body))
+        status, payload = self.handler(method, url, body)
+        if isinstance(payload, (dict, list)):
+            payload = json.dumps(payload).encode()
+        return status, payload
+
+    def paths(self):
+        return [(m, u.split("?")[0]) for m, u, _, _ in self.calls]
+
+
+def _shard_dir(tmp_path, n=2):
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(n):
+        (d / f"part-{i:05d}.jsonl").write_text(
+            json.dumps(
+                {
+                    "custom_id": f"request-{i}",
+                    "method": "POST",
+                    "url": "/v1/chat/completions",
+                    "body": {"model": "gpt-4o-mini", "messages": []},
+                }
+            )
+            + "\n"
+        )
+    return str(d)
+
+
+def _openai_handler(state):
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/files") and method == "POST":
+            state["uploads"] = state.get("uploads", 0) + 1
+            return 200, {"id": f"file-{state['uploads']}"}
+        if url.endswith("/batches") and method == "POST":
+            state["batches"] = state.get("batches", 0) + 1
+            return 200, {
+                "id": f"batch-{state['batches']}",
+                "status": "validating",
+            }
+        raise AssertionError(f"unexpected call {method} {url}")
+
+    return handler
+
+
+def test_openai_submit_uploads_each_shard_then_creates_batches(tmp_path):
+    state: dict = {}
+    t = FakeTransport(_openai_handler(state))
+    b = OpenAIBatchBackend("sk-test", transport=t)
+    ids = b.submit(_shard_dir(tmp_path), str(tmp_path / "out"), {"k": "v"})
+    assert ids == ["batch-1", "batch-2"]
+    # upload → create, interleaved per shard, nothing else
+    assert [p for _, p in t.paths()] == [
+        "https://api.openai.com/v1/files",
+        "https://api.openai.com/v1/batches",
+        "https://api.openai.com/v1/files",
+        "https://api.openai.com/v1/batches",
+    ]
+    m, u, h, body = t.calls[0]
+    assert h["Authorization"] == "Bearer sk-test"
+    assert b"multipart/form-data" not in body  # boundary only in header
+    assert b'name="purpose"\r\n\r\nbatch' in body
+    assert b"request-0" in body  # the shard bytes rode along
+    create = json.loads(t.calls[1][3])
+    assert create["endpoint"] == "/v1/chat/completions"
+    assert create["completion_window"] == "24h"
+    assert create["metadata"] == {"k": "v"}
+    assert create["input_file_id"] == "file-1"
+
+
+def test_openai_status_maps_pending_states(tmp_path):
+    statuses = iter(["validating", "in_progress", "finalizing", "completed"])
+
+    def handler(method, url, body):
+        return 200, {"id": "batch-1", "status": next(statuses)}
+
+    b = OpenAIBatchBackend("sk-test", transport=FakeTransport(handler))
+    assert b.status("batch-1") == "in_progress"
+    assert b.status("batch-1") == "in_progress"
+    assert b.status("batch-1") == "in_progress"
+    assert b.status("batch-1") == "completed"
+
+
+def test_openai_fetch_downloads_output_and_error_files(tmp_path):
+    out_lines = b'{"custom_id": "request-0"}\n'
+    err_lines = b'{"custom_id": "request-9"}\n'
+
+    def handler(method, url, body):
+        if url.endswith("/batches/batch-1"):
+            return 200, {
+                "id": "batch-1",
+                "status": "completed",
+                "output_file_id": "f-out",
+                "error_file_id": "f-err",
+            }
+        if url.endswith("/files/f-out/content"):
+            return 200, out_lines
+        if url.endswith("/files/f-err/content"):
+            return 200, err_lines
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend("sk-test", transport=FakeTransport(handler))
+    dest = str(tmp_path / "results")
+    b.fetch("batch-1", dest)
+    assert open(os.path.join(dest, "batch-1.jsonl"), "rb").read() == out_lines
+    assert (
+        open(os.path.join(dest, "batch-1.errors.jsonl"), "rb").read()
+        == err_lines
+    )
+
+
+def test_openai_preflight_probes_before_upload_and_aborts_on_400(tmp_path):
+    def reject(method, url, body):
+        if url.endswith("/chat/completions"):
+            return 400, {"error": {"message": "unsupported parameter"}}
+        raise AssertionError("uploaded despite failed probe")
+
+    t = FakeTransport(reject)
+    b = OpenAIBatchBackend("sk-test", preflight=True, transport=t)
+    with pytest.raises(BadRequest):
+        b.submit(_shard_dir(tmp_path), str(tmp_path / "out"), {})
+    assert [p for _, p in t.paths()] == [
+        "https://api.openai.com/v1/chat/completions"
+    ]
+
+
+def test_openai_preflight_success_then_uploads(tmp_path):
+    state: dict = {}
+    inner = _openai_handler(state)
+
+    def handler(method, url, body):
+        if url.endswith("/chat/completions"):
+            # the probe body is the first request line's body
+            assert json.loads(body)["model"] == "gpt-4o-mini"
+            return 200, {"id": "chatcmpl-1"}
+        return inner(method, url, body)
+
+    t = FakeTransport(handler)
+    b = OpenAIBatchBackend("sk-test", preflight=True, transport=t)
+    ids = b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    assert ids == ["batch-1"]
+    assert [p for _, p in t.paths()][0].endswith("/chat/completions")
+
+
+def test_openai_non_2xx_raises_transport_error(tmp_path):
+    b = OpenAIBatchBackend(
+        "sk-test", transport=FakeTransport(lambda m, u, bd: (500, b"boom"))
+    )
+    with pytest.raises(TransportError, match="HTTP 500"):
+        b.status("batch-1")
+
+
+def test_azure_url_shape_and_header(tmp_path):
+    state: dict = {}
+    t = FakeTransport(_openai_handler(state))
+    b = OpenAIBatchBackend(
+        "azkey",
+        azure_endpoint="https://myres.openai.azure.com",
+        transport=t,
+    )
+    b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    m, url, h, _ = t.calls[0]
+    assert url == (
+        "https://myres.openai.azure.com/openai/files"
+        "?api-version=2024-02-01"
+    )
+    assert h["api-key"] == "azkey"
+    assert "Authorization" not in h
+
+
+def test_run_job_polls_then_fetches_results(tmp_path):
+    """Full orchestrator lifecycle over the OpenAI wire: submit →
+    in_progress poll → completed → results downloaded → manifest
+    completed."""
+    polls = {"n": 0}
+
+    def handler(method, url, body):
+        if url.endswith("/files") and method == "POST":
+            return 200, {"id": "file-1"}
+        if url.endswith("/batches") and method == "POST":
+            return 200, {"id": "batch-1", "status": "validating"}
+        if url.endswith("/batches/batch-1"):
+            polls["n"] += 1
+            s = "in_progress" if polls["n"] < 2 else "completed"
+            return 200, {
+                "id": "batch-1",
+                "status": s,
+                "output_file_id": "f-out" if s == "completed" else None,
+            }
+        if url.endswith("/files/f-out/content"):
+            return 200, b'{"custom_id": "request-0"}\n'
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend("sk-test", transport=FakeTransport(handler))
+    out = str(tmp_path / "results")
+    job = orchestrator.run_job(
+        b,
+        input_path=_shard_dir(tmp_path, n=1),
+        output_path=out,
+        manifest_dir=str(tmp_path / "manifests"),
+        poll_interval_seconds=0.01,
+    )
+    assert job.state == "completed"
+    assert os.path.exists(os.path.join(out, "batch-1.jsonl"))
+    reloaded = orchestrator.JobManifest.load(
+        str(tmp_path / "manifests"), job.job_id
+    )
+    assert reloaded.state == "completed"
+    assert reloaded.batch_ids == ["batch-1"]
+
+
+def test_resume_job_repolls_and_fetches(tmp_path):
+    """Crash-after-submit recovery: a submitted manifest + a FRESH
+    backend resumes by batch id (no resubmit — no POST calls at all)
+    and still downloads results."""
+    manifest_dir = str(tmp_path / "manifests")
+    job = orchestrator.JobManifest(
+        job_id="job-resume",
+        input_path="unused",
+        output_path=str(tmp_path / "results"),
+        state="submitted",
+        batch_ids=["batch-7"],
+    )
+    job.save(manifest_dir)
+
+    def handler(method, url, body):
+        assert method == "GET", "resume must never resubmit"
+        if url.endswith("/batches/batch-7"):
+            return 200, {
+                "id": "batch-7",
+                "status": "completed",
+                "output_file_id": "f-out",
+            }
+        if url.endswith("/files/f-out/content"):
+            return 200, b'{"custom_id": "request-0"}\n'
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend("sk-test", transport=FakeTransport(handler))
+    got = orchestrator.resume_job(
+        b,
+        manifest_dir=manifest_dir,
+        job_id="job-resume",
+        poll_interval_seconds=0.01,
+    )
+    assert got.state == "completed"
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "results"), "batch-7.jsonl")
+    )
+
+
+def test_vertex_submit_gcs_and_status_mapping():
+    created = {}
+
+    def handler(method, url, body):
+        if url.endswith("/batchPredictionJobs") and method == "POST":
+            created.update(json.loads(body))
+            return 200, {
+                "name": "projects/p1/locations/us-central1/"
+                "batchPredictionJobs/123",
+                "state": "JOB_STATE_PENDING",
+            }
+        if "batchPredictionJobs/123" in url and method == "GET":
+            return 200, {"state": created.get("__state", "JOB_STATE_RUNNING")}
+        raise AssertionError(url)
+
+    t = FakeTransport(handler)
+    b = VertexBatchBackend(
+        "p1", "gemini-2.0-flash-001", lambda: "tok-1", transport=t
+    )
+    ids = b.submit("gs://bkt/in/req.jsonl", "gs://bkt/out/", {})
+    assert ids == ["projects/p1/locations/us-central1/batchPredictionJobs/123"]
+    assert created["model"] == "gemini-2.0-flash-001"
+    assert created["inputConfig"] == {
+        "instancesFormat": "jsonl",
+        "gcsSource": {"uris": ["gs://bkt/in/req.jsonl"]},
+    }
+    assert created["outputConfig"] == {
+        "predictionsFormat": "jsonl",
+        "gcsDestination": {"outputUriPrefix": "gs://bkt/out/"},
+    }
+    m, url, h, _ = t.calls[0]
+    assert h["Authorization"] == "Bearer tok-1"
+    assert url.startswith(
+        "https://us-central1-aiplatform.googleapis.com/v1/projects/p1/"
+    )
+
+    assert b.status(ids[0]) == "in_progress"
+    created["__state"] = "JOB_STATE_SUCCEEDED"
+    assert b.status(ids[0]) == "completed"
+    created["__state"] = "JOB_STATE_FAILED"
+    assert b.status(ids[0]) == "failed"
+
+
+def test_vertex_bigquery_io_dispatch():
+    def handler(method, url, body):
+        return 200, {"name": "projects/p/jobs/1", "state": "JOB_STATE_PENDING"}
+
+    b = VertexBatchBackend(
+        "p1", "gemini-2.0-flash-001", lambda: "tok", transport=FakeTransport(handler)
+    )
+    cfg_in = b._io_config("bq://p1.ds.input", is_input=True)
+    assert cfg_in == {
+        "instancesFormat": "bigquery",
+        "bigquerySource": {"inputUri": "bq://p1.ds.input"},
+    }
+    cfg_out = b._io_config("bq://p1.ds.output", is_input=False)
+    assert cfg_out == {
+        "predictionsFormat": "bigquery",
+        "bigqueryDestination": {"outputUri": "bq://p1.ds.output"},
+    }
+    with pytest.raises(ValueError, match="gs:// or bq://"):
+        b._io_config("/local/path", is_input=True)
+
+
+def test_vertex_requires_project():
+    with pytest.raises(ValueError, match="project_id"):
+        VertexBatchBackend("", "m", lambda: "t")
