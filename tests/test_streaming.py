@@ -110,6 +110,139 @@ def test_foreach_batch_sink_idempotent_restart(spark, sf_dir, tmp_path):
     assert snapshot() == first
 
 
+def _write_tick(df, stream_dir: str) -> None:
+    """Drop one parquet file into the watched dir (one arrival tick)."""
+    df.coalesce(1).write.mode("append").parquet(stream_dir)
+
+
+def test_watermark_and_emissions_across_stream_restarts(
+    spark, sf_dir, tmp_path
+):
+    """Files arriving across SEPARATE stream runs: each tick drops one
+    file and drains availableNow from the SAME checkpoint. Pins that
+    (a) the watermark persists across restarts — tick N's run closes
+    and emits windows from tick N-1's data, (b) append mode emits every
+    closed window exactly once ACROSS runs (no duplicate, no loss), and
+    (c) the final union equals the batch answer for all closed windows.
+    The single-drain tests above can't see any of this: they never
+    restart from a populated checkpoint."""
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    days = sorted(
+        r[0] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 3, "fixture must span 3+ days"
+    c1, c2 = days[len(days) // 3], days[2 * len(days) // 3]
+    ticks = [
+        ev.filter(F.to_date("ts") < F.lit(c1)),
+        ev.filter((F.to_date("ts") >= F.lit(c1)) & (F.to_date("ts") < F.lit(c2))),
+        ev.filter(F.to_date("ts") >= F.lit(c2)),
+    ]
+    assert all(t.count() > 0 for t in ticks)
+
+    stream_dir = str(tmp_path / "ev_ticks")
+    ckpt = str(tmp_path / "ckpt_ticks")
+    emitted_per_tick: list[dict] = []
+    for tick_df in ticks:
+        _write_tick(tick_df, stream_dir)
+        got: dict = {}
+
+        def sink(df, eid, _got=got):
+            for r in df.collect():
+                key = (r.hour, r.event_type)
+                assert key not in _got, f"duplicate emission {key}"
+                _got[key] = (r.n, r.total_value)
+
+        q = (
+            sw.hourly_counts(sw.stream_events(spark, stream_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted_per_tick.append(got)
+
+    # (a) restart handoff: tick 2's run emits windows whose data arrived
+    # in tick 1 (the watermark advanced past them only once tick 2's
+    # events were seen) — proves watermark state survived the restart
+    t1_hours = {
+        r[0]
+        for r in ticks[0]
+        .select(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .distinct()
+        .collect()
+    }
+    tick2_emitted = set(emitted_per_tick[1])
+    assert any(h in {k[0] for k in tick2_emitted} for h in t1_hours)
+
+    # (b)+(c) exactly-once across runs, values = batch truth for every
+    # window the final watermark closed
+    union: dict = {}
+    for gt in emitted_per_tick:
+        dup = set(union) & set(gt)
+        assert not dup, f"windows emitted twice across runs: {dup}"
+        union.update(gt)
+    batch = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in queries.q_events_hourly(spark, sf_dir).collect()
+    }
+    for k in union:
+        assert union[k] == batch[k], f"value mismatch for {k}"
+    # bulk coverage: everything older than the final 2h watermark
+    # horizon must have been emitted by SOME run (no silent loss);
+    # windows at the tail may legitimately still be open
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm_floor = (max_ts - datetime.timedelta(hours=3)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    missing = {k for k in batch if k[0] < wm_floor and k not in union}
+    assert not missing, f"closed windows never emitted: {sorted(missing)[:5]}"
+
+
+def test_stateful_counts_survive_stream_restarts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState across RESTARTS: per-user running counts
+    must accumulate over three separate availableNow runs from one
+    checkpoint — the state store, not the in-memory session, carries
+    the counts between runs."""
+    ev = load_table(spark, sf_dir, "events")
+    thirds = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    stream_dir = str(tmp_path / "ev_state_ticks")
+    ckpt = str(tmp_path / "ckpt_state_ticks")
+    rows: list = []
+    for tick_df in thirds:
+        _write_tick(tick_df, stream_dir)
+        stats = sw.user_stats_stream(sw.stream_events(spark, stream_dir))
+
+        def sink(df, eid):
+            rows.extend(df.collect())  # the memory sink can't recover
+            # from a checkpoint; foreachBatch can
+
+        with sw.stream_state_partitions(spark):
+            q = (
+                stats.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    final: dict = {}
+    for r in rows:  # update mode: last emission per user wins
+        prev = final.get(r.user_id, -1)
+        final[r.user_id] = max(prev, r.n_events)
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == want
+
+
 def test_watermark_semantics_on_late_batch(spark, sf_dir, tmp_path):
     """Pins Spark's ACTUAL watermark guarantee, which is one-directional:
     data within the watermark is aggregated exactly; data arriving
