@@ -1,0 +1,232 @@
+"""Submit-side batching operators: prompt dedup, shard planning, training order.
+
+Domain rationale: the reference serializes the WHOLE input into one
+JSONL file and submits it as one batch job
+(``openai_batch_processor.py:127-161``, ``vertex_ai_batch_processor.py:
+126-133``). That works for its example-sized inputs; at 100 TB three
+things become first-class relational problems:
+
+1. **Duplicate prompts waste paid tokens.** Batch APIs bill per request;
+   a corpus with a 20% duplicate rate pays 20% extra for identical
+   answers. ``prompt_groups`` collapses the submit set to one
+   representative per distinct prompt key and ``fan_out_responses``
+   restores per-row results afterwards — an exact-dedup + join-back
+   sandwich around the provider boundary.
+2. **Providers cap batch files** (the public OpenAI Batch limit is
+   50,000 requests / 200 MB per file). ``plan_shards`` assigns every
+   row a shard honoring BOTH caps, using a bucket-parallel exclusive
+   prefix sum over the request-byte column — no single-reducer window
+   (same two-job offset composition as ``functions.ids.assign_ids``).
+3. **Training consumption needs a deterministic global shuffle.**
+   ``training_order`` derives (shard, position) from a portable hash of
+   (seed, key): reproducible on any engine, re-runnable without RNG
+   state, and embarrassingly parallel (the only window is partitioned
+   by shard).
+
+All three are pure DataFrame transformations; every hash is the
+portable md5 family (functions/hashing.py) so each operator has an
+exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import hashing
+
+# Public OpenAI Batch API file caps (requests per file / bytes per file).
+OPENAI_MAX_LINES = 50_000
+OPENAI_MAX_BYTES = 200 * 1024 * 1024
+
+
+# -- 1. prompt dedup around the provider boundary ----------------------------
+
+
+def prompt_groups(
+    df: DataFrame, key_col: str, id_col: str = "idx"
+) -> DataFrame:
+    """One row per distinct prompt key: the smallest id in the group is
+    the representative (the request actually submitted), ``n_rows`` its
+    multiplicity. Single hash-aggregate — one shuffle on the prompt key,
+    map-side partials do the heavy lifting on a duplicate-skewed corpus.
+    """
+    return df.groupBy(key_col).agg(
+        F.min(id_col).cast("long").alias("rep_" + id_col),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def representatives(
+    df: DataFrame, key_col: str, id_col: str = "idx"
+) -> DataFrame:
+    """The deduplicated submit set: original rows filtered to the group
+    representatives. Implemented as a semi join on (key, id) — the
+    groups side is the distinct relation, usually far smaller than the
+    input, and broadcast-eligible when the duplicate rate is high."""
+    groups = prompt_groups(df, key_col, id_col)
+    return df.join(
+        groups.select(
+            F.col(key_col),
+            F.col("rep_" + id_col).alias(id_col),
+        ),
+        [key_col, id_col],
+        "left_semi",
+    )
+
+
+def fan_out_responses(
+    responses: DataFrame,
+    mapping: DataFrame,
+    *,
+    rep_col: str,
+    id_col: str = "idx",
+) -> DataFrame:
+    """Expand representative-level responses back to every original row.
+
+    ``mapping`` is (id_col, rep_col) — each original id paired with its
+    group representative (build it by joining the input to
+    :func:`prompt_groups` on the prompt key). One equi-join on the
+    representative id; the responses side has one row per DISTINCT
+    prompt, so it is the small side and broadcast-eligible."""
+    return mapping.join(responses, rep_col, "left")
+
+
+# -- 2. capped shard planning (bucket-parallel prefix sum) -------------------
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` over ``order_col`` order,
+    EXCLUSIVE of the current row, without an unpartitioned window.
+
+    ``order_col`` must be a dense 0-based ordinal (assign_ids output).
+    The ordinal space is cut into ``buckets`` equal ranges; a per-bucket
+    partitioned window computes local running sums and one tiny agg job
+    (``buckets`` rows collected) supplies each bucket's starting offset
+    — the same two-job composition as ``functions.ids.assign_ids``, so
+    parallelism is ``buckets``, not 1.
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = spark.sparkContext.defaultParallelism * 2
+    n = df.agg(F.max(order_col)).first()[0]
+    if n is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    span = max(1, (int(n) + buckets) // buckets)
+    bucket = (F.col(order_col) / F.lit(span)).cast("long")
+    bucketed = df.withColumn("__psb", bucket)
+    totals = {
+        r["__psb"]: r["tot"]
+        for r in bucketed.groupBy("__psb")
+        .agg(F.sum(value_col).cast("long").alias("tot"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = (
+        Window.partitionBy("__psb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w).cast("long"), F.lit(0))
+    return bucketed.withColumn(
+        out_col, local + offset_map[F.col("__psb")]
+    ).drop("__psb")
+
+
+def plan_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "idx",
+    bytes_col: str = "n_bytes",
+    max_lines: int = OPENAI_MAX_LINES,
+    max_bytes: int = OPENAI_MAX_BYTES,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Assign every row a (byte_shard, line_shard, shard_key) honoring
+    both provider caps, in input-id order.
+
+    ``byte_shard`` = floor(exclusive-prefix-bytes / max_bytes): every
+    byte shard's total is < max_bytes + one row (the standard streaming
+    packing guarantee; a single row larger than max_bytes occupies a
+    shard alone and shard numbers may skip — documented, not hidden).
+    ``line_shard`` then splits each byte shard into runs of at most
+    ``max_lines`` rows via a window PARTITIONED by byte_shard — a byte
+    shard is cap-bounded, so no partition is unbounded. ``shard_key``
+    is the stable file label the JSONL sink shards by.
+    """
+    with_cum = exclusive_prefix_sum(
+        df,
+        order_col=id_col,
+        value_col=bytes_col,
+        out_col="__cum_bytes",
+        buckets=buckets,
+    )
+    byte_shard = (F.col("__cum_bytes") / F.lit(max_bytes)).cast("long")
+    with_bs = with_cum.withColumn("byte_shard", byte_shard)
+    w = Window.partitionBy("byte_shard").orderBy(id_col)
+    line_shard = ((F.row_number().over(w) - 1) / F.lit(max_lines)).cast(
+        "long"
+    )
+    return (
+        with_bs.withColumn("line_shard", line_shard)
+        .withColumn(
+            "shard_key",
+            F.format_string("shard-%05d-%03d", "byte_shard", "line_shard"),
+        )
+        .drop("__cum_bytes")
+    )
+
+
+# -- 3. deterministic training-order shuffle ---------------------------------
+
+
+def shuffle_coord(key: Column | str, seed: str) -> Column:
+    """Portable 60-bit shuffle coordinate for (seed, key) — changing the
+    seed reshuffles, same seed reproduces bit-for-bit on any engine."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hashing.portable_hash60(
+        F.concat(F.lit(seed + ":"), c.cast("string"))
+    )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: str = "epoch-0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Global pseudo-random training order as data: ``shard`` =
+    coordinate mod n_shards, ``pos`` = rank within the shard by
+    (coordinate, key). A reader streaming shards in pos order consumes
+    the corpus in a uniform shuffled order with NO global sort — the
+    only window is partitioned by shard (parallelism = n_shards; raise
+    n_shards with cluster size). Ties on the coordinate are broken by
+    the key itself, so the order is total and reproducible."""
+    coord = shuffle_coord(key_col, seed)
+    out = df.withColumn("__coord", coord).withColumn(
+        "shard", F.pmod(F.col("__coord"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__coord", key_col)
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__coord")
+
+
+def sql_shuffle_coord(expr: str, seed: str) -> str:
+    """DuckDB twin of :func:`shuffle_coord`."""
+    return hashing.sql_hash60(f"('{seed}:' || CAST({expr} AS VARCHAR))")

@@ -1742,3 +1742,78 @@ ORACLES["embedding_ann_recall"] = f"""
       ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
     GROUP BY g.method
 """
+
+# -- submit-side batching (operators/batching.py) -----------------------------
+
+ORACLES["prompt_dedup_requests"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, {IDX} AS idx FROM documents
+    ), p AS (
+      SELECT idx, {_prompt_sql('text')} AS prompt FROM base
+    )
+    SELECT CAST(min(idx) AS BIGINT) AS rep_idx,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           prompt
+    FROM p GROUP BY prompt
+"""
+
+ORACLES["prompt_dedup_fanout"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, {IDX} AS idx FROM documents
+    ), p AS (
+      SELECT doc_id, idx, {_prompt_sql('text')} AS prompt FROM base
+    ), g AS (
+      SELECT prompt, min(idx) AS rep_idx FROM p GROUP BY prompt
+    ), j AS (
+      SELECT p.doc_id, p.prompt, ('request-' || g.rep_idx) AS rep_custom_id
+      FROM p JOIN g USING (prompt)
+    )
+    SELECT doc_id, rep_custom_id,
+           CASE WHEN {_is_error_sql('rep_custom_id')}
+                THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN {_is_error_sql('rep_custom_id')}
+                THEN NULL ELSE {_label_sql('prompt')} END AS answer
+    FROM j
+"""
+
+ORACLES["batch_shards"] = f"""
+    WITH base AS (
+      SELECT doc_id, {IDX} AS idx, strlen(text) AS n_bytes FROM documents
+    ), c AS (
+      SELECT *,
+             COALESCE(sum(n_bytes) OVER (
+               ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM base
+    ), b AS (
+      SELECT *, (cum // 16384) AS byte_shard FROM c
+    )
+    SELECT doc_id,
+           CAST(idx AS BIGINT) AS idx,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(byte_shard AS BIGINT) AS byte_shard,
+           CAST((row_number() OVER (PARTITION BY byte_shard ORDER BY idx)
+                 - 1) // 40 AS BIGINT) AS line_shard,
+           printf('shard-%05d-%03d', CAST(byte_shard AS INT),
+                  CAST((row_number() OVER (
+                          PARTITION BY byte_shard ORDER BY idx)
+                        - 1) // 40 AS INT)) AS shard_key
+    FROM b
+"""
+
+from genai_batch_processor_spark.operators import batching as _batching
+
+ORACLES["training_order"] = f"""
+    WITH c AS (
+      SELECT doc_id,
+             {_batching.sql_shuffle_coord('doc_id', 'epoch-0')} AS coord
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(coord % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY (coord % 8) ORDER BY coord, doc_id
+                ) - 1 AS BIGINT) AS pos
+    FROM c
+"""

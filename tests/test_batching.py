@@ -1,0 +1,143 @@
+"""Unit tests for submit-side batching operators (operators/batching.py).
+
+Parity with the DuckDB oracles is covered by tests/test_parity.py; these
+pin the operator CONTRACTS: cap guarantees of the shard planner, the
+exactness of the bucket-parallel prefix sum, determinism and density of
+the training order, and the dedup-sandwich invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import ids
+from genai_batch_processor_spark.operators import batching, requests
+from genai_batch_processor_spark.sources.tables import load_table
+
+
+def _sized_docs(spark, sf_dir):
+    docs = ids.assign_ids(load_table(spark, sf_dir, "documents"), "doc_id")
+    return docs.withColumn("n_bytes", F.octet_length("text").cast("long"))
+
+
+def test_exclusive_prefix_sum_matches_pandas(spark, sf_dir):
+    sized = _sized_docs(spark, sf_dir)
+    got = (
+        batching.exclusive_prefix_sum(
+            sized, order_col="idx", value_col="n_bytes", out_col="cum",
+            buckets=7,
+        )
+        .select("idx", "n_bytes", "cum")
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    expect = got["n_bytes"].cumsum().shift(1, fill_value=0)
+    assert (got["cum"] == expect).all()
+
+
+def test_plan_shards_honors_both_caps(spark, sf_dir):
+    max_lines, max_bytes = 40, 16_384
+    sized = _sized_docs(spark, sf_dir)
+    planned = batching.plan_shards(
+        sized,
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=max_lines,
+        max_bytes=max_bytes,
+        buckets=5,
+    )
+    per_shard = (
+        planned.groupBy("shard_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("bytes"),
+            F.max("n_bytes").alias("max_row"),
+        )
+        .collect()
+    )
+    assert len(per_shard) > 1, "caps did not bind at fixture scale"
+    for r in per_shard:
+        assert r["n"] <= max_lines
+        # streaming-packing guarantee: < max_bytes + one row of slack
+        assert r["bytes"] < max_bytes + r["max_row"]
+
+
+def test_plan_shards_rows_stay_contiguous(spark, sf_dir):
+    """Shard membership follows id order: each shard is one contiguous
+    id run (what a sequential JSONL writer would produce)."""
+    planned = batching.plan_shards(
+        _sized_docs(spark, sf_dir),
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=40,
+        max_bytes=16_384,
+    )
+    spans = (
+        planned.groupBy("shard_key")
+        .agg(
+            F.min("idx").alias("lo"),
+            F.max("idx").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in spans:
+        assert r["hi"] - r["lo"] + 1 == r["n"], "shard has id gaps"
+
+
+def test_training_order_is_dense_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = batching.training_order(docs, "doc_id", seed="epoch-0", n_shards=8)
+    b = batching.training_order(docs, "doc_id", seed="epoch-0", n_shards=8)
+    pa = a.select("doc_id", "shard", "pos").toPandas()
+    pb = b.select("doc_id", "shard", "pos").toPandas()
+    key = lambda p: p.sort_values("doc_id").reset_index(drop=True)
+    assert key(pa).equals(key(pb)), "same seed must reproduce exactly"
+    for _, grp in pa.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp))), "pos not dense"
+
+
+def test_training_order_seed_reshuffles(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = batching.training_order(docs, "doc_id", seed="epoch-0")
+    b = batching.training_order(docs, "doc_id", seed="epoch-1")
+    merged = (
+        a.select("doc_id", F.col("shard").alias("s0"), F.col("pos").alias("p0"))
+        .join(b.select("doc_id", "shard", "pos"), "doc_id")
+    )
+    moved = merged.filter(
+        (F.col("s0") != F.col("shard")) | (F.col("p0") != F.col("pos"))
+    ).count()
+    assert moved > 0, "changing the seed must change the order"
+
+
+def test_prompt_dedup_sandwich_invariants(spark, sf_dir):
+    docs = ids.assign_ids(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = docs.withColumn(
+        "prompt",
+        requests.classification_prompt("text", ("a", "b")),
+    ).persist()
+    groups = batching.prompt_groups(docs, "prompt", "idx")
+    reps = batching.representatives(docs, "prompt", "idx")
+    n_distinct = docs.select("prompt").distinct().count()
+    assert groups.count() == n_distinct
+    assert reps.count() == n_distinct
+    # multiplicities must re-add to the input size
+    total = groups.agg(F.sum("n_rows")).first()[0]
+    assert total == docs.count()
+    # fan-out restores one row per original id, keyed by representative
+    mapping = docs.select("idx", "prompt").join(
+        groups.select("prompt", "rep_idx"), "prompt"
+    )
+    resp = reps.select(
+        F.col("idx").alias("rep_idx"), F.col("prompt").alias("rep_prompt")
+    )
+    fanned = batching.fan_out_responses(
+        resp, mapping, rep_col="rep_idx", id_col="idx"
+    )
+    assert fanned.count() == docs.count()
+    # a representative answers for its group ⇒ every fanned row carries
+    # a prompt identical to its own (groups are exact-match)
+    assert fanned.filter(F.col("prompt") != F.col("rep_prompt")).count() == 0
+    docs.unpersist()

@@ -31,6 +31,9 @@ NO_SINGLE_PARTITION = [
     "pricing_summary",
     "events_hourly",
     "doc_stats",
+    "batch_shards",
+    "training_order",
+    "prompt_dedup_fanout",
 ]
 
 # pure column-expression pipelines: no Python evaluation allowed
