@@ -167,6 +167,61 @@ def sample_video_frames(
     return df.select(id_col, data_col).mapInPandas(sample, VIDEO_FRAMES)
 
 
+AUDIO_WINDOWS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("win_fp", T.LongType()),
+        T.StructField("level_milli", T.IntegerType()),
+    ]
+)
+
+MAX_WINDOWS = 6
+
+
+def window_audio_stub(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Distributed audio windowing over binary audio columns: one clip
+    fans out to N fixed-length analysis windows — the 1→many Arrow
+    boundary a real resample + RMS/spectrogram stage (librosa/av) uses.
+
+    Stub semantics mirror :func:`sample_video_frames`: a deterministic
+    window count (1..MAX_WINDOWS, from a different digest offset than
+    the video sampler so the two fan-outs decorrelate on the same
+    payload), a 60-bit per-window fingerprint, and an integer
+    pseudo-level (fp mod 1000 — integers only, so no float formatting
+    ever crosses the oracle boundary). Swap the md5 chain for real
+    decode + windowed RMS and the plumbing is unchanged.
+    """
+    id_name, data_name = id_col, data_col
+
+    def window(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, idxs, fps, lvls = [], [], [], []
+        for pdf in batches:
+            for rid, b in zip(pdf[id_name], pdf[data_name]):
+                digest = hashlib.md5(b if b else b"\x00").hexdigest()
+                n_windows = 1 + int(digest[2:4], 16) % MAX_WINDOWS
+                for i in range(n_windows):
+                    sig = hashlib.md5(f"{digest}@{i}".encode()).hexdigest()
+                    fp = int(sig[:15], 16)
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    fps.append(fp)
+                    lvls.append(fp % 1000)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": idxs,
+                    "win_fp": fps,
+                    "level_milli": lvls,
+                }
+            )
+            ids, idxs, fps, lvls = [], [], [], []
+
+    return df.select(id_col, data_col).mapInPandas(window, AUDIO_WINDOWS)
+
+
 def sql_image_features(text_expr: str, n: int = 24) -> str:
     """DuckDB twin of fake_image_bytes → decode_image_stub: replays the
     md5-derived pseudo-decode over the same utf-8 prefix bytes, so the

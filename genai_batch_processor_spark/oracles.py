@@ -1817,3 +1817,65 @@ ORACLES["training_order"] = f"""
                 ) - 1 AS BIGINT) AS pos
     FROM c
 """
+
+# Audio windowing: replay the md5 chain of window_audio_stub — distinct
+# digest offset (hex chars 3-4) and '@' chain separator vs the video
+# sampler, so the two fan-outs decorrelate on identical payloads.
+ORACLES["audio_windows"] = f"""
+    WITH t AS (
+      SELECT doc_id, md5(substr(text, 1, 24)) AS dig FROM documents
+    ), w AS (
+      SELECT doc_id, dig,
+             unnest(generate_series(
+               0, ('0x' || substr(dig, 3, 2))::INT % {_mm.MAX_WINDOWS}
+             )) AS win_idx
+      FROM t
+    ), fp AS (
+      SELECT doc_id, win_idx,
+             ('0x' || substr(md5(dig || '@' || CAST(win_idx AS VARCHAR)),
+                             1, 15))::BIGINT AS win_fp
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(win_idx AS INT) AS win_idx,
+           win_fp,
+           CAST(win_fp % 1000 AS INT) AS level_milli
+    FROM fp
+"""
+
+# Snapshot diff: the v2 mutation is hash-rate derived, so the oracle
+# rebuilds v2 with the same portable coordinates and classifies via
+# direct column comparison (IS DISTINCT FROM ≡ the Spark side's
+# null-marked fingerprint inequality).
+_SNAP_DEL = int(0.05 * _smp.COORD_MOD)
+_SNAP_MOD = int(0.10 * _smp.COORD_MOD)
+_SNAP_ADD = int(0.03 * _smp.COORD_MOD)
+
+ORACLES["snapshot_changes"] = f"""
+    WITH docs AS (
+      SELECT doc_id, text, lang, source FROM documents
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN {_smp.sql_hash_coord('doc_id', 'snap-mod')}
+                       < {_SNAP_MOD}
+                  THEN text || ' [v2]' ELSE text END AS text,
+             lang, source
+      FROM docs
+      WHERE NOT ({_smp.sql_hash_coord('doc_id', 'snap-del')} < {_SNAP_DEL})
+      UNION ALL
+      SELECT doc_id + 10000000, text, lang, source
+      FROM docs
+      WHERE {_smp.sql_hash_coord('doc_id', 'snap-add')} < {_SNAP_ADD}
+    ), j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'deleted'
+                  WHEN (o.text IS DISTINCT FROM n.text)
+                    OR (o.lang IS DISTINCT FROM n.lang)
+                    OR (o.source IS DISTINCT FROM n.source)
+                  THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM docs o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change FROM j WHERE change <> 'unchanged'
+"""

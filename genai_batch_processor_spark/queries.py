@@ -2493,6 +2493,54 @@ def q_batch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio windowing: each binary clip fans out to 1..6
+    analysis-window rows through the Arrow-batched 1→many stub
+    (operators/multimodal.py:window_audio_stub); md5 chain replayed
+    exactly by the oracle, so fan-out count, fingerprints, and the
+    integer pseudo-levels are all verified."""
+    from genai_batch_processor_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", mm.fake_image_bytes(F.col("text")).alias("data")
+    )
+    return mm.window_audio_stub(media)
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff (operators/snapshot.py): documents vs a
+    deterministically mutated v2 (5% deleted, 10% text-edited, 3%
+    re-keyed additions — all hash-rate derived, so the oracle replays
+    the mutation). Returns every non-unchanged key with its change
+    class — the relation an incremental pipeline feeds back through the
+    submit path."""
+    from genai_batch_processor_spark.operators import snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    deleted = sampling.hash_coord("doc_id", "snap-del") < int(
+        0.05 * sampling.COORD_MOD
+    )
+    edited = sampling.hash_coord("doc_id", "snap-mod") < int(
+        0.10 * sampling.COORD_MOD
+    )
+    v2 = docs.filter(~deleted).withColumn(
+        "text",
+        F.when(edited, F.concat(F.col("text"), F.lit(" [v2]"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.filter(
+        sampling.hash_coord("doc_id", "snap-add")
+        < int(0.03 * sampling.COORD_MOD)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    v2 = v2.unionByName(added)
+    diff = snapshot.snapshot_diff(
+        docs, v2, ["doc_id"], ["text", "lang", "source"]
+    )
+    return diff.filter(F.col("change") != snapshot.UNCHANGED)
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training shuffle (operators/batching.py):
     (shard, pos) from a portable hash of (seed, key) — reproducible
@@ -2519,6 +2567,8 @@ QUERIES: dict[str, callable] = {
     "prompt_dedup_fanout": q_prompt_dedup_fanout,
     "batch_shards": q_batch_shards,
     "training_order": q_training_order,
+    "snapshot_changes": q_snapshot_changes,
+    "audio_windows": q_audio_windows,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

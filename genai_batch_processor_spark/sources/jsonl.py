@@ -46,6 +46,23 @@ def write_jsonl(
     )
 
 
+def write_jsonl_planned(
+    df: DataFrame, path: str, shard_col: str = "shard_key"
+) -> None:
+    """Shard-planned JSONL sink: each planned shard
+    (operators/batching.plan_shards output) lands as its own
+    ``shard_key=…`` directory — the file set a capped batch-upload loop
+    iterates, one provider file per shard. One exchange on the shard
+    key (so a shard is written by one task as one file), then a
+    partitioned text sink; the payload is JVM-side ``to_json``."""
+    payload = [c for c in df.columns if c != shard_col]
+    out = df.select(
+        F.col(shard_col),
+        F.to_json(F.struct(*payload)).alias("value"),
+    ).repartition(F.col(shard_col))
+    out.write.mode("overwrite").partitionBy(shard_col).text(path)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> tuple[DataFrame, DataFrame]:

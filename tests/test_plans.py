@@ -34,6 +34,7 @@ NO_SINGLE_PARTITION = [
     "batch_shards",
     "training_order",
     "prompt_dedup_fanout",
+    "snapshot_changes",
 ]
 
 # pure column-expression pipelines: no Python evaluation allowed
