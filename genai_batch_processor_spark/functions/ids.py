@@ -123,6 +123,21 @@ def custom_id_from_key(key: Column | str, prefix: str = "request") -> Column:
     return F.format_string(f"{prefix}-%d", c.cast("long"))
 
 
+def retry_custom_id(
+    key: Column | str, attempt: int, prefix: str = "request"
+) -> Column:
+    """Attempt-salted join-back key: ``request-{i}`` on the first
+    attempt, ``request-{i}-r{attempt}`` on resubmits. A resubmitted
+    request must NOT reuse its failed custom_id — providers reject
+    duplicate ids within a batch, and a fresh id keeps each attempt's
+    response row distinct in the result relation. ``extract_index``
+    still parses the ordinal (the suffix rides after it)."""
+    base = custom_id_from_key(key, prefix)
+    if attempt <= 1:
+        return base
+    return F.format_string("%s-r%d", base, F.lit(attempt))
+
+
 def extract_index(cid: Column | str) -> Column:
     """Parse the ordinal back out of ``request-{i}``
     (run_text_classifier.py:106)."""

@@ -1879,3 +1879,93 @@ ORACLES["snapshot_changes"] = f"""
     )
     SELECT doc_id, change FROM j WHERE change <> 'unchanged'
 """
+
+# -- incremental pipeline / retries / cost accounting -------------------------
+
+from genai_batch_processor_spark.queries import MODEL_PRICES as _PRICES
+
+# v2 snapshot fragment shared with ORACLES["snapshot_changes"] — same
+# hash-rate mutation queries._snapshot_v2 applies.
+_SNAP_V2 = f"""
+  v2 AS (
+    SELECT doc_id,
+           CASE WHEN {_smp.sql_hash_coord('doc_id', 'snap-mod')}
+                     < {_SNAP_MOD}
+                THEN text || ' [v2]' ELSE text END AS text,
+           lang, source
+    FROM documents
+    WHERE NOT ({_smp.sql_hash_coord('doc_id', 'snap-del')} < {_SNAP_DEL})
+    UNION ALL
+    SELECT doc_id + 10000000, text, lang, source
+    FROM documents
+    WHERE {_smp.sql_hash_coord('doc_id', 'snap-add')} < {_SNAP_ADD}
+  )
+"""
+
+ORACLES["incremental_inference"] = f"""
+    WITH {_SNAP_V2},
+    todo AS (
+      SELECT n.doc_id
+      FROM v2 n LEFT JOIN documents o ON o.doc_id = n.doc_id
+      WHERE o.doc_id IS NULL
+         OR (o.text IS DISTINCT FROM n.text)
+         OR (o.lang IS DISTINCT FROM n.lang)
+         OR (o.source IS DISTINCT FROM n.source)
+    ), keyed AS (
+      SELECT v2.doc_id,
+             ('request-' || v2.doc_id) AS cid,
+             {_prompt_sql('v2.text')} AS prompt,
+             (todo.doc_id IS NOT NULL) AS recomputed
+      FROM v2 LEFT JOIN todo ON v2.doc_id = todo.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN {_is_error_sql('cid')} THEN 'error' ELSE 'ok' END
+             AS status,
+           CASE WHEN {_is_error_sql('cid')} THEN NULL
+                ELSE {_label_sql('prompt')} END AS answer,
+           recomputed
+    FROM keyed
+"""
+
+ORACLES["retry_responses"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, {IDX} AS idx FROM documents
+    ), keyed AS (
+      SELECT doc_id,
+             {_prompt_sql('text')} AS prompt,
+             ('request-' || idx) AS cid1,
+             ('request-' || idx || '-r2') AS cid2
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN {_is_error_sql('cid1')} THEN 2 ELSE 1 END AS attempts,
+           CASE WHEN {_is_error_sql('cid1')} AND {_is_error_sql('cid2')}
+                THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN {_is_error_sql('cid1')} AND {_is_error_sql('cid2')}
+                THEN NULL ELSE {_label_sql('prompt')} END AS answer
+    FROM keyed
+"""
+
+_PRICE_ROWS = ", ".join(
+    f"('{m}', {i}, {o})" for m, i, o in _PRICES
+)
+_MODEL_ARR = "[" + ", ".join(f"'{m}'" for m, _, _ in _PRICES) + "]"
+
+ORACLES["request_cost_estimate"] = f"""
+    WITH prices(model, in_per_1k, out_per_1k) AS (
+      VALUES {_PRICE_ROWS}
+    ), routed AS (
+      SELECT {_MODEL_ARR}[
+               ({sql_hash32('CAST(doc_id AS VARCHAR)')} % 3)::INT + 1
+             ] AS model,
+             {tx.sql_token_count(_prompt_sql('text'))} AS n_tokens
+      FROM documents
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens * in_per_1k) AS BIGINT)
+             AS input_cost_nano_usd
+    FROM routed JOIN prices USING (model)
+    GROUP BY model
+"""

@@ -2508,16 +2508,10 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.window_audio_stub(media)
 
 
-def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental snapshot diff (operators/snapshot.py): documents vs a
-    deterministically mutated v2 (5% deleted, 10% text-edited, 3%
-    re-keyed additions — all hash-rate derived, so the oracle replays
-    the mutation). Returns every non-unchanged key with its change
-    class — the relation an incremental pipeline feeds back through the
-    submit path."""
-    from genai_batch_processor_spark.operators import snapshot
-
-    docs = load_table(spark, sf_dir, "documents")
+def _snapshot_v2(docs: DataFrame) -> DataFrame:
+    """Deterministic v2 mutation shared by snapshot_changes /
+    incremental_inference (both oracles replay the same hash-rate
+    coordinates): 5% deleted, 10% text-edited, 3% re-keyed additions."""
     deleted = sampling.hash_coord("doc_id", "snap-del") < int(
         0.05 * sampling.COORD_MOD
     )
@@ -2534,11 +2528,143 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.hash_coord("doc_id", "snap-add")
         < int(0.03 * sampling.COORD_MOD)
     ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
-    v2 = v2.unionByName(added)
+    return v2.unionByName(added)
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff (operators/snapshot.py): documents vs a
+    deterministically mutated v2 (5% deleted, 10% text-edited, 3%
+    re-keyed additions — all hash-rate derived, so the oracle replays
+    the mutation). Returns every non-unchanged key with its change
+    class — the relation an incremental pipeline feeds back through the
+    submit path."""
+    from genai_batch_processor_spark.operators import snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = _snapshot_v2(docs)
     diff = snapshot.snapshot_diff(
         docs, v2, ["doc_id"], ["text", "lang", "source"]
     )
     return diff.filter(F.col("change") != snapshot.UNCHANGED)
+
+
+def q_incremental_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship incremental pipeline: only rows the snapshot diff marks
+    added/changed cross the paid inference boundary; unchanged rows
+    keep their v1 answers and deleted keys drop out — the 100 TB refresh
+    pattern (re-answering ~13%% of the corpus, not all of it).
+
+    Composition: snapshot.incremental_rows (diff + semi join) → request
+    prompt → mock inference → union with the carried-forward v1 result
+    relation. ``recomputed`` records which boundary each row's answer
+    came from. custom_ids derive from the natural key
+    (ids.custom_id_from_key — zero-shuffle), so a key's error fate is
+    stable across snapshot versions."""
+    from genai_batch_processor_spark.operators import snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = _snapshot_v2(docs)
+
+    def answered(df: DataFrame, recomputed: bool) -> DataFrame:
+        prompt = requests.classification_prompt("text", LABELS)
+        cid = ids.custom_id_from_key("doc_id")
+        err = mock.is_error_expr(cid)
+        return df.select(
+            "doc_id",
+            F.when(err, F.lit("error")).otherwise(F.lit("ok")).alias(
+                "status"
+            ),
+            F.when(~err, mock.label_expr(prompt)).alias("answer"),
+            F.lit(recomputed).alias("recomputed"),
+        )
+
+    todo = snapshot.incremental_rows(
+        docs, v2, ["doc_id"], ["text", "lang", "source"]
+    )
+    fresh = answered(todo, recomputed=True)
+    # carried-forward v1 results: v2 keys NOT being recomputed
+    carried = answered(
+        v2.join(todo.select("doc_id"), "doc_id", "left_anti"),
+        recomputed=False,
+    )
+    return fresh.unionByName(carried)
+
+
+def q_retry_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-row resubmission: attempt-1 errors are re-submitted once
+    under an attempt-salted custom_id (functions/ids.py:
+    retry_custom_id) — the reference surfaces its error relation and
+    stops (oai:244-258); a production pipeline feeds it back. Output
+    pins each row's attempt count and final status; rows whose salted
+    retry id ALSO errors stay failed (deterministic mock fate)."""
+    docs = _documents_with_ids(spark, sf_dir)
+    prompt = requests.classification_prompt("text", LABELS)
+    docs = docs.withColumn("prompt", prompt)
+
+    cid1 = ids.retry_custom_id("idx", 1)
+    err1 = mock.is_error_expr(cid1)
+    cid2 = ids.retry_custom_id("idx", 2)
+    err2 = mock.is_error_expr(cid2)
+
+    first = docs.withColumn("err1", err1)
+    ok_first = first.filter(~F.col("err1")).select(
+        "doc_id",
+        F.lit(1).alias("attempts"),
+        F.lit("ok").alias("status"),
+        mock.label_expr(F.col("prompt")).alias("answer"),
+    )
+    retried = first.filter(F.col("err1")).withColumn("err2", err2)
+    second = retried.select(
+        "doc_id",
+        F.lit(2).alias("attempts"),
+        F.when(F.col("err2"), F.lit("error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.when(~F.col("err2"), mock.label_expr(F.col("prompt"))).alias(
+            "answer"
+        ),
+    )
+    return ok_first.unionByName(second)
+
+
+# Public per-1k-token prices in micro-USD (illustrative constants; the
+# point is the integer cost arithmetic and the broadcast dim join).
+MODEL_PRICES = (
+    ("gpt-4o-mini", 150, 600),
+    ("gpt-4o", 2500, 10000),
+    ("o3-mini", 1100, 4400),
+)
+
+
+def q_request_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-submit cost accounting: per-model request counts, prompt
+    tokens, and estimated input cost. Token counts via the JVM-side
+    tokenizer (functions/text.py); the price dim is a 3-row broadcast
+    join; cost stays in integer nano-USD (tokens × micro-USD-per-1k) so
+    no float crosses the oracle boundary."""
+    docs = _documents_with_ids(spark, sf_dir)
+    prices = spark.createDataFrame(
+        list(MODEL_PRICES), "model string, in_per_1k long, out_per_1k long"
+    )
+    model_idx = hashing.portable_hash32(F.col("doc_id").cast("string")) % 3
+    mapping = F.array(*[F.lit(m) for m, _, _ in MODEL_PRICES])
+    routed = docs.select(
+        F.element_at(mapping, model_idx.cast("int") + 1).alias("model"),
+        tx.token_count(
+            requests.classification_prompt("text", LABELS)
+        ).alias("n_tokens"),
+    )
+    return (
+        routed.join(F.broadcast(prices), "model")
+        .groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tokens") * F.col("in_per_1k"))
+            .cast("long")
+            .alias("input_cost_nano_usd"),
+        )
+    )
 
 
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,6 +2695,9 @@ QUERIES: dict[str, callable] = {
     "training_order": q_training_order,
     "snapshot_changes": q_snapshot_changes,
     "audio_windows": q_audio_windows,
+    "incremental_inference": q_incremental_inference,
+    "retry_responses": q_retry_responses,
+    "request_cost_estimate": q_request_cost_estimate,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

@@ -35,6 +35,8 @@ NO_SINGLE_PARTITION = [
     "training_order",
     "prompt_dedup_fanout",
     "snapshot_changes",
+    "incremental_inference",
+    "retry_responses",
 ]
 
 # pure column-expression pipelines: no Python evaluation allowed
