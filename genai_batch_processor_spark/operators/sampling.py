@@ -144,3 +144,101 @@ def quota_sample(
         .filter(F.col("__qrank") <= quota)
         .drop("__qrank")
     )
+
+
+# -- training-mixture operators ----------------------------------------------
+
+INV_WEIGHT_SCALE = 1_000_000
+
+
+def curriculum_time(
+    key: Column | str,
+    strata: Column | str,
+    weights: dict[str, float],
+    salt: str = "curriculum",
+) -> Column:
+    """Weight-proportional virtual consumption time: vt = hash_coord ×
+    round(SCALE / weight). A reader consuming rows in vt order sees
+    strata interleaved proportionally to their weights (a stratum with
+    2× the weight advances half as fast through the uniform hash line),
+    with NO window and NO shuffle — vt is a pure row-local integer
+    expression, so a 100 TB corpus computes it inside the scan and
+    range-partitions by vt to materialize the order. Unknown strata get
+    weight 1."""
+    inv: Column = F.lit(INV_WEIGHT_SCALE)
+    s = F.col(strata) if isinstance(strata, str) else strata
+    for stratum, w in sorted(weights.items()):
+        inv = F.when(
+            s == stratum, F.lit(round(INV_WEIGHT_SCALE / w))
+        ).otherwise(inv)
+    return hash_coord(key, salt) * inv
+
+
+def sql_curriculum_time(
+    key_expr: str,
+    strata_expr: str,
+    weights: dict[str, float],
+    salt: str = "curriculum",
+) -> str:
+    inv = str(INV_WEIGHT_SCALE)
+    for stratum, w in sorted(weights.items()):
+        inv = (
+            f"(CASE WHEN {strata_expr} = '{stratum}' "
+            f"THEN {round(INV_WEIGHT_SCALE / w)} ELSE {inv} END)"
+        )
+    return f"({sql_hash_coord(key_expr, salt)} * {inv})"
+
+
+def mixture_plan(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Per-stratum sampling plan to hit a global token budget at a
+    target mixture: desired tokens per stratum = budget × weight;
+    rate_ppm = min(1e6, floor(desired × 1e6 / available)). One tiny
+    aggregate (|strata| rows) — the relation a planner broadcasts back
+    onto the corpus to apply the mixture (see ``apply_mixture``). All
+    integer arithmetic, so any engine derives the identical plan."""
+    target: Column = F.lit(0).cast("long")
+    for stratum, w in sorted(weights.items()):
+        target = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(token_budget * w)).cast("long"),
+        ).otherwise(target)
+    return (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_col).cast("long").alias("available_tokens"))
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    F.col("target_tokens")
+                    * F.lit(1_000_000)
+                    / F.col("available_tokens")
+                ).cast("long"),
+            ),
+        )
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    key_col: str,
+    strata_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Apply a mixture plan: broadcast the |strata|-row plan onto the
+    corpus and keep rows whose hash coordinate clears the stratum's
+    rate. The scan-side work stays a row-local filter; the only join is
+    against a broadcast relation bounded by the stratum count."""
+    rates = F.broadcast(plan.select(strata_col, "rate_ppm"))
+    return df.join(rates, strata_col).filter(
+        hash_coord(key_col, salt) < F.col("rate_ppm")
+    )

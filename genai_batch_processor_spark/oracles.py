@@ -1969,3 +1969,67 @@ ORACLES["request_cost_estimate"] = f"""
     FROM routed JOIN prices USING (model)
     GROUP BY model
 """
+
+# -- training-mixture queries -------------------------------------------------
+
+from genai_batch_processor_spark.queries import (  # noqa: E402
+    MIX_TOKEN_BUDGET as _MIX_BUDGET,
+    MIX_WEIGHTS as _MIX_W,
+)
+
+_VT = _smp.sql_curriculum_time("doc_id", "source", _MIX_W)
+
+ORACLES["curriculum_mix"] = f"""
+    WITH head AS (
+      SELECT doc_id, source, {_VT} AS vt
+      FROM documents
+      ORDER BY vt, doc_id
+      LIMIT 200
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_head
+    FROM head GROUP BY source
+"""
+
+
+def _mix_target_sql() -> str:
+    out = "CAST(0 AS BIGINT)"
+    for stratum, w in sorted(_MIX_W.items()):
+        out = (
+            f"(CASE WHEN source = '{stratum}' "
+            f"THEN CAST({int(_MIX_BUDGET * w)} AS BIGINT) ELSE {out} END)"
+        )
+    return out
+
+
+_MIX_PLAN = f"""
+  sized AS (
+    SELECT doc_id, source,
+           {tx.sql_token_count('text')} AS n_tokens
+    FROM documents
+  ), plan AS (
+    SELECT source,
+           CAST(sum(n_tokens) AS BIGINT) AS available_tokens,
+           {_mix_target_sql()} AS target_tokens,
+           least(
+             CAST(1000000 AS BIGINT),
+             CAST(floor({_mix_target_sql()} * 1000000
+                        / sum(n_tokens)) AS BIGINT)
+           ) AS rate_ppm
+    FROM sized GROUP BY source
+  )
+"""
+
+ORACLES["mixture_plan"] = f"""
+    WITH {_MIX_PLAN}
+    SELECT source, available_tokens, target_tokens, rate_ppm FROM plan
+"""
+
+ORACLES["mixture_sample"] = f"""
+    WITH {_MIX_PLAN}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+    FROM sized JOIN plan USING (source)
+    WHERE {_smp.sql_hash_coord('doc_id', 'mixture')} < rate_ppm
+    GROUP BY source
+"""

@@ -2627,6 +2627,61 @@ def q_retry_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok_first.unionByName(second)
 
 
+# Training-mixture config shared by the curriculum/mixture queries and
+# their oracles: upweight three sources, downweight one, rest default.
+MIX_WEIGHTS = {"src0": 4.0, "src7": 2.0, "src13": 2.0, "src3": 0.25}
+# Small enough that some sources' rates BIND (rate < 1) at sf0.01 while
+# others cap at 1 — both branches of the planner exercised.
+MIX_TOKEN_BUDGET = 500
+
+
+def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional curriculum interleave: virtual consumption
+    time = hash × 1/weight, a pure row-local integer (zero shuffle —
+    operators/sampling.py:curriculum_time). The head of the vt order
+    shows upweighted sources overrepresented exactly as the weights
+    dictate; TakeOrdered bounds the head selection (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vt = sampling.curriculum_time("doc_id", "source", MIX_WEIGHTS)
+    head = (
+        docs.select("doc_id", "source", vt.alias("vt"))
+        .orderBy("vt", "doc_id")
+        .limit(200)
+    )
+    return head.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_head")
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/sampling.py:
+    mixture_plan): per-source available tokens vs the budget×weight
+    target, resolved to an integer sampling rate. The plan is the tiny
+    relation a 100 TB run broadcasts back onto the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.withColumn("n_tokens", tx.token_count("text"))
+    return sampling.mixture_plan(
+        sized, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_TOKEN_BUDGET
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied mixture: plan broadcast onto the corpus, hash-rate
+    filter per source, per-source kept rows + kept tokens. End-to-end
+    derivation stays integer, so the oracle pins the sampled corpus
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.withColumn("n_tokens", tx.token_count("text"))
+    plan = sampling.mixture_plan(
+        sized, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_TOKEN_BUDGET
+    )
+    kept = sampling.apply_mixture(sized, plan, "doc_id", "source")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+
+
 # Public per-1k-token prices in micro-USD (illustrative constants; the
 # point is the integer cost arithmetic and the broadcast dim join).
 MODEL_PRICES = (
@@ -2698,6 +2753,9 @@ QUERIES: dict[str, callable] = {
     "incremental_inference": q_incremental_inference,
     "retry_responses": q_retry_responses,
     "request_cost_estimate": q_request_cost_estimate,
+    "curriculum_mix": q_curriculum_mix,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

@@ -100,3 +100,89 @@ def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- training-mixture operators ----------------------------------------------
+
+
+def test_mixture_plan_rates_bind_and_cap(spark, sf_dir):
+    from genai_batch_processor_spark import queries as q
+    from genai_batch_processor_spark.functions import text as tx
+    from genai_batch_processor_spark.operators import sampling
+    from genai_batch_processor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count("text")
+    )
+    plan = {
+        r["source"]: r
+        for r in sampling.mixture_plan(
+            docs, "doc_id", "source", "n_tokens",
+            q.MIX_WEIGHTS, q.MIX_TOKEN_BUDGET,
+        ).collect()
+    }
+    # unconfigured sources: target 0 → rate 0
+    for src, row in plan.items():
+        if src not in q.MIX_WEIGHTS:
+            assert row["rate_ppm"] == 0
+        assert 0 <= row["rate_ppm"] <= 1_000_000
+        expect = min(
+            1_000_000,
+            row["target_tokens"] * 1_000_000 // row["available_tokens"],
+        )
+        # floor(double division) == integer division for these magnitudes
+        assert abs(row["rate_ppm"] - expect) <= 1
+    # the fixture budget makes at least one rate bind and one cap
+    configured = [plan[s]["rate_ppm"] for s in q.MIX_WEIGHTS if s in plan]
+    assert any(r == 1_000_000 for r in configured)
+    assert any(0 < r < 1_000_000 for r in configured)
+
+
+def test_apply_mixture_respects_rates(spark, sf_dir):
+    from genai_batch_processor_spark import queries as q
+    from genai_batch_processor_spark.functions import text as tx
+    from genai_batch_processor_spark.operators import sampling
+    from genai_batch_processor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count("text")
+    )
+    plan = sampling.mixture_plan(
+        docs, "doc_id", "source", "n_tokens",
+        q.MIX_WEIGHTS, q.MIX_TOKEN_BUDGET,
+    )
+    kept = sampling.apply_mixture(docs, plan, "doc_id", "source")
+    per_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # only configured sources survive; full-rate sources keep everything
+    assert set(per_src) <= set(q.MIX_WEIGHTS)
+    full = {
+        r["source"]
+        for r in plan.filter(F.col("rate_ppm") == 1_000_000).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src in full:
+        assert per_src[src] == totals[src]
+
+
+def test_curriculum_head_tracks_weights(spark, sf_dir):
+    """Upweighted sources must be overrepresented at the head of the
+    virtual-time order relative to their corpus share."""
+    from genai_batch_processor_spark import queries as q
+
+    head = {
+        r["source"]: r["n_head"]
+        for r in q.QUERIES["curriculum_mix"](spark, sf_dir).collect()
+    }
+    n_head = sum(head.values())
+    # src0 (weight 4) should hold well over its uniform 1/20 share;
+    # src3 (weight 0.25) well under it
+    assert head.get("src0", 0) / n_head > 2 / 20
+    assert head.get("src3", 0) / n_head < 1 / 20
