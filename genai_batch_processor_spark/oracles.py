@@ -2033,3 +2033,7 @@ ORACLES["mixture_sample"] = f"""
     WHERE {_smp.sql_hash_coord('doc_id', 'mixture')} < rate_ppm
     GROUP BY source
 """
+
+# Streaming response ingestion must reproduce the batch joinback
+# exactly — shared oracle.
+ORACLES["response_joinback_stream"] = ORACLES["joinback"]

@@ -199,6 +199,44 @@ def q_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", "lang", "status", "answer")
 
 
+def q_response_joinback_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of joinback (streaming/ingest.py): mock result
+    shards written as 4 JSONL files, ingested as a file-source stream
+    (2 files per trigger → multiple micro-batches), parsed with the
+    SAME typed schema as the batch scanner, and stream-static joined
+    back to the inputs. Same oracle as the batch joinback — incremental
+    ingestion must reproduce the batch join exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import ingest
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    piped = _response_pipeline(spark, sf_dir)
+    outdir = tempfile.mkdtemp(prefix=f"resp_shards_{uuid.uuid4().hex[:8]}_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resp_stream_")
+    name = f"response_joinback_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            piped.select(F.col("response_line").alias("value"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .text(outdir)
+        )
+        stream = ingest.stream_response_lines(
+            spark, outdir, max_files_per_trigger=2
+        )
+        joined = ingest.joinback_stream(
+            stream, piped.select("idx", "doc_id", "lang")
+        )
+        sw.run_to_memory(joined, name, "append", ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+    return spark.table(name).select("doc_id", "lang", "status", "answer")
+
+
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#47 aggregates: label × lang distribution of mock answers."""
     joined = q_joinback(spark, sf_dir)
@@ -2756,6 +2794,7 @@ QUERIES: dict[str, callable] = {
     "curriculum_mix": q_curriculum_mix,
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
+    "response_joinback_stream": q_response_joinback_stream,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

@@ -307,3 +307,47 @@ def test_watermark_semantics_on_late_batch(spark, sf_dir, tmp_path):
     # the late batch's windows emit THERE — late data is re-aggregated
     # after state eviction, never silently lost
     assert old_hours <= per_batch[1]
+
+
+def test_response_ingest_joins_across_microbatches(spark, sf_dir, tmp_path):
+    """Result shards arriving over multiple micro-batches must join
+    back incrementally and, once drained, reproduce the batch joinback
+    exactly (streaming/ingest.py)."""
+    from genai_batch_processor_spark import queries as q
+    from genai_batch_processor_spark.streaming import ingest
+
+    piped = q._response_pipeline(spark, sf_dir)
+    shard_dir = str(tmp_path / "resp_shards")
+    (
+        piped.select(F.col("response_line").alias("value"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(shard_dir)
+    )
+    stream = ingest.stream_response_lines(
+        spark, shard_dir, max_files_per_trigger=1
+    )
+    joined = ingest.joinback_stream(
+        stream, piped.select("idx", "doc_id", "lang")
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("resp_ingest_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n_batches = sum(
+        1 for p in query.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 2, "expected the shards to span micro-batches"
+
+    got = spark.table("resp_ingest_mem").select(
+        "doc_id", "lang", "status", "answer"
+    )
+    want = q.QUERIES["joinback"](spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
