@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import hashing, text as tx
 from genai_batch_processor_spark.functions import vectors as vec
-from genai_batch_processor_spark.operators import sampling
+from genai_batch_processor_spark.operators import (
+    batching as _batching,
+    sampling,
+    snapshot as _snapshot,
+)
 
 _MARKERS = [
     "the", "and", "der", "und", "le", "la", "el", "los", "de",
@@ -106,6 +110,22 @@ _CASES = {
     "assign_split": (
         lambda c: sampling.assign_split(c),
         lambda e: sampling.sql_assign_split(e),
+    ),
+    "shuffle_coord": (
+        lambda c: _batching.shuffle_coord(c, seed="fuzz-epoch"),
+        lambda e: _batching.sql_shuffle_coord(e, seed="fuzz-epoch"),
+    ),
+    "curriculum_time": (
+        lambda c: sampling.curriculum_time(
+            c, F.lit("src0"), {"src0": 4.0, "src3": 0.25}
+        ),
+        lambda e: sampling.sql_curriculum_time(
+            e, "'src0'", {"src0": 4.0, "src3": 0.25}
+        ),
+    ),
+    "row_fingerprint": (
+        lambda c: _snapshot.row_fingerprint([c, c]),
+        lambda e: _snapshot.sql_row_fingerprint([e, e]),
     ),
 }
 
