@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.inference import orchestrator
-from genai_batch_processor_spark.operators import joinback, requests
+from genai_batch_processor_spark.operators import batching, joinback, requests
 from genai_batch_processor_spark.sources import bigquery, jsonl, schemas
 
 
@@ -98,6 +98,17 @@ class BatchPipeline:
     def _resp_custom_id(self) -> Column:
         return F.col("resp.custom_id")
 
+    def _dedup_key(self) -> Column:
+        """Prompt-identity key for submit-side dedup: the request BODY
+        (everything the provider prices), excluding the per-row
+        custom_id."""
+        return F.to_json(F.col("request.body"))
+
+    def _rewrite_resp_custom_id(self, resp: Column, new_cid: Column) -> Column:
+        """Re-key a representative's response struct to an original
+        row's custom_id during fan-out."""
+        return resp.withField("custom_id", new_cid)
+
     # -------------------------------------------------------------------------
 
     def _assemble(
@@ -126,6 +137,7 @@ class BatchPipeline:
         *,
         validate: bool = True,
         input_path: str | None = None,
+        dedupe_prompts: bool = False,
         poll_interval_seconds: float = 1.0,
         timeout_seconds: float = 7200.0,
         **build_kwargs,
@@ -141,17 +153,35 @@ class BatchPipeline:
         path skips the build+write stage entirely; the requests on disk
         are joined back to ``df`` by their custom_id ordinal, so results
         are identical to a built run over the same input.
+
+        ``dedupe_prompts`` (operators/batching.py): only one
+        representative per distinct request BODY crosses the provider
+        boundary; responses fan back to every original row re-keyed to
+        its own custom_id. Duplicate rows inherit their
+        representative's answer AND error fate — the cost of paying for
+        the prompt once.
         """
         if df.isEmpty():
             with_req = self.build_requests(df, **build_kwargs)
             return self._assemble(with_req, self._empty_responses())
 
+        fan_mapping: DataFrame | None = None
         if input_path is None:
             if validate and not self.validate_request(df, **build_kwargs):
                 raise ValueError("validate_request failed on sample item")
             with_req = self.build_requests(df, **build_kwargs)
+            submit_set = with_req
+            if dedupe_prompts:
+                keyed = with_req.withColumn("__pkey", self._dedup_key())
+                groups = batching.prompt_groups(keyed, "__pkey", "idx")
+                submit_set = batching.representatives(
+                    keyed, "__pkey", "idx"
+                ).drop("__pkey")
+                fan_mapping = keyed.select("idx", "__pkey").join(
+                    groups.select("__pkey", "rep_idx"), "__pkey"
+                ).select("idx", "rep_idx")
             input_path = os.path.join(self.work_dir, "input")
-            jsonl.write_jsonl(with_req.select("request.*"), input_path)
+            jsonl.write_jsonl(submit_set.select("request.*"), input_path)
         else:
             # Passthrough: reconstruct the (input row, request) relation
             # from the shards on disk. Join on the custom_id ordinal —
@@ -176,7 +206,27 @@ class BatchPipeline:
             timeout_seconds=timeout_seconds,
         )
 
-        return self._assemble(with_req, self._read_responses(output_path))
+        resp = self._read_responses(output_path)
+        if fan_mapping is not None:
+            resp = self._fan_out(resp, fan_mapping)
+        return self._assemble(with_req, resp)
+
+    def _fan_out(self, resp: DataFrame, mapping: DataFrame) -> DataFrame:
+        """Expand representative responses to every original row: join
+        on the representative ordinal (the response side has one row per
+        DISTINCT body — the small, broadcast-eligible side), then re-key
+        each response struct to the row's own custom_id so the standard
+        join-back sees a 1:1 relation."""
+        rep_idx = ids.extract_index(self._resp_custom_id())
+        keyed = resp.withColumn("__rep_idx", rep_idx)
+        expanded = mapping.join(
+            keyed, mapping["rep_idx"] == keyed["__rep_idx"]
+        )
+        return expanded.select(
+            self._rewrite_resp_custom_id(
+                F.col("resp"), ids.custom_id("idx")
+            ).alias("resp")
+        )
 
 
 class OpenAIBatchPipeline(BatchPipeline):
@@ -282,6 +332,18 @@ class VertexAIBatchPipeline(BatchPipeline):
         return F.from_json(
             F.col("resp.request"), schemas.VERTEX_KEYED_REQUEST_LINE
         )["custom_id"]
+
+    def _dedup_key(self) -> Column:
+        # the priced payload is the inner GenerateContentRequest
+        return F.to_json(F.col("request.request"))
+
+    def _rewrite_resp_custom_id(self, resp: Column, new_cid: Column) -> Column:
+        keyed = F.from_json(
+            resp["request"], schemas.VERTEX_KEYED_REQUEST_LINE
+        )
+        return resp.withField(
+            "request", F.to_json(keyed.withField("custom_id", new_cid))
+        )
 
     # -- BigQuery/GCS boundary (vtx:138-176, 282-296, 298-325) ----------------
 

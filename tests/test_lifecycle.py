@@ -594,3 +594,77 @@ def test_query_index_is_current():
     ).stdout
     with open("/root/repo/QUERIES.md") as f:
         assert f.read() == out
+
+
+def _dup_docs(spark, sf_dir, n=40, copies=3):
+    """Input with exact duplicate texts: n base docs, each text repeated
+    ``copies`` times under distinct doc_ids."""
+    docs = load_table(spark, sf_dir, "documents").limit(n)
+    dup = docs
+    for i in range(1, copies):
+        dup = dup.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(100_000 * i))
+        )
+    return ids.assign_ids(dup, "doc_id")
+
+
+def test_pipeline_dedupe_prompts_submits_distinct_only(
+    spark, sf_dir, tmp_path
+):
+    docs = _dup_docs(spark, sf_dir, n=40, copies=3)
+    pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path))
+    results, errors = pipe.run(
+        docs, dedupe_prompts=True, poll_interval_seconds=0.01
+    )
+    # every original row gets exactly one outcome
+    assert results.count() + errors.count() == 120
+    # the provider saw one request per DISTINCT body (40, not 120)
+    submitted = sum(
+        1
+        for root, _dirs, files in os.walk(tmp_path / "input")
+        for f in files
+        if f.startswith("part-")
+        for _line in open(os.path.join(root, f))
+    )
+    assert submitted == 40
+    # result custom_ids are re-keyed per original row, not per rep
+    cids = [
+        r["cid"]
+        for r in results.select(
+            F.col("resp.custom_id").alias("cid")
+        ).collect()
+    ]
+    assert len(set(cids)) == len(cids)
+    # duplicate rows share their representative's answer
+    answers = results.select(
+        F.col("custom_id"),
+        responses.extract_answer(
+            responses.extract_content(F.col("resp"))
+        ).alias("answer"),
+    )
+    joined = (
+        docs.withColumn("custom_id", ids.custom_id("idx"))
+        .join(answers, "custom_id")
+        .select("text", "answer")
+    )
+    per_text = joined.groupBy("text").agg(
+        F.count_distinct("answer").alias("n_answers")
+    )
+    assert per_text.filter(F.col("n_answers") > 1).count() == 0
+
+
+def test_vertex_pipeline_dedupe_prompts(spark, sf_dir, tmp_path):
+    docs = _dup_docs(spark, sf_dir, n=25, copies=2)
+    pipe = VertexAIBatchPipeline(spark, work_dir=str(tmp_path))
+    results, errors = pipe.run(
+        docs, dedupe_prompts=True, poll_interval_seconds=0.01
+    )
+    assert results.count() + errors.count() == 50
+    submitted = sum(
+        1
+        for root, _dirs, files in os.walk(tmp_path / "input")
+        for f in files
+        if f.startswith("part-")
+        for _line in open(os.path.join(root, f))
+    )
+    assert submitted == 25
