@@ -235,6 +235,31 @@ def _fetch_results(backend: BatchBackend, job: JobManifest) -> None:
             fetch(b, job.output_path)
 
 
+def cancel_job(
+    backend: BatchBackend,
+    *,
+    manifest_dir: str,
+    job_id: str,
+) -> JobManifest:
+    """Best-effort cancellation of every non-terminal provider batch in
+    a submitted job (the reference has no cancel path at all — a wrong
+    submit runs to completion on the provider's dime). Backends without
+    a ``cancel`` wire (the local mocks complete instantly) skip the
+    provider call; the manifest records ``cancelled`` either way so
+    resume_job won't pick the job back up as live work."""
+    job = JobManifest.load(manifest_dir, job_id)
+    if job.state == "completed":
+        return job
+    do_cancel = getattr(backend, "cancel", None)
+    if do_cancel is not None:
+        for b in job.batch_ids:
+            if backend.status(b) not in TERMINAL_STATES:
+                do_cancel(b)
+    job.state = "cancelled"
+    job.save(manifest_dir)
+    return job
+
+
 def resume_job(
     backend: BatchBackend,
     *,

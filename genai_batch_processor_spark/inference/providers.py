@@ -274,6 +274,11 @@ class OpenAIBatchBackend:
         s = self._call("GET", f"/batches/{batch_id}")["status"]
         return "in_progress" if s in _OPENAI_PENDING else s
 
+    def cancel(self, batch_id: str) -> None:
+        """batches.cancel — the provider finishes in-flight requests and
+        moves the batch toward ``cancelled`` (public Batch API)."""
+        self._call("POST", f"/batches/{batch_id}/cancel")
+
     def fetch(self, batch_id: str, output_path: str) -> None:
         """Download a completed batch's output (and error) JSONL into
         ``output_path`` — the oai:206-238 retrieve step, one file per
@@ -400,3 +405,8 @@ class VertexBatchBackend:
     def status(self, batch_id: str) -> str:
         job = self._call("GET", batch_id)
         return _VERTEX_STATE.get(job.get("state", ""), "in_progress")
+
+    def cancel(self, batch_id: str) -> None:
+        """batchPredictionJobs.cancel — ``batch_id`` is the full
+        resource name, the public wire appends ``:cancel``."""
+        self._call("POST", f"{batch_id}:cancel", {})

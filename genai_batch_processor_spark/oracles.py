@@ -2037,3 +2037,41 @@ ORACLES["mixture_sample"] = f"""
 # Streaming response ingestion must reproduce the batch joinback
 # exactly — shared oracle.
 ORACLES["response_joinback_stream"] = ORACLES["joinback"]
+
+# Chunk-vote map-reduce: chunk fragment shared with doc_chunks, same
+# deterministic label/error fates, majority with (count desc, label
+# asc) tie-break.
+from genai_batch_processor_spark.operators import chunking as _ck  # noqa: E402
+
+ORACLES["chunk_vote"] = f"""
+    WITH chunks AS (
+      {_ck.sql_chunk_documents()}
+    ), answered AS (
+      SELECT doc_id,
+             {_is_error_sql(
+                 "('chunk-' || doc_id || '-' || chunk_idx)")} AS err,
+             {_label_sql(_prompt_sql('chunk_text'))} AS answer
+      FROM chunks
+    ), totals AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN err THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_voted
+      FROM answered GROUP BY doc_id
+    ), votes AS (
+      SELECT doc_id, answer, count(*) AS n
+      FROM answered WHERE NOT err
+      GROUP BY doc_id, answer
+    ), winner AS (
+      SELECT doc_id, answer
+      FROM (
+        SELECT doc_id, answer,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n DESC, answer ASC
+               ) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT t.doc_id, t.n_chunks, t.n_voted, w.answer
+    FROM totals t LEFT JOIN winner w ON t.doc_id = w.doc_id
+"""

@@ -17,8 +17,9 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import ids
@@ -50,6 +51,11 @@ class BatchPipeline:
             work_dir = tempfile.mkdtemp(prefix="genai_spark_")
             self._owned_paths.append(work_dir)
         self.work_dir = work_dir
+        # Run telemetry (filled by run()): submit-side counts come from
+        # a Spark Observation riding the sink job — measured during the
+        # write action, no extra count() job; job metadata comes from
+        # the orchestrator manifest.
+        self.last_metrics: dict = {}
 
     def cleanup(self) -> list[str]:
         """Remove every temp path this pipeline created (vtx:327-354
@@ -181,7 +187,20 @@ class BatchPipeline:
                     groups.select("__pkey", "rep_idx"), "__pkey"
                 ).select("idx", "rep_idx")
             input_path = os.path.join(self.work_dir, "input")
-            jsonl.write_jsonl(submit_set.select("request.*"), input_path)
+            obs = Observation(f"submit-{uuid.uuid4().hex[:6]}")
+            to_write = submit_set.select("request.*").observe(
+                obs,
+                F.count(F.lit(1)).alias("n_submitted"),
+                F.sum(F.octet_length(F.to_json(F.struct("*"))))
+                .cast("long")
+                .alias("submit_bytes"),
+            )
+            jsonl.write_jsonl(to_write, input_path)
+            self.last_metrics = dict(obs.get)
+            self.last_metrics["n_input_rows"] = (
+                None if fan_mapping is None
+                else fan_mapping.count()
+            )
         else:
             # Passthrough: reconstruct the (input row, request) relation
             # from the shards on disk. Join on the custom_id ordinal —
@@ -197,7 +216,7 @@ class BatchPipeline:
             ).drop("__req_idx")
 
         output_path = os.path.join(self.work_dir, "output")
-        orchestrator.run_job(
+        job = orchestrator.run_job(
             self.backend,
             input_path=input_path,
             output_path=output_path,
@@ -205,6 +224,8 @@ class BatchPipeline:
             poll_interval_seconds=poll_interval_seconds,
             timeout_seconds=timeout_seconds,
         )
+        self.last_metrics["job_id"] = job.job_id
+        self.last_metrics["n_batches"] = len(job.batch_ids)
 
         resp = self._read_responses(output_path)
         if fan_mapping is not None:

@@ -2720,6 +2720,48 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-reduce inference over long documents: chunk → per-chunk
+    request/answer → majority vote per document (ties broken by label
+    order). The standard pattern when a document exceeds the context
+    window — the reference can only submit whole items
+    (oai:127-145); here the 1→many chunk stage and the many→1 vote are
+    both relational. Chunks whose custom_id draws the deterministic
+    error fate abstain; a document keeps (n_chunks, n_voted) so
+    coverage loss is visible."""
+    from genai_batch_processor_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs)
+    cid = F.format_string("chunk-%d-%d", "doc_id", "chunk_idx")
+    prompt = requests.classification_prompt("chunk_text", LABELS)
+    answered = chunks.select(
+        "doc_id",
+        mock.is_error_expr(cid).alias("err"),
+        mock.label_expr(prompt).alias("answer"),
+    )
+    totals = answered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(~F.col("err"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_voted"),
+    )
+    votes = (
+        answered.filter(~F.col("err"))
+        .groupBy("doc_id", "answer")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("answer").asc()
+    )
+    winner = (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "answer")
+    )
+    return totals.join(winner, "doc_id", "left")
+
+
 # Public per-1k-token prices in micro-USD (illustrative constants; the
 # point is the integer cost arithmetic and the broadcast dim join).
 MODEL_PRICES = (
@@ -2795,6 +2837,7 @@ QUERIES: dict[str, callable] = {
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
     "response_joinback_stream": q_response_joinback_stream,
+    "chunk_vote": q_chunk_vote,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

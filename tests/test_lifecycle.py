@@ -668,3 +668,21 @@ def test_vertex_pipeline_dedupe_prompts(spark, sf_dir, tmp_path):
         for _line in open(os.path.join(root, f))
     )
     assert submitted == 25
+
+
+def test_pipeline_run_exposes_submit_metrics(spark, sf_dir, tmp_path):
+    """run() telemetry: submit counts observed during the sink job (no
+    extra count pass), job metadata from the manifest."""
+    docs = _dup_docs(spark, sf_dir, n=30, copies=2)
+    pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path))
+    pipe.run(docs, dedupe_prompts=True, poll_interval_seconds=0.01)
+    m = pipe.last_metrics
+    assert m["n_submitted"] == 30          # distinct bodies only
+    assert m["n_input_rows"] == 60         # fan-out restores all rows
+    assert m["submit_bytes"] > 0
+    assert m["job_id"].startswith("job-") and m["n_batches"] >= 1
+
+    pipe2 = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "p2"))
+    pipe2.run(docs, poll_interval_seconds=0.01)
+    assert pipe2.last_metrics["n_submitted"] == 60
+    assert pipe2.last_metrics["n_input_rows"] is None

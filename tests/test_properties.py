@@ -145,3 +145,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, frames, direction):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# -- shard planner caps on arbitrary size profiles ---------------------------
+
+byte_profiles = st.lists(
+    st.integers(min_value=0, max_value=5_000),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(sizes=byte_profiles, max_lines=st.integers(2, 7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_plan_shards_caps_hold_for_any_profile(spark, sizes, max_lines):
+    """For ANY per-row byte profile (including zero-byte rows and rows
+    bigger than the byte cap): each shard stays within the line cap,
+    within bytes+one-row slack, and covers a contiguous id run."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import batching
+
+    max_bytes = 4_000
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "idx long, n_bytes long")
+    planned = batching.plan_shards(
+        df,
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=max_lines,
+        max_bytes=max_bytes,
+        buckets=3,
+    )
+    per_shard = planned.groupBy("shard_key").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("bytes"),
+        F.max("n_bytes").alias("max_row"),
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+    ).collect()
+    assert sum(r["n"] for r in per_shard) == len(sizes)
+    for r in per_shard:
+        assert r["n"] <= max_lines
+        assert r["bytes"] < max_bytes + max(r["max_row"], 1)
+        assert r["hi"] - r["lo"] + 1 == r["n"]

@@ -344,3 +344,61 @@ def test_vertex_bigquery_io_dispatch():
 def test_vertex_requires_project():
     with pytest.raises(ValueError, match="project_id"):
         VertexBatchBackend("", "m", lambda: "t")
+
+
+def test_openai_cancel_hits_cancel_endpoint():
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/batches/batch-9/cancel") and method == "POST":
+            return 200, {"id": "batch-9", "status": "cancelling"}
+        raise AssertionError(f"unexpected {method} {url}")
+
+    t = FakeTransport(handler)
+    OpenAIBatchBackend("sk-test", transport=t).cancel("batch-9")
+    assert ("POST", t.paths()[0][1]) == ("POST", t.paths()[0][1])
+    assert t.paths()[0][1].endswith("/batches/batch-9/cancel")
+
+
+def test_vertex_cancel_appends_cancel_verb():
+    def handler(method, url, body):
+        if url.endswith("batchPredictionJobs/55:cancel") and method == "POST":
+            return 200, {}
+        raise AssertionError(f"unexpected {method} {url}")
+
+    t = FakeTransport(handler)
+    b = VertexBatchBackend(
+        "p1", "gemini-2.0-flash-001", lambda: "tok", transport=t
+    )
+    b.cancel("projects/p1/locations/us-central1/batchPredictionJobs/55")
+    assert t.paths()[0][0] == "POST"
+
+
+def test_cancel_job_cancels_pending_batches_and_marks_manifest(tmp_path):
+    from genai_batch_processor_spark.inference import orchestrator
+
+    calls = []
+
+    class PendingBackend:
+        def submit(self, input_path, output_path, meta):
+            return ["b1", "b2"]
+
+        def status(self, batch_id):
+            return "completed" if batch_id == "b1" else "in_progress"
+
+        def cancel(self, batch_id):
+            calls.append(batch_id)
+
+    manifest_dir = str(tmp_path / "manifests")
+    job = orchestrator.JobManifest(
+        job_id="job-x", input_path="in", output_path="out",
+        state="submitted", batch_ids=["b1", "b2"],
+    )
+    job.save(manifest_dir)
+    got = orchestrator.cancel_job(
+        PendingBackend(), manifest_dir=manifest_dir, job_id="job-x"
+    )
+    # only the non-terminal batch is cancelled on the provider
+    assert calls == ["b2"]
+    assert got.state == "cancelled"
+    reloaded = orchestrator.JobManifest.load(manifest_dir, "job-x")
+    assert reloaded.state == "cancelled"
