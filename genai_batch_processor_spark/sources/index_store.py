@@ -1,0 +1,68 @@
+"""ANN index persistence: train once, search many runs.
+
+The IVF cell table (``operators/clustering.kmeans_cells`` output —
+long-form (cell, dim, n_vecs, c_val)) is driver-trained per session
+today; at 100 TB training is a scheduled job and searches are many
+later jobs, so the index must live on storage between them. This is
+that seam: the centroid relation round-trips through parquet with a
+schema/version guard, and the loader hands back exactly the wide
+centroid list ``topk_ivf(centroids=…)`` inlines.
+
+Bounded by construction — an IVF index is k cells × dim doubles (plus
+cell sizes), KBs at any corpus scale — so the loader's collect is not a
+data-path collect. The same pattern extends to any trained artifact
+the engine grows (quantizer codebooks, LSH projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INDEX_FORMAT_VERSION = 1
+
+
+def save_centroids(cells: DataFrame, path: str) -> None:
+    """Persist a trained centroid relation as a single-file parquet
+    index (k × dim rows — coalesce(1) is correct here: this is bounded
+    metadata, not data)."""
+    (
+        cells.select(
+            F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("c_val").cast("double").alias("c_val"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_centroid_cells(spark: SparkSession, path: str) -> DataFrame:
+    """Reload the persisted cell relation, verifying the format
+    version — an index written by a future incompatible trainer must
+    fail loudly, not search with misread centroids."""
+    cells = spark.read.parquet(path)
+    versions = [
+        r["format_version"]
+        for r in cells.select("format_version").distinct().collect()
+    ]
+    if versions != [INDEX_FORMAT_VERSION]:
+        raise ValueError(
+            f"centroid index at {path} has format_version {versions}, "
+            f"expected [{INDEX_FORMAT_VERSION}]"
+        )
+    return cells.select("cell", "dim", "n_vecs", "c_val")
+
+
+def load_centroids(
+    spark: SparkSession, path: str
+) -> list[tuple[int, list[float]]]:
+    """Index → the wide centroid list the IVF search path inlines."""
+    from genai_batch_processor_spark.operators import clustering
+
+    return clustering.centroids_from_cells(
+        load_centroid_cells(spark, path)
+    )

@@ -87,3 +87,35 @@ def test_write_jsonl_planned_one_file_per_shard(spark, sf_dir, tmp_path):
         # payload round-trips without the partition column
         assert set(lines[0].keys()) == {"doc_id", "idx"}
     assert total == docs.count()
+
+
+def test_ivf_index_roundtrip_search(spark, sf_dir, tmp_path):
+    """Train → persist → reload → search must equal in-session search
+    bit-for-bit (sources/index_store.py), and a wrong format version
+    must fail loudly."""
+    import pytest
+    from genai_batch_processor_spark.operators import clustering, similarity
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = clustering.kmeans_cells(emb)
+    direct = clustering.centroids_from_cells(cells)
+
+    path = str(tmp_path / "ivf_index")
+    index_store.save_centroids(cells, path)
+    loaded = index_store.load_centroids(spark, path)
+    assert loaded == direct
+
+    qs = emb.filter(F.col("vec_id") < 4)
+    a = similarity.topk_ivf(emb, qs, centroids=direct).collect()
+    b = similarity.topk_ivf(emb, qs, centroids=loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # tampered version must be rejected
+    bad = spark.read.parquet(path).withColumn(
+        "format_version", F.lit(99)
+    )
+    bad_path = str(tmp_path / "ivf_bad")
+    bad.write.mode("overwrite").parquet(bad_path)
+    with pytest.raises(ValueError, match="format_version"):
+        index_store.load_centroids(spark, bad_path)
