@@ -37,6 +37,9 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3  # pigeonhole-compatible with 4 bands of 8 bits
 MAX_BUCKET = 64  # skew guard for LSH buckets
+WINNOW_K = 4  # words per k-gram for winnowing
+WINNOW_W = 4  # winnowing window (guarantee: any ≥ k+w-1 word match shares a fp)
+WINNOW_MIN_SHARED = 2
 
 _FAMILY = hashing.hash_family(MINHASH_K)
 
@@ -295,6 +298,80 @@ def jaccard_pairs_from_hashes(
 
 
 # -- near-dup clustering (components + survivors) ----------------------------
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): the ORDERED word k-gram hash sequence is scanned with a
+    width-``w`` window and each window contributes its minimum hash.
+    Guarantee: two documents sharing any run of ≥ k+w-1 identical words
+    share at least one fingerprint — so this catches copied PASSAGES
+    (containment), which whole-document MinHash similarity structurally
+    misses. Pure JVM lambdas over the shingle array; output is the
+    doc's distinct fingerprint set."""
+    hs = F.transform(tx.shingles(text, k), hashing.portable_hash32)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Containment-candidate (id_a < id_b) pairs with their shared-
+    fingerprint count. Same scale shape as the LSH family: one explode
+    (≈ one fp per w words), one shuffle on the fingerprint, sorted
+    collect_list + local pair expansion under a bucket cap (degenerate
+    fingerprints are dropped, not joined), then a pair-count aggregate
+    filtered to ``min_shared``."""
+    fps = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(winnow_fingerprints(text_col)).alias("fp"),
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_fingerprints(
+    expr: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    hs = (
+        f"list_transform({tx.sql_shingles(expr, k)}, "
+        f"s -> {hashing.sql_hash32('s')})"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({hs}) - {w - 1}, 1)), "
+        f"s -> list_min(({hs})[s : s + {w - 1}])))"
+    )
 
 
 def connected_components(

@@ -2075,3 +2075,26 @@ ORACLES["chunk_vote"] = f"""
     SELECT t.doc_id, t.n_chunks, t.n_voted, w.answer
     FROM totals t LEFT JOIN winner w ON t.doc_id = w.doc_id
 """
+
+# Winnowing containment pairs: replay the fingerprint sets, apply the
+# same bucket cap, count shared fps per ordered pair.
+ORACLES["winnow_pairs"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             unnest({dedup.sql_winnow_fingerprints('text')}) AS fp
+      FROM documents
+    ), sizes AS (
+      SELECT fp, count(*) AS n FROM d GROUP BY fp
+    ), ok AS (
+      SELECT fp FROM sizes
+      WHERE n >= 2 AND n <= {dedup.MAX_BUCKET}
+    )
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a
+    JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN ok ON ok.fp = a.fp
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
+"""

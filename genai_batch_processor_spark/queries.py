@@ -2720,6 +2720,15 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level containment dedup via winnowing fingerprints
+    (operators/dedup.py:winnow_pairs): documents sharing ≥2 winnowed
+    k-gram minima are candidate copy pairs even when whole-doc
+    similarity is low — the case MinHash-LSH structurally misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(docs, "doc_id", "text")
+
+
 def q_chunk_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-reduce inference over long documents: chunk → per-chunk
     request/answer → majority vote per document (ties broken by label
@@ -2838,6 +2847,7 @@ QUERIES: dict[str, callable] = {
     "mixture_sample": q_mixture_sample,
     "response_joinback_stream": q_response_joinback_stream,
     "chunk_vote": q_chunk_vote,
+    "winnow_pairs": q_winnow_pairs,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,

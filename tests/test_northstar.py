@@ -318,3 +318,32 @@ def test_packing_respects_budget_offsets(spark):
     }
     # offsets before each chunk: 0, 300, 600, 900 → bins 0,0,1,1
     assert out == {0: (2, 600), 1: (2, 350)}
+
+
+def test_winnowing_catches_passage_containment_lsh_misses(spark):
+    """A long copied passage inside an otherwise-unrelated document must
+    surface as a winnow pair; whole-document MinHash-LSH, which keys on
+    GLOBAL similarity, misses it — the two detectors are complementary,
+    not redundant."""
+    import random
+
+    rng = random.Random(7)
+    words = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randint(0, 9999)}" for _ in range(n)
+    )
+    passage = "the quick brown fox jumps over the lazy sleeping dog again"
+    a = words(15, "a") + " " + passage + " " + words(15, "b")
+    b = words(120, "c") + " " + passage + " " + words(120, "d")
+    unrelated = words(60, "e")
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, unrelated)], "doc_id long, text string"
+    )
+
+    wp = dedup.winnow_pairs(df, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in wp} == {(1, 2)}
+    # shared-run guarantee: the 10-word passage yields ≥ 10-(k+w-1)+1
+    # shared windows, each contributing ≥1 shared fingerprint count
+    assert all(r["n_shared"] >= dedup.WINNOW_MIN_SHARED for r in wp)
+
+    lsh = dedup.candidate_pairs(df, "doc_id", "text").collect()
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in lsh}
