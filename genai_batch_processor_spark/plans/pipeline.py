@@ -336,8 +336,14 @@ class VertexAIBatchPipeline(BatchPipeline):
 
     def validate_request(self, df: DataFrame, **kwargs) -> bool:
         """Structure-only check (vtx:70-107) — no provider call; the
-        output-token clamp (vtx:93-97) applies to the probe build."""
-        sample = self.build_requests(df.limit(1), max_output_tokens=128, **kwargs)
+        output-token clamp (vtx:93-97) caps the PROBE build at 128 even
+        when the run requests more (a caller-passed value used to
+        collide with the clamp keyword here)."""
+        probe_kwargs = dict(kwargs)
+        probe_kwargs["max_output_tokens"] = min(
+            int(probe_kwargs.get("max_output_tokens", 128)), 128
+        )
+        sample = self.build_requests(df.limit(1), **probe_kwargs)
         return sample.select("request").head() is not None
 
     # -- vertex wire hooks ----------------------------------------------------

@@ -1,0 +1,47 @@
+"""Smoke the examples/ migration scripts — the runnable parity story
+for users coming from the reference's example set (one twin per
+reference example, same shapes: free text, pre-built messages,
+image+text multimodal, Vertex)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/examples")
+
+import run_multichoice_exam
+import run_text_classifier
+import run_vertex_text_classifier
+import run_visual_exam
+
+from genai_batch_processor_spark.inference import mock
+
+
+def test_text_classifier_example(spark, sf_dir):
+    answered, errors, summary = run_text_classifier.main(spark, sf_dir)
+    n, e = answered.count(), errors.count()
+    assert n > 0 and n + e == 500
+    labels = {r["answer"] for r in summary.collect()}
+    assert labels <= set(run_text_classifier.LABELS)
+
+
+def test_multichoice_example(spark):
+    answered, errors = run_multichoice_exam.main(spark)
+    assert answered.count() + errors.count() == len(
+        run_multichoice_exam.QUESTIONS
+    )
+    for r in answered.collect():
+        assert r["answer"] in mock.DEFAULT_LABELS
+
+
+def test_visual_exam_example(spark, sf_dir):
+    answered, errors = run_visual_exam.main(spark, sf_dir)
+    assert answered.count() + errors.count() == 20
+
+
+def test_vertex_example(spark, sf_dir):
+    answered, errors = run_vertex_text_classifier.main(spark, sf_dir)
+    n, e = answered.count(), errors.count()
+    assert n > 0 and n + e == 500
+    for r in answered.limit(20).collect():
+        assert r["answer"] in mock.DEFAULT_LABELS
