@@ -300,6 +300,22 @@ def jaccard_pairs_from_hashes(
 # -- near-dup clustering (components + survivors) ----------------------------
 
 
+def winnow_from_hashes(hs: Column, w: int = WINNOW_W) -> Column:
+    """Window minima over an ALREADY-MATERIALIZED ordered k-gram hash
+    array. ``hs`` must be a column reference, not an inline expression:
+    Spark does no common-subexpression elimination inside higher-order-
+    function lambdas, so an inline ``hs`` would be recomputed (shingle +
+    md5 over the whole document) once PER WINDOW — O(words²) hashing
+    per row, a measured 20× slowdown at sf0.1. Stage the hashes with a
+    select/withColumn first (as :func:`winnow_pairs` does)."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
+    )
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> Column:
@@ -309,15 +325,13 @@ def winnow_fingerprints(
     Guarantee: two documents sharing any run of ≥ k+w-1 identical words
     share at least one fingerprint — so this catches copied PASSAGES
     (containment), which whole-document MinHash similarity structurally
-    misses. Pure JVM lambdas over the shingle array; output is the
-    doc's distinct fingerprint set."""
+    misses.
+
+    Convenience single-expression form for small relations and the
+    oracle twin; hot paths must stage the hash array and use
+    :func:`winnow_from_hashes` (see its scale note)."""
     hs = F.transform(tx.shingles(text, k), hashing.portable_hash32)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
-    )
-    return F.array_distinct(
-        F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
-    )
+    return winnow_from_hashes(hs, w)
 
 
 def winnow_pairs(
@@ -333,9 +347,15 @@ def winnow_pairs(
     collect_list + local pair expansion under a bucket cap (degenerate
     fingerprints are dropped, not joined), then a pair-count aggregate
     filtered to ``min_shared``."""
-    fps = df.select(
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(winnow_fingerprints(text_col)).alias("fp"),
+        F.transform(
+            tx.shingles(text_col, WINNOW_K), hashing.portable_hash32
+        ).alias("__hs"),
+    )
+    fps = hashed.select(
+        "__id",
+        F.explode(winnow_from_hashes(F.col("__hs"))).alias("fp"),
     )
     grouped = (
         fps.groupBy("fp")

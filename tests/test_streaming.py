@@ -351,3 +351,66 @@ def test_response_ingest_joins_across_microbatches(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_inference_equals_one_shot_run(spark, sf_dir, tmp_path):
+    """Documents arriving across micro-batches and submitted per batch
+    must produce EXACTLY the one-shot batch run's results — custom_ids
+    derive from the natural key, so how the stream chops the corpus is
+    invisible (streaming/submit.py)."""
+    import os
+
+    from genai_batch_processor_spark import OpenAIBatchPipeline
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.streaming import submit as ssub
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    # land the corpus as 3 separate files → 3 micro-batches at
+    # maxFilesPerTrigger=1
+    stream_dir = str(tmp_path / "doc_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    doc_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    out = str(tmp_path / "out")
+    work = str(tmp_path / "work")
+
+    def make_pipeline(batch_df, epoch_id):
+        wd = os.path.join(work, f"epoch={epoch_id}")
+        os.makedirs(wd, exist_ok=True)
+        return OpenAIBatchPipeline(spark, work_dir=wd)
+
+    ssub.run_stream_inference(
+        doc_stream,
+        make_pipeline,
+        key_col="doc_id",
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        validate=False,
+        poll_interval_seconds=0.01,
+    )
+
+    streamed = spark.read.parquet(os.path.join(out, "results"))
+    assert streamed.select("doc_id").distinct().count() == streamed.count()
+
+    # one-shot twin under the same id convention
+    one = docs.withColumn("idx", F.col("doc_id").cast("long"))
+    pipe = OpenAIBatchPipeline(spark, work_dir=str(tmp_path / "oneshot"))
+    results, errors = pipe.run(
+        one, validate=False, poll_interval_seconds=0.01
+    )
+    want = results.select(
+        "doc_id",
+        F.col("resp.custom_id").alias("custom_id"),
+        F.to_json("resp").alias("resp_json"),
+    )
+    got = streamed.select("doc_id", "custom_id", "resp_json")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # errors are also only key-dependent
+    n_err_stream = spark.read.parquet(os.path.join(out, "errors")).count()
+    assert n_err_stream == errors.count()
