@@ -56,16 +56,32 @@ def token_count(text: Column | str) -> Column:
     return F.regexp_count(_c(text), F.lit(TOKEN_PATTERN))
 
 
+def _bind(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and
+    reference it as a lambda variable inside ``body``. Spark has no CSE
+    inside higher-order-function lambdas, so an expression referenced
+    from a lambda body is otherwise re-evaluated per element — the
+    1-element-array transform is the standard binding workaround."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles; whole text if fewer than n words."""
-    ws = words(text)
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        ),
-    ).otherwise(F.array(_c(text)))
+    """Word n-gram shingles; whole text if fewer than n words.
+
+    The split-words array is let-bound so the per-shingle lambda reads a
+    materialized array instead of re-splitting the document once per
+    shingle (O(words²) otherwise — same hazard class as
+    operators/dedup.winnow_from_hashes' scale note)."""
+    return _bind(
+        words(text),
+        lambda ws: F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            ),
+        ).otherwise(F.array(_c(text))),
+    )
 
 
 def char_shingles(text: Column | str, n: int = 5, step: int = 1) -> Column:

@@ -45,14 +45,19 @@ def chunk_documents(
     if not 0 <= overlap < chunk_words:
         raise ValueError("need 0 <= overlap < chunk_words")
     step = chunk_words - overlap
-    ws = tx.words(F.col(text_col))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(step))
+    # let-bind the split-words array (tx._bind): the per-chunk lambda
+    # otherwise re-splits the document once per chunk — O(words²/step)
     chunk = F.explode(
-        F.transform(
-            starts,
-            lambda s, i: F.struct(
-                i.alias("chunk_idx"),
-                F.slice(ws, s, chunk_words).alias("__w"),
+        tx._bind(
+            tx.words(F.col(text_col)),
+            lambda ws: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(step)
+                ),
+                lambda s, i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.slice(ws, s, chunk_words).alias("__w"),
+                ),
             ),
         )
     )
