@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions.exprs import bind as _bind
+
 # Explicit whitespace class: Java regex \s includes vertical tab
 # (\x0B) but RE2's \s does not — `\s` in a shared pattern silently
 # diverges between Spark and DuckDB on control characters (caught by
@@ -54,15 +56,6 @@ def word_count(text: Column | str) -> Column:
 def token_count(text: Column | str) -> Column:
     """BPE-ish token count via regexp (JVM-side; Spark 4 regexp_count)."""
     return F.regexp_count(_c(text), F.lit(TOKEN_PATTERN))
-
-
-def _bind(value: Column, body) -> Column:
-    """Let-binding for column expressions: evaluate ``value`` ONCE and
-    reference it as a lambda variable inside ``body``. Spark has no CSE
-    inside higher-order-function lambdas, so an expression referenced
-    from a lambda body is otherwise re-evaluated per element — the
-    1-element-array transform is the standard binding workaround."""
-    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

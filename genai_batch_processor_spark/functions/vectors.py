@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions.exprs import bind
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -94,23 +96,32 @@ def quantize_int8_stats(a: Column | str) -> Column:
     scale 0 and NULL error stats (the 0/0 code is NULL on both
     engines), so they surface rather than silently passing."""
     arr = _c(a)
+
+    # scale is itself an O(dim) reduction; let-bind it (exprs.bind) so
+    # the per-element lambdas read a materialized scalar — inline it and
+    # the whole reduction re-runs once per element (O(dim²) per vector).
+    def stats(scale: Column) -> Column:
+        code = lambda x: F.greatest(  # noqa: E731
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.round(F.try_divide(x.cast("double"), scale), 0),
+            ),
+        )
+        err = F.transform(
+            arr, lambda x: F.abs(x.cast("double") - code(x) * scale)
+        )
+        n_sat = F.size(
+            F.filter(arr, lambda x: F.abs(code(x)) >= F.lit(127.0))
+        )
+        return F.struct(
+            scale.alias("scale"),
+            F.array_max(err).alias("max_abs_err"),
+            n_sat.cast("int").alias("n_saturated"),
+        )
+
     absmax = F.array_max(F.transform(arr, lambda x: F.abs(x.cast("double"))))
-    scale = F.try_divide(absmax, F.lit(127.0))
-    code = lambda x: F.greatest(  # noqa: E731
-        F.lit(-127.0),
-        F.least(F.lit(127.0), F.round(F.try_divide(x.cast("double"), scale), 0)),
-    )
-    err = F.transform(
-        arr, lambda x: F.abs(x.cast("double") - code(x) * scale)
-    )
-    n_sat = F.size(
-        F.filter(arr, lambda x: F.abs(code(x)) >= F.lit(127.0))
-    )
-    return F.struct(
-        scale.alias("scale"),
-        F.array_max(err).alias("max_abs_err"),
-        n_sat.cast("int").alias("n_saturated"),
-    )
+    return bind(F.try_divide(absmax, F.lit(127.0)), stats)
 
 
 def sql_quantize_int8_stats(a: str) -> str:
@@ -149,14 +160,18 @@ def int8_codes(a: Column | str) -> Column:
     code dot product order-independent by construction. Zero vectors
     yield NULL codes (0/0), which downstream ranking drops."""
     arr = _c(a)
-    scale = int8_scale(arr)
-    return F.transform(
-        arr,
-        lambda x: F.greatest(
-            F.lit(-127.0),
-            F.least(
-                F.lit(127.0),
-                F.round(F.try_divide(x.cast("double"), scale), 0),
+    # let-bind the O(dim) scale out of the per-element lambda (see
+    # quantize_int8_stats) — inline, the reduction re-runs per element
+    return bind(
+        int8_scale(arr),
+        lambda scale: F.transform(
+            arr,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.round(F.try_divide(x.cast("double"), scale), 0),
+                ),
             ),
         ),
     )
