@@ -35,22 +35,20 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     )
     docs = ids.assign_ids(load_table(spark, sf_dir, "documents"), "doc_id")
 
+    # NOTE: pipe.cleanup() must wait until the returned lazy relations
+    # have been consumed — they read from the pipeline's work_dir.
     pipe = OpenAIBatchPipeline(spark)
-    try:
-        results, errors = pipe.run(
-            docs, labels=LABELS, poll_interval_seconds=0.01
-        )
-        answered = results.select(
-            "doc_id",
-            responses.extract_answer(
-                responses.extract_content(F.col("resp"))
-            ).alias("answer"),
-        )
-        summary = answered.groupBy("answer").count()
-        return answered, errors, summary
-    finally:
-        # don't clean up before the caller consumes the lazy relations
-        pass
+    results, errors = pipe.run(
+        docs, labels=LABELS, poll_interval_seconds=0.01
+    )
+    answered = results.select(
+        "doc_id",
+        responses.extract_answer(
+            responses.extract_content(F.col("resp"))
+        ).alias("answer"),
+    )
+    summary = answered.groupBy("answer").count()
+    return answered, errors, summary
 
 
 if __name__ == "__main__":

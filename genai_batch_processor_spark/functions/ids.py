@@ -84,9 +84,21 @@ def assign_ids(
         return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
 
     width = (hi - lo) / buckets
-    bucket = F.least(
-        F.floor((knum - F.lit(lo)) / F.lit(width)), F.lit(buckets - 1)
-    ).cast("int")
+    # NULL keys sort FIRST under Window.orderBy (nulls-first), so they
+    # must land in a bucket BEFORE every non-null key. Without the
+    # explicit branch, floor(NULL) is NULL and least(NULL, n) skips the
+    # null — silently assigning null-key rows to the LAST bucket and
+    # breaking the exact-global-ordinal contract vs the fallback path.
+    bucket = (
+        F.when(knum.isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.floor((knum - F.lit(lo)) / F.lit(width)),
+                F.lit(buckets - 1),
+            )
+        )
+        .cast("int")
+    )
     bucketed = df.withColumn("__bucket", bucket)
     counts = {
         r["__bucket"]: r["cnt"]

@@ -110,16 +110,21 @@ def _multipart(
 
 
 def _local_shards(input_path: str) -> list[str]:
-    """JSONL shard files under a sink path (dir of part files, or one
-    file) — sorted so batch ids line up with shard order."""
-    if os.path.isdir(input_path):
-        return sorted(
-            os.path.join(input_path, f)
-            for f in os.listdir(input_path)
-            if f.endswith((".jsonl", ".json", ".txt"))
-            or f.startswith("part-")
-        )
-    return [input_path]
+    """JSONL shard files under a sink path — a single file, a flat dir
+    of part files (``jsonl.write_jsonl``), or a PARTITIONED layout of
+    ``shard_key=*/part-*`` subdirectories (``jsonl.write_jsonl_planned``)
+    — sorted by full path so batch ids line up with shard order."""
+    if not os.path.isdir(input_path):
+        return [input_path]
+    shards: list[str] = []
+    for root, _dirs, files in os.walk(input_path):
+        for f in files:
+            if (
+                f.endswith((".jsonl", ".json", ".txt"))
+                or f.startswith("part-")
+            ) and not f.startswith(("_", ".")):
+                shards.append(os.path.join(root, f))
+    return sorted(shards)
 
 
 # OpenAI wire statuses that are still in flight (everything terminal is
@@ -233,8 +238,24 @@ class OpenAIBatchBackend:
     def validate(self, request_body: dict) -> None:
         """Sync pre-flight probe (oai:92-125): one real
         chat.completions call with a sample body; BadRequest aborts the
-        whole submit BEFORE any upload."""
-        self._call("POST", "/chat/completions", payload=request_body)
+        whole submit BEFORE any upload. Azure's dataplane serves chat
+        completions only under the deployment path — the deployment
+        name is the body's model (the upstream Azure rewrite), and the
+        deployment-less route 404s."""
+        if self.is_azure:
+            deployment = request_body.get("model")
+            if not deployment:
+                raise ValueError(
+                    "Azure preflight needs body.model (the deployment "
+                    "name) to build the probe route"
+                )
+            self._call(
+                "POST",
+                f"/deployments/{deployment}/chat/completions",
+                payload=request_body,
+            )
+        else:
+            self._call("POST", "/chat/completions", payload=request_body)
 
     def submit(
         self, input_path: str, output_path: str, meta: dict

@@ -58,13 +58,19 @@ def prompt_groups(
 
 
 def representatives(
-    df: DataFrame, key_col: str, id_col: str = "idx"
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "idx",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated submit set: original rows filtered to the group
     representatives. Implemented as a semi join on (key, id) — the
     groups side is the distinct relation, usually far smaller than the
-    input, and broadcast-eligible when the duplicate rate is high."""
-    groups = prompt_groups(df, key_col, id_col)
+    input, and broadcast-eligible when the duplicate rate is high.
+    Pass a precomputed ``groups`` relation when the caller already built
+    one (avoids re-declaring the aggregation in the plan)."""
+    if groups is None:
+        groups = prompt_groups(df, key_col, id_col)
     return df.join(
         groups.select(
             F.col(key_col),
@@ -157,17 +163,32 @@ def plan_shards(
     buckets: int | None = None,
 ) -> DataFrame:
     """Assign every row a (byte_shard, line_shard, shard_key) honoring
-    both provider caps, in input-id order.
+    both provider caps STRICTLY, in input-id order.
 
-    ``byte_shard`` = floor(exclusive-prefix-bytes / max_bytes): every
-    byte shard's total is < max_bytes + one row (the standard streaming
-    packing guarantee; a single row larger than max_bytes occupies a
-    shard alone and shard numbers may skip — documented, not hidden).
+    ``byte_shard`` = floor(exclusive-prefix-bytes / budget) where
+    ``budget = max_bytes - max_row_bytes``: prefix-floor packing puts
+    the row straddling each boundary in the EARLIER shard, so a shard
+    packed against the raw cap would overflow by up to one row — fatal
+    when max_bytes is the provider's hard file limit. Shrinking the
+    floor budget by the largest observed row absorbs that overhang, so
+    every shard's total is ≤ max_bytes, guaranteed. A single row larger
+    than half the cap shrinks the budget materially (shards get
+    smaller, never larger than the cap); a row that cannot fit under
+    the cap at all is an error — the provider would reject its file.
     ``line_shard`` then splits each byte shard into runs of at most
     ``max_lines`` rows via a window PARTITIONED by byte_shard — a byte
     shard is cap-bounded, so no partition is unbounded. ``shard_key``
     is the stable file label the JSONL sink shards by.
     """
+    max_row = df.agg(F.max(bytes_col)).first()[0]
+    if max_row is None:
+        max_row = 0
+    if max_row >= max_bytes:
+        raise ValueError(
+            f"plan_shards: a {max_row}-byte row cannot fit under the "
+            f"{max_bytes}-byte shard cap"
+        )
+    budget = max(1, max_bytes - int(max_row))
     with_cum = exclusive_prefix_sum(
         df,
         order_col=id_col,
@@ -175,7 +196,7 @@ def plan_shards(
         out_col="__cum_bytes",
         buckets=buckets,
     )
-    byte_shard = (F.col("__cum_bytes") / F.lit(max_bytes)).cast("long")
+    byte_shard = (F.col("__cum_bytes") / F.lit(budget)).cast("long")
     with_bs = with_cum.withColumn("byte_shard", byte_shard)
     w = Window.partitionBy("byte_shard").orderBy(id_col)
     line_shard = ((F.row_number().over(w) - 1) / F.lit(max_lines)).cast(

@@ -215,12 +215,16 @@ def mixture_plan(
         .withColumn("target_tokens", target)
         .withColumn(
             "rate_ppm",
+            # decimal widening + integral `div`: target×1e6 overflows
+            # int64 once a stratum's token target passes ~9.2e12 — real
+            # at the 100 TB scale this plans for — and a wrapped-negative
+            # rate would silently drop the largest strata. DuckDB twin
+            # uses HUGEINT `//`; both are exact integer floors.
             F.least(
                 F.lit(1_000_000).cast("long"),
-                F.floor(
-                    F.col("target_tokens")
-                    * F.lit(1_000_000)
-                    / F.col("available_tokens")
+                F.expr(
+                    "CAST(target_tokens AS DECIMAL(38,0)) * 1000000 "
+                    "div available_tokens"
                 ).cast("long"),
             ),
         )

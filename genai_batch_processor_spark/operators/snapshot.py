@@ -22,8 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Unit separator: marks nulls and delimits fields so ("a", "bc") never
-# collides with ("ab", "c") and null never collides with ''.
+# Field encoding: netstring-style length prefix + separator. A bare
+# separator scheme collides when a VALUE contains the separator byte
+# (("a\\x1fb","c") vs ("a","b\\x1fc") concatenate identically); the
+# length prefix makes the encoding injective for arbitrary bytes —
+# essential, since a missed CHANGED row silently skips reprocessing.
+# NULL is a distinct marker (no length prefix), never equal to ''.
 _SEP = "\x1f"
 _NULL = "\x1e"
 
@@ -37,17 +41,27 @@ ADDED, DELETED, CHANGED, UNCHANGED = (
 
 def row_fingerprint(cols: list[str]) -> Column:
     """Portable md5 fingerprint over the compare columns, null-marked
-    and field-delimited. Identical expression exists in ANSI SQL via
-    :func:`sql_row_fingerprint`."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
-    ]
+    and length-prefix encoded (injective for arbitrary values).
+    Identical expression exists in ANSI SQL via
+    :func:`sql_row_fingerprint`. Lengths are in CHARACTERS — Spark
+    ``length`` and DuckDB ``length`` agree on that."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit(_NULL),
+            )
+        )
     return F.md5(F.concat_ws(_SEP, *parts))
 
 
 def sql_row_fingerprint(cols: list[str]) -> str:
     parts = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(30))" for c in cols
+        f"coalesce(length(CAST({c} AS VARCHAR)) || ':' "
+        f"|| CAST({c} AS VARCHAR), chr(30))"
+        for c in cols
     )
     return f"md5(concat_ws(chr(31), {parts}))"
 

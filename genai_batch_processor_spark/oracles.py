@@ -1787,7 +1787,11 @@ ORACLES["batch_shards"] = f"""
              ), 0) AS cum
       FROM base
     ), b AS (
-      SELECT *, (cum // 16384) AS byte_shard FROM c
+      -- budget = cap - max row (strict-cap guarantee, see plan_shards)
+      SELECT *,
+             (cum // (16384 - (SELECT max(n_bytes) FROM base)))
+               AS byte_shard
+      FROM c
     )
     SELECT doc_id,
            CAST(idx AS BIGINT) AS idx,
@@ -2012,8 +2016,8 @@ _MIX_PLAN = f"""
            {_mix_target_sql()} AS target_tokens,
            least(
              CAST(1000000 AS BIGINT),
-             CAST(floor({_mix_target_sql()} * 1000000
-                        / sum(n_tokens)) AS BIGINT)
+             CAST(CAST({_mix_target_sql()} AS HUGEINT) * 1000000
+                  // sum(n_tokens) AS BIGINT)
            ) AS rate_ppm
     FROM sized GROUP BY source
   )

@@ -167,6 +167,13 @@ class BatchPipeline:
         representative's answer AND error fate — the cost of paying for
         the prompt once.
         """
+        self.last_metrics = {}
+        if dedupe_prompts and input_path is not None:
+            raise ValueError(
+                "dedupe_prompts needs the build stage; it cannot apply "
+                "to a pre-built input_path (the shards on disk already "
+                "fixed the submit set)"
+            )
         if df.isEmpty():
             with_req = self.build_requests(df, **build_kwargs)
             return self._assemble(with_req, self._empty_responses())
@@ -177,15 +184,19 @@ class BatchPipeline:
                 raise ValueError("validate_request failed on sample item")
             with_req = self.build_requests(df, **build_kwargs)
             submit_set = with_req
+            n_input_rows = None
             if dedupe_prompts:
                 keyed = with_req.withColumn("__pkey", self._dedup_key())
                 groups = batching.prompt_groups(keyed, "__pkey", "idx")
                 submit_set = batching.representatives(
-                    keyed, "__pkey", "idx"
+                    keyed, "__pkey", "idx", groups=groups
                 ).drop("__pkey")
                 fan_mapping = keyed.select("idx", "__pkey").join(
                     groups.select("__pkey", "rep_idx"), "__pkey"
                 ).select("idx", "rep_idx")
+                # one tiny agg job (|groups| rows) — NOT a fan_mapping
+                # count, which would re-run the groupBy + join
+                n_input_rows = groups.agg(F.sum("n_rows")).first()[0]
             input_path = os.path.join(self.work_dir, "input")
             obs = Observation(f"submit-{uuid.uuid4().hex[:6]}")
             to_write = submit_set.select("request.*").observe(
@@ -197,10 +208,7 @@ class BatchPipeline:
             )
             jsonl.write_jsonl(to_write, input_path)
             self.last_metrics = dict(obs.get)
-            self.last_metrics["n_input_rows"] = (
-                None if fan_mapping is None
-                else fan_mapping.count()
-            )
+            self.last_metrics["n_input_rows"] = n_input_rows
         else:
             # Passthrough: reconstruct the (input row, request) relation
             # from the shards on disk. Join on the custom_id ordinal —

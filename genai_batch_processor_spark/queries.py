@@ -49,7 +49,7 @@ _PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -69,7 +69,7 @@ _CENTROID_CACHE: dict[tuple[int, str], list] = {}
 def _trained_centroids_shared(spark: SparkSession, sf_dir: str) -> list:
     from genai_batch_processor_spark.operators import clustering
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cents = _CENTROID_CACHE.get(key)
     if cents is None:
         emb = load_table(spark, sf_dir, "embeddings")

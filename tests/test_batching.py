@@ -59,8 +59,9 @@ def test_plan_shards_honors_both_caps(spark, sf_dir):
     assert len(per_shard) > 1, "caps did not bind at fixture scale"
     for r in per_shard:
         assert r["n"] <= max_lines
-        # streaming-packing guarantee: < max_bytes + one row of slack
-        assert r["bytes"] < max_bytes + r["max_row"]
+        # STRICT cap: the floor budget is shrunk by the largest row, so
+        # no shard may exceed the provider's hard limit
+        assert r["bytes"] <= max_bytes
 
 
 def test_plan_shards_rows_stay_contiguous(spark, sf_dir):
@@ -141,3 +142,36 @@ def test_prompt_dedup_sandwich_invariants(spark, sf_dir):
     # a prompt identical to its own (groups are exact-match)
     assert fanned.filter(F.col("prompt") != F.col("rep_prompt")).count() == 0
     docs.unpersist()
+
+
+def test_plan_shards_rejects_row_bigger_than_cap(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, 5000)], "idx long, n_bytes long"
+    )
+    with pytest.raises(ValueError, match="cannot fit"):
+        batching.plan_shards(
+            df, id_col="idx", bytes_col="n_bytes",
+            max_lines=10, max_bytes=4000,
+        )
+
+
+def test_assign_ids_null_keys_match_single_window(spark):
+    """NULL order keys must receive the same ordinals on the bucketed
+    path as on the single-window fallback (nulls first)."""
+    rows = [(i, None if i % 7 == 0 else f"k{i:03d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, key string")
+    bucketed = ids.assign_ids(df, "key", buckets=8)
+    fallback = ids.assign_ids(df, "key", buckets=1)
+    got = {r["rid"]: r["idx"] for r in bucketed.collect()}
+    want = {r["rid"]: r["idx"] for r in fallback.collect()}
+    # null-key rows form the FIRST ordinal block on both paths
+    null_rids = {rid for rid, key in rows if key is None}
+    n_nulls = len(null_rids)
+    assert {rid for rid, i in got.items() if i < n_nulls} == null_rids
+    # non-null ordinals agree exactly (nulls are order-tied among
+    # themselves, so only their block membership is contractual)
+    for rid, key in rows:
+        if key is not None:
+            assert got[rid] == want[rid]

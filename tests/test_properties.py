@@ -170,7 +170,7 @@ def test_plan_shards_caps_hold_for_any_profile(spark, sizes, max_lines):
 
     from genai_batch_processor_spark.operators import batching
 
-    max_bytes = 4_000
+    max_bytes = 6_000
     rows = [(i, n) for i, n in enumerate(sizes)]
     df = spark.createDataFrame(rows, "idx long, n_bytes long")
     planned = batching.plan_shards(
@@ -191,5 +191,5 @@ def test_plan_shards_caps_hold_for_any_profile(spark, sizes, max_lines):
     assert sum(r["n"] for r in per_shard) == len(sizes)
     for r in per_shard:
         assert r["n"] <= max_lines
-        assert r["bytes"] < max_bytes + max(r["max_row"], 1)
+        assert r["bytes"] <= max_bytes, "strict cap violated"
         assert r["hi"] - r["lo"] + 1 == r["n"]

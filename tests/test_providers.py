@@ -402,3 +402,72 @@ def test_cancel_job_cancels_pending_batches_and_marks_manifest(tmp_path):
     assert got.state == "cancelled"
     reloaded = orchestrator.JobManifest.load(manifest_dir, "job-x")
     assert reloaded.state == "cancelled"
+
+
+def test_azure_preflight_probes_deployment_route(tmp_path):
+    """Azure serves chat completions only under the deployment path;
+    the deployment-less probe route 404s on the real dataplane."""
+    seen = []
+
+    def handler(method, url, body):
+        url_path = url.split("?")[0]
+        seen.append((method, url_path))
+        if "/deployments/my-deploy/chat/completions" in url_path:
+            return 200, {"choices": []}
+        if url_path.endswith("/files"):
+            return 200, {"id": "file-1"}
+        if url_path.endswith("/batches"):
+            return 200, {"id": "batch-1", "status": "validating"}
+        raise AssertionError(f"unexpected {method} {url_path}")
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part-00000.jsonl").write_text(
+        json.dumps(
+            {
+                "custom_id": "request-0",
+                "method": "POST",
+                "url": "/v1/chat/completions",
+                "body": {"model": "my-deploy", "messages": []},
+            }
+        )
+        + "\n"
+    )
+    b = OpenAIBatchBackend(
+        "azure-key",
+        azure_endpoint="https://myres.openai.azure.com",
+        preflight=True,
+        transport=FakeTransport(handler),
+    )
+    ids = b.submit(str(d), str(tmp_path / "out"), {})
+    assert ids == ["batch-1"]
+    assert any("/deployments/my-deploy/" in u for _m, u in seen)
+
+
+def test_submit_reads_partitioned_planned_layout(tmp_path):
+    """The shard-planned sink writes shard_key=* subdirectories; the
+    backend must recurse into them (one provider file per planned
+    shard)."""
+    base = tmp_path / "planned"
+    for i in range(2):
+        d = base / f"shard_key=shard-{i:05d}-000"
+        d.mkdir(parents=True)
+        (d / "part-00000.txt").write_text(
+            json.dumps(
+                {
+                    "custom_id": f"request-{i}",
+                    "method": "POST",
+                    "url": "/v1/chat/completions",
+                    "body": {"model": "m", "messages": []},
+                }
+            )
+            + "\n"
+        )
+        (d / "_SUCCESS").write_text("")
+
+    state: dict = {}
+    t = FakeTransport(_openai_handler(state))
+    b = OpenAIBatchBackend("sk-test", transport=t)
+    ids = b.submit(str(base), str(tmp_path / "out"), {})
+    assert ids == ["batch-1", "batch-2"]
+    assert state["uploads"] == 2

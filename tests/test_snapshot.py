@@ -119,3 +119,14 @@ def test_ivf_index_roundtrip_search(spark, sf_dir, tmp_path):
     bad.write.mode("overwrite").parquet(bad_path)
     with pytest.raises(ValueError, match="format_version"):
         index_store.load_centroids(spark, bad_path)
+
+
+def test_fingerprint_separator_collision_detected(spark):
+    """Values containing the field separator byte must not collide:
+    ('a\\x1fb','c') vs ('a','b\\x1fc') concatenate identically without
+    the length-prefix encoding — a missed CHANGED row would silently
+    skip reprocessing."""
+    old = _snap(spark, [(1, "a\x1fb", "c")])
+    new = _snap(spark, [(1, "a", "b\x1fc")])
+    got = snapshot.snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    assert got[0]["change"] == snapshot.CHANGED
