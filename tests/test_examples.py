@@ -45,3 +45,15 @@ def test_vertex_example(spark, sf_dir):
     assert n > 0 and n + e == 500
     for r in answered.limit(20).collect():
         assert r["answer"] in mock.DEFAULT_LABELS
+
+
+def test_azure_example(spark, sf_dir):
+    import run_azure_text_classifier as az
+
+    answered, errors = az.main(spark, sf_dir)
+    n, e = answered.count(), errors.count()
+    assert n > 0 and n + e == 500
+    # the deployment rewrite reached every request body
+    assert {r["deployment"] for r in answered.limit(30).collect()} == {
+        az.DEPLOYMENT
+    }
