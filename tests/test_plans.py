@@ -37,6 +37,9 @@ NO_SINGLE_PARTITION = [
     "snapshot_changes",
     "incremental_inference",
     "retry_responses",
+    "winnow_pairs",
+    "chunk_vote",
+    "mixture_sample",
 ]
 
 # pure column-expression pipelines: no Python evaluation allowed
