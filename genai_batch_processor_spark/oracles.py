@@ -2102,3 +2102,40 @@ ORACLES["winnow_pairs"] = f"""
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
 """
+
+# LM quality scoring: replay the two-pass bigram LM. Log-probs round to
+# integer milli-nats BEFORE the per-doc sum, so engine float-summation
+# order cannot split results.
+ORACLES["doc_logprob"] = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             ws[i] AS head,
+             ws[i + 1] AS follower
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+      ) WHERE len(ws) > 1
+    ), counts AS (
+      SELECT head, follower, count(*) AS n_pair
+      FROM pairs GROUP BY head, follower
+    ), stats AS (
+      SELECT *, sum(n_pair) OVER (PARTITION BY head) AS n_head
+      FROM counts
+    ), vocab AS (
+      SELECT count(DISTINCT follower) AS v FROM pairs
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round(ln(
+               CAST(s.n_pair + 1 AS DOUBLE)
+               / CAST(s.n_head + vocab.v AS DOUBLE)
+             ) * 1000) AS BIGINT) AS lp
+      FROM pairs p
+      JOIN stats s ON p.head = s.head AND p.follower = s.follower
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS total_logp_milli
+    FROM scored GROUP BY doc_id
+"""

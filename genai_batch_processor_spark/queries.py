@@ -2122,6 +2122,29 @@ def q_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_pairs(text_col: str):
+    """(head, follower) struct array per document. The words array is
+    let-bound (functions/exprs.bind): referenced inline, the per-bigram
+    lambda would re-split the document once per bigram — the O(words²)
+    HOF-lambda hazard."""
+    from genai_batch_processor_spark.functions.exprs import bind
+
+    empty = F.array().cast("array<struct<head:string,follower:string>>")
+    return bind(
+        tx.words(text_col),
+        lambda ws: F.when(
+            F.size(ws) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("head"),
+                    F.element_at(ws, i + 1).alias("follower"),
+                ),
+            ),
+        ).otherwise(empty),
+    )
+
+
 def q_bigram_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional probabilities: for each frequent head word,
     the most likely follower and P(follower | head) — count-based LM
@@ -2129,18 +2152,7 @@ def q_bigram_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit. Ties break lexicographically; heads below the frequency floor
     drop (their estimates are noise)."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = tx.words("text")
-    pairs = F.when(
-        F.size(ws) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("head"),
-                F.element_at(ws, i + 1).alias("follower"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<head:string,follower:string>>"))
-    bg = docs.select(F.explode(pairs).alias("p")).select(
+    bg = docs.select(F.explode(_bigram_pairs("text")).alias("p")).select(
         F.col("p.head").alias("head"),
         F.col("p.follower").alias("follower"),
     )
@@ -2178,16 +2190,10 @@ def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate so the shuffle carries (bigram, partial-count)
     pairs only."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = tx.words("text")
-    pairs = F.when(
-        F.size(ws) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.transform(
+        _bigram_pairs("text"),
+        lambda p: F.concat_ws(" ", p["head"], p["follower"]),
+    )
     return (
         docs.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
@@ -2197,6 +2203,54 @@ def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BIGRAM_MIN_COUNT = 20
+
+
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring — the filter that separates fluent text
+    from boilerplate/garbage in training-data curation: per-document
+    total bigram log-probability under add-one-smoothed conditional
+    stats TRAINED ON THE CORPUS ITSELF (two relational passes: count,
+    then score via a join on the bigram key — the same shape at 100 TB,
+    with the stats relation far smaller than the corpus fan-out).
+
+    Engine-exactness with floats: each bigram's ln P is rounded to
+    integer MILLI-NATS before summation, so the per-doc total is an
+    order-free integer sum — no float accumulation order can split the
+    engines. Documents with fewer than two words have no bigrams and
+    drop out (their LM score is undefined)."""
+    docs = _documents_with_ids(spark, sf_dir)
+    doc_pairs = docs.select(
+        "doc_id", F.explode(_bigram_pairs("text")).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.head").alias("head"),
+        F.col("p.follower").alias("follower"),
+    )
+    counts = doc_pairs.groupBy("head", "follower").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    w_head = Window.partitionBy("head")
+    stats = counts.withColumn("n_head", F.sum("n_pair").over(w_head))
+    vocab = F.broadcast(
+        doc_pairs.agg(
+            F.count_distinct("follower").cast("long").alias("v")
+        )
+    )
+    stats = stats.crossJoin(vocab)
+    logp_milli = F.round(
+        F.log(
+            (F.col("n_pair") + F.lit(1)).cast("double")
+            / (F.col("n_head") + F.col("v")).cast("double")
+        )
+        * F.lit(1000)
+    ).cast("long")
+    scored = doc_pairs.join(stats, ["head", "follower"]).select(
+        "doc_id", logp_milli.alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("total_logp_milli"),
+    )
 
 
 def q_hourly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2848,6 +2902,7 @@ QUERIES: dict[str, callable] = {
     "response_joinback_stream": q_response_joinback_stream,
     "chunk_vote": q_chunk_vote,
     "winnow_pairs": q_winnow_pairs,
+    "doc_logprob": q_doc_logprob,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
