@@ -276,6 +276,12 @@ def resume_job(
     job = JobManifest.load(manifest_dir, job_id)
     if job.state == "completed":
         return job
+    if job.state == "cancelled":
+        # A recorded cancellation is final even if the provider batches
+        # happened to finish before the cancel took effect — resuming
+        # would fetch results and silently overwrite the state back to
+        # completed/failed, undoing the operator's explicit decision.
+        raise RuntimeError(f"{job_id}: job was cancelled; resubmit to rerun")
     if not job.batch_ids:
         raise ValueError(f"{job_id}: no batch_ids persisted; resubmit")
 

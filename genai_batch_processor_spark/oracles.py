@@ -1827,7 +1827,10 @@ ORACLES["training_order"] = f"""
 # sampler, so the two fan-outs decorrelate on identical payloads.
 ORACLES["audio_windows"] = f"""
     WITH t AS (
-      SELECT doc_id, md5(substr(text, 1, 24)) AS dig FROM documents
+      SELECT doc_id,
+             md5(CASE WHEN coalesce(substr(text, 1, 24), '') = ''
+                      THEN chr(0) ELSE substr(text, 1, 24) END) AS dig
+      FROM documents
     ), w AS (
       SELECT doc_id, dig,
              unnest(generate_series(

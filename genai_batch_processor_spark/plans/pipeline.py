@@ -184,19 +184,32 @@ class BatchPipeline:
                 raise ValueError("validate_request failed on sample item")
             with_req = self.build_requests(df, **build_kwargs)
             submit_set = with_req
-            n_input_rows = None
+            n_obs: Observation | None = None
             if dedupe_prompts:
                 keyed = with_req.withColumn("__pkey", self._dedup_key())
                 groups = batching.prompt_groups(keyed, "__pkey", "idx")
-                submit_set = batching.representatives(
-                    keyed, "__pkey", "idx", groups=groups
-                ).drop("__pkey")
+                # Inner join on (key, rep_idx) selects exactly the
+                # representative rows (same set as a left-semi) while
+                # carrying each group's multiplicity, so n_input_rows is
+                # observed during the write action — no separate agg job
+                # re-running build_requests + the groupBy (round-3
+                # ADVICE: the class promises write-time telemetry).
+                n_obs = Observation(f"dedupe-{uuid.uuid4().hex[:6]}")
+                submit_set = keyed.join(
+                    groups.select(
+                        "__pkey",
+                        F.col("rep_idx").alias("idx"),
+                        "n_rows",
+                    ),
+                    ["__pkey", "idx"],
+                    "inner",
+                ).observe(
+                    n_obs,
+                    F.sum("n_rows").cast("long").alias("n_input_rows"),
+                ).drop("__pkey", "n_rows")
                 fan_mapping = keyed.select("idx", "__pkey").join(
                     groups.select("__pkey", "rep_idx"), "__pkey"
                 ).select("idx", "rep_idx")
-                # one tiny agg job (|groups| rows) — NOT a fan_mapping
-                # count, which would re-run the groupBy + join
-                n_input_rows = groups.agg(F.sum("n_rows")).first()[0]
             input_path = os.path.join(self.work_dir, "input")
             obs = Observation(f"submit-{uuid.uuid4().hex[:6]}")
             to_write = submit_set.select("request.*").observe(
@@ -208,7 +221,9 @@ class BatchPipeline:
             )
             jsonl.write_jsonl(to_write, input_path)
             self.last_metrics = dict(obs.get)
-            self.last_metrics["n_input_rows"] = n_input_rows
+            self.last_metrics["n_input_rows"] = (
+                n_obs.get["n_input_rows"] if n_obs is not None else None
+            )
         else:
             # Passthrough: reconstruct the (input row, request) relation
             # from the shards on disk. Join on the custom_id ordinal —

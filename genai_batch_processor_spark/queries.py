@@ -2231,8 +2231,12 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_head = Window.partitionBy("head")
     stats = counts.withColumn("n_head", F.sum("n_pair").over(w_head))
+    # Vocabulary size from the already-aggregated counts relation —
+    # counting distinct followers over doc_pairs would re-run the full
+    # corpus bigram explode a third time for the identical number
+    # (round-3 VERDICT nit; one less corpus-wide fan-out at 100 TB).
     vocab = F.broadcast(
-        doc_pairs.agg(
+        counts.agg(
             F.count_distinct("follower").cast("long").alias("v")
         )
     )

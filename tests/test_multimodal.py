@@ -81,6 +81,37 @@ def test_frame_sampler_fan_out_bounds_and_determinism(spark, sf_dir):
     assert again == {(r.doc_id, r.frame_idx): r.frame_fp for r in rows}
 
 
+def test_audio_windows_oracle_handles_empty_and_null_text():
+    """The audio_windows oracle must replay window_audio_stub's
+    b"\\x00" fallback for empty/NULL payloads — latent divergence
+    flagged in round-3 ADVICE (fixtures contain no empty docs, so the
+    driver gate alone can't catch it). Checked directly in DuckDB
+    against the stub's md5 chain, no Spark needed."""
+    import hashlib
+
+    import duckdb
+
+    from genai_batch_processor_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'hello world'), (1, ''), (2, NULL)"
+        ") t(doc_id, text)"
+    )
+    got = sorted(con.execute(ORACLES["audio_windows"]).fetchall())
+    con.close()
+
+    exp = []
+    for doc_id, payload in [(0, b"hello world"), (1, b""), (2, None)]:
+        digest = hashlib.md5(payload if payload else b"\x00").hexdigest()
+        n_windows = 1 + int(digest[2:4], 16) % mm.MAX_WINDOWS
+        for i in range(n_windows):
+            fp = int(hashlib.md5(f"{digest}@{i}".encode()).hexdigest()[:15], 16)
+            exp.append((doc_id, i, fp, fp % 1000))
+    assert got == sorted(exp)
+
+
 def test_image_features_oracle_handles_empty_and_null_text():
     """The md5-replay oracle must follow _decode_bytes' b"\\x00"
     substitution for empty/NULL payloads — checked directly in DuckDB

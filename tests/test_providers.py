@@ -355,7 +355,7 @@ def test_openai_cancel_hits_cancel_endpoint():
 
     t = FakeTransport(handler)
     OpenAIBatchBackend("sk-test", transport=t).cancel("batch-9")
-    assert ("POST", t.paths()[0][1]) == ("POST", t.paths()[0][1])
+    assert t.paths()[0][0] == "POST"
     assert t.paths()[0][1].endswith("/batches/batch-9/cancel")
 
 
@@ -401,6 +401,31 @@ def test_cancel_job_cancels_pending_batches_and_marks_manifest(tmp_path):
     assert calls == ["b2"]
     assert got.state == "cancelled"
     reloaded = orchestrator.JobManifest.load(manifest_dir, "job-x")
+    assert reloaded.state == "cancelled"
+
+
+def test_resume_refuses_cancelled_job(tmp_path):
+    """A recorded cancellation is final: resume must not poll the
+    provider (whose batches may have finished before the cancel took
+    effect) and silently flip the manifest back to completed/failed —
+    round-3 ADVICE on orchestrator.cancel_job's docstring promise."""
+    from genai_batch_processor_spark.inference import orchestrator
+
+    class ExplodingBackend:
+        def status(self, batch_id):
+            raise AssertionError("resume touched the provider")
+
+    manifest_dir = str(tmp_path / "manifests")
+    job = orchestrator.JobManifest(
+        job_id="job-c", input_path="in", output_path="out",
+        state="cancelled", batch_ids=["b1"],
+    )
+    job.save(manifest_dir)
+    with pytest.raises(RuntimeError, match="cancelled"):
+        orchestrator.resume_job(
+            ExplodingBackend(), manifest_dir=manifest_dir, job_id="job-c"
+        )
+    reloaded = orchestrator.JobManifest.load(manifest_dir, "job-c")
     assert reloaded.state == "cancelled"
 
 
