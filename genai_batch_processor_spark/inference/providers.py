@@ -22,20 +22,28 @@ completed/failed/cancelled.
 Improvements over the reference, consistent with the orchestrator:
 multi-shard submit (one provider job per JSONL shard — the reference
 uploads exactly one file, ``oai:136``), the optional sync pre-flight
-probe (``oai:92-125``) aborts BEFORE any upload, and no exception
-swallowing anywhere.
+probe (``oai:92-125``) aborts BEFORE any upload, no exception
+swallowing anywhere, and transport-level retry with exponential
+backoff + jitter (:class:`RetryPolicy`) — a transient 429/5xx/network
+blip on upload, poll, or download no longer kills the run, while the
+non-idempotent batch-create calls retry only on a definitive 429
+rejection (a mid-flight network death leaves the create ambiguous and
+is surfaced, never blindly duplicated).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 from typing import Callable, Protocol
 
 
 class TransportError(RuntimeError):
-    """Non-2xx provider response (except 400 → :class:`BadRequest`)."""
+    """Non-2xx provider response (except 400 → :class:`BadRequest`),
+    or a network failure that survived the retry budget."""
 
 
 class BadRequest(ValueError):
@@ -44,7 +52,9 @@ class BadRequest(ValueError):
 
 class Transport(Protocol):
     """Minimal HTTP seam: implementations must not raise on HTTP error
-    statuses — return (status, body) and let callers decide."""
+    statuses — return ``(status, body)`` or ``(status, body, headers)``
+    and let callers decide. Network-level failures raise ``OSError``
+    (as stdlib urllib does) for the retry layer to classify."""
 
     def request(
         self,
@@ -52,11 +62,17 @@ class Transport(Protocol):
         url: str,
         headers: dict[str, str],
         body: bytes | None = None,
-    ) -> tuple[int, bytes]: ...
+    ) -> tuple[int, bytes] | tuple[int, bytes, dict[str, str]]: ...
 
 
 class UrllibTransport:
-    """stdlib transport — no third-party HTTP dependency."""
+    """stdlib transport — no third-party HTTP dependency. Returns a
+    3-tuple ``(status, body, headers)`` so the retry layer can honor
+    ``Retry-After``; the :class:`Transport` protocol's 2-tuple form is
+    also accepted from injected test doubles (headers default empty).
+    Network-level failures (``URLError``, timeouts, resets — all
+    ``OSError`` subclasses) propagate for the retry layer to classify.
+    """
 
     def __init__(self, timeout_seconds: float = 60.0):
         self.timeout_seconds = timeout_seconds
@@ -67,7 +83,7 @@ class UrllibTransport:
         url: str,
         headers: dict[str, str],
         body: bytes | None = None,
-    ) -> tuple[int, bytes]:
+    ) -> tuple[int, bytes, dict[str, str]]:
         import urllib.error
         import urllib.request
 
@@ -78,9 +94,98 @@ class UrllibTransport:
             with urllib.request.urlopen(
                 req, timeout=self.timeout_seconds
             ) as resp:
-                return resp.status, resp.read()
+                return resp.status, resp.read(), dict(resp.headers.items())
         except urllib.error.HTTPError as e:  # non-2xx: surface, don't raise
-            return e.code, e.read()
+            return e.code, e.read(), dict(e.headers.items() or [])
+
+
+class RetryPolicy:
+    """Exponential backoff with full jitter for transient provider
+    failures — the transport-level resilience SURVEY §4 promises and
+    the reference lacks entirely (``oai:194-203`` is a plain sleep poll
+    loop; a single 429 on upload kills its run).
+
+    429 and 5xx responses and network-level ``OSError``\\ s are retried
+    up to ``max_attempts`` total tries; a ``Retry-After`` header (in
+    the delta-seconds form) overrides the computed backoff, capped at
+    ``max_delay`` either way. HTTP 400 is never retried (it is the
+    deterministic :class:`BadRequest` abort path). ``rng`` is
+    injectable so tests are deterministic and sleep-free."""
+
+    RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        max_attempts: int = 5,
+        base_delay: float = 0.5,
+        max_delay: float = 30.0,
+        rng: Callable[[], float] = random.random,
+    ):
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        self.max_attempts = max_attempts
+        self.base_delay = base_delay
+        self.max_delay = max_delay
+        self.rng = rng
+
+    def delay(self, attempt: int, retry_after: str | None = None) -> float:
+        if retry_after:
+            try:
+                return min(max(float(retry_after), 0.0), self.max_delay)
+            except ValueError:
+                pass  # HTTP-date form: fall back to computed backoff
+        cap = min(self.max_delay, self.base_delay * (2.0 ** attempt))
+        return cap * (0.5 + 0.5 * self.rng())  # full-jitter in [cap/2, cap]
+
+
+def _send_with_retries(
+    transport: Transport,
+    policy: RetryPolicy,
+    method: str,
+    url: str,
+    attempt_payload: Callable[[], tuple[dict[str, str], bytes | None]],
+    *,
+    retry_statuses: frozenset[int] | None = None,
+    retry_network: bool = True,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[int, bytes]:
+    """One provider call under the retry policy. ``attempt_payload``
+    is re-invoked per attempt so uploads get a FRESH multipart boundary
+    and Vertex gets a fresh bearer token. Non-idempotent calls pass a
+    narrowed ``retry_statuses`` (429 = definitively rejected, nothing
+    was created) and ``retry_network=False`` (a connection that died
+    mid-flight leaves the create ambiguous — surface, don't duplicate).
+    """
+    statuses = policy.RETRYABLE if retry_statuses is None else retry_statuses
+    attempt = 0
+    while True:
+        headers, body = attempt_payload()
+        last = attempt + 1 >= policy.max_attempts
+        try:
+            out = transport.request(method, url, headers, body)
+        except OSError as e:
+            if not retry_network or last:
+                raise TransportError(
+                    f"{method} {url.split('?')[0]} failed after "
+                    f"{attempt + 1} attempt(s): {e}"
+                ) from e
+            retry_after = None
+        else:
+            status, raw, resp_headers = (
+                out if len(out) == 3 else (out[0], out[1], {})
+            )
+            if status not in statuses or last:
+                return status, raw
+            retry_after = next(
+                (
+                    v
+                    for k, v in resp_headers.items()
+                    if k.lower() == "retry-after"
+                ),
+                None,
+            )
+        sleep(policy.delay(attempt, retry_after))
+        attempt += 1
 
 
 def _multipart(
@@ -159,6 +264,7 @@ class OpenAIBatchBackend:
         api_version: str = "2024-02-01",
         preflight: bool = False,
         transport: Transport | None = None,
+        retry_policy: RetryPolicy | None = None,
     ):
         self.is_azure = azure_endpoint is not None
         if self.is_azure:
@@ -182,6 +288,7 @@ class OpenAIBatchBackend:
         self.api_version = api_version
         self.preflight = preflight
         self.transport = transport or UrllibTransport()
+        self.retry_policy = retry_policy or RetryPolicy()
 
     # -- wire plumbing -----------------------------------------------------
 
@@ -209,12 +316,29 @@ class OpenAIBatchBackend:
         payload: dict | None = None,
         body: bytes | None = None,
         content_type: str | None = None,
+        *,
+        make_body: Callable[[], tuple[bytes, str]] | None = None,
+        retry_statuses: frozenset[int] | None = None,
+        retry_network: bool = True,
     ) -> dict:
         if payload is not None:
             body = json.dumps(payload).encode()
             content_type = "application/json"
-        status, raw = self.transport.request(
-            method, self._url(path), self._headers(content_type), body
+
+        def attempt_payload() -> tuple[dict[str, str], bytes | None]:
+            if make_body is not None:
+                b, ct = make_body()  # fresh multipart boundary per try
+                return self._headers(ct), b
+            return self._headers(content_type), body
+
+        status, raw = _send_with_retries(
+            self.transport,
+            self.retry_policy,
+            method,
+            self._url(path),
+            attempt_payload,
+            retry_statuses=retry_statuses,
+            retry_network=retry_network,
         )
         if status == 400:
             raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
@@ -226,8 +350,12 @@ class OpenAIBatchBackend:
         return json.loads(raw) if raw else {}
 
     def _raw(self, method: str, path: str) -> bytes:
-        status, raw = self.transport.request(
-            method, self._url(path), self._headers()
+        status, raw = _send_with_retries(
+            self.transport,
+            self.retry_policy,
+            method,
+            self._url(path),
+            lambda: (self._headers(), None),
         )
         if not 200 <= status < 300:
             raise TransportError(f"{method} {path} -> HTTP {status}")
@@ -272,12 +400,21 @@ class OpenAIBatchBackend:
         for shard in shards:
             with open(shard, "rb") as f:
                 data = f.read()
-            body, ctype = _multipart(
-                {"purpose": "batch"}, "file", os.path.basename(shard), data
-            )
+            name = os.path.basename(shard)
+            # Upload is retry-safe (a duplicated file is an orphan, not
+            # a duplicated spend); make_body regenerates the multipart
+            # boundary per attempt so a partially-consumed stream can't
+            # poison the retry.
             file_id = self._call(
-                "POST", "/files", body=body, content_type=ctype
+                "POST",
+                "/files",
+                make_body=lambda: _multipart(
+                    {"purpose": "batch"}, "file", name, data
+                ),
             )["id"]
+            # Batch create is the one non-idempotent call: retry only
+            # 429 (the request was definitively rejected — nothing ran)
+            # and never a network failure (the job may exist).
             batch = self._call(
                 "POST",
                 "/batches",
@@ -287,6 +424,8 @@ class OpenAIBatchBackend:
                     "completion_window": self.completion_window,
                     "metadata": meta or None,
                 },
+                retry_statuses=frozenset({429}),
+                retry_network=False,
             )
             batch_ids.append(batch["id"])
         return batch_ids
@@ -351,6 +490,7 @@ class VertexBatchBackend:
         *,
         location: str = "us-central1",
         transport: Transport | None = None,
+        retry_policy: RetryPolicy | None = None,
     ):
         if not project_id:
             raise ValueError("a Google Cloud project_id is required")
@@ -359,19 +499,39 @@ class VertexBatchBackend:
         self.location = location
         self.token_provider = token_provider
         self.transport = transport or UrllibTransport()
+        self.retry_policy = retry_policy or RetryPolicy()
         self.base_url = (
             f"https://{location}-aiplatform.googleapis.com/v1"
         )
         self.parent = f"projects/{project_id}/locations/{location}"
 
-    def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
+    def _call(
+        self,
+        method: str,
+        path: str,
+        payload: dict | None = None,
+        *,
+        retry_statuses: frozenset[int] | None = None,
+        retry_network: bool = True,
+    ) -> dict:
         body = json.dumps(payload).encode() if payload is not None else None
-        headers = {
-            "Authorization": f"Bearer {self.token_provider()}",
-            "Content-Type": "application/json",
-        }
-        status, raw = self.transport.request(
-            method, f"{self.base_url}/{path}", headers, body
+
+        def attempt_payload() -> tuple[dict[str, str], bytes | None]:
+            # Headers per attempt → a fresh bearer token if the
+            # provider refreshes between backoff sleeps.
+            return {
+                "Authorization": f"Bearer {self.token_provider()}",
+                "Content-Type": "application/json",
+            }, body
+
+        status, raw = _send_with_retries(
+            self.transport,
+            self.retry_policy,
+            method,
+            f"{self.base_url}/{path}",
+            attempt_payload,
+            retry_statuses=retry_statuses,
+            retry_network=retry_network,
         )
         if status == 400:
             raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
@@ -418,8 +578,13 @@ class VertexBatchBackend:
             "inputConfig": self._io_config(input_path, is_input=True),
             "outputConfig": self._io_config(output_path, is_input=False),
         }
+        # Job create is non-idempotent: see OpenAIBatchBackend.submit.
         job = self._call(
-            "POST", f"{self.parent}/batchPredictionJobs", payload
+            "POST",
+            f"{self.parent}/batchPredictionJobs",
+            payload,
+            retry_statuses=frozenset({429}),
+            retry_network=False,
         )
         return [job["name"]]
 

@@ -14,9 +14,17 @@ from genai_batch_processor_spark.inference import orchestrator
 from genai_batch_processor_spark.inference.providers import (
     BadRequest,
     OpenAIBatchBackend,
+    RetryPolicy,
     TransportError,
     VertexBatchBackend,
 )
+
+
+def _fast_policy(max_attempts: int = 5) -> RetryPolicy:
+    """Deterministic, sleep-free policy for retry-path tests."""
+    return RetryPolicy(
+        max_attempts=max_attempts, base_delay=0.0, rng=lambda: 0.0
+    )
 
 
 class FakeTransport:
@@ -172,11 +180,13 @@ def test_openai_preflight_success_then_uploads(tmp_path):
 
 
 def test_openai_non_2xx_raises_transport_error(tmp_path):
+    t = FakeTransport(lambda m, u, bd: (500, b"boom"))
     b = OpenAIBatchBackend(
-        "sk-test", transport=FakeTransport(lambda m, u, bd: (500, b"boom"))
+        "sk-test", transport=t, retry_policy=_fast_policy(max_attempts=3)
     )
     with pytest.raises(TransportError, match="HTTP 500"):
         b.status("batch-1")
+    assert len(t.calls) == 3  # retried up to the budget, then surfaced
 
 
 def test_azure_url_shape_and_header(tmp_path):
@@ -496,3 +506,190 @@ def test_submit_reads_partitioned_planned_layout(tmp_path):
     ids = b.submit(str(base), str(tmp_path / "out"), {})
     assert ids == ["batch-1", "batch-2"]
     assert state["uploads"] == 2
+
+
+# -- transport retry/backoff (RetryPolicy + _send_with_retries) -----------
+
+
+class FlakyTransport(FakeTransport):
+    """Fails the first ``n_failures`` calls with ``failure`` (an HTTP
+    status int or an exception instance), then delegates to the
+    handler."""
+
+    def __init__(self, handler, n_failures, failure):
+        super().__init__(handler)
+        self.n_failures = n_failures
+        self.failure = failure
+
+    def request(self, method, url, headers, body=None):
+        if self.n_failures > 0:
+            self.n_failures -= 1
+            self.calls.append((method, url, headers, body))
+            if isinstance(self.failure, BaseException):
+                raise self.failure
+            return self.failure, b"transient"
+        return super().request(method, url, headers, body)
+
+
+def test_submit_survives_transient_503s_with_fresh_boundary(tmp_path):
+    """The headline resilience contract: N transient 503s on upload do
+    not kill the submit, and every retried upload regenerates its
+    multipart boundary."""
+    state: dict = {}
+    t = FlakyTransport(_openai_handler(state), n_failures=3, failure=503)
+    b = OpenAIBatchBackend(
+        "sk-test", transport=t, retry_policy=_fast_policy()
+    )
+    ids = b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    assert ids == ["batch-1"]
+    upload_bodies = [
+        body for m, u, _, body in t.calls if u.split("?")[0].endswith("/files")
+    ]
+    assert len(upload_bodies) == 4  # 3 failures + 1 success
+    boundaries = {body.split(b"\r\n", 1)[0] for body in upload_bodies}
+    assert len(boundaries) == 4  # fresh boundary per attempt
+    assert state["uploads"] == 1  # the provider accepted exactly one
+
+
+def test_submit_survives_network_errors_on_upload(tmp_path):
+    state: dict = {}
+    t = FlakyTransport(
+        _openai_handler(state), n_failures=2,
+        failure=ConnectionResetError("peer reset"),
+    )
+    b = OpenAIBatchBackend(
+        "sk-test", transport=t, retry_policy=_fast_policy()
+    )
+    assert b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    assert state["uploads"] == 1
+
+
+def test_batch_create_not_retried_on_503(tmp_path):
+    """Batch create is non-idempotent: a 503 (ambiguous server state)
+    surfaces immediately — only a definitive 429 rejection retries."""
+    state: dict = {}
+
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/files") and method == "POST":
+            return 200, {"id": "file-1"}
+        if url.endswith("/batches") and method == "POST":
+            state["creates"] = state.get("creates", 0) + 1
+            return 503, b"unavailable"
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend(
+        "sk-test",
+        transport=FakeTransport(handler),
+        retry_policy=_fast_policy(),
+    )
+    with pytest.raises(TransportError, match="HTTP 503"):
+        b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    assert state["creates"] == 1
+
+
+def test_batch_create_retries_definitive_429(tmp_path):
+    state: dict = {"rejects": 2}
+
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/files") and method == "POST":
+            return 200, {"id": "file-1"}
+        if url.endswith("/batches") and method == "POST":
+            if state["rejects"] > 0:
+                state["rejects"] -= 1
+                return 429, b"rate limited"
+            return 200, {"id": "batch-1", "status": "validating"}
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend(
+        "sk-test",
+        transport=FakeTransport(handler),
+        retry_policy=_fast_policy(),
+    )
+    ids = b.submit(_shard_dir(tmp_path, n=1), str(tmp_path / "out"), {})
+    assert ids == ["batch-1"]
+
+
+def test_http_400_never_retried(tmp_path):
+    t = FakeTransport(lambda m, u, bd: (400, b"bad model"))
+    b = OpenAIBatchBackend(
+        "sk-test", transport=t, retry_policy=_fast_policy()
+    )
+    with pytest.raises(BadRequest):
+        b.status("batch-1")
+    assert len(t.calls) == 1
+
+
+def test_network_error_exhaustion_raises_transport_error(tmp_path):
+    t = FlakyTransport(
+        lambda m, u, bd: (200, {}), n_failures=99,
+        failure=TimeoutError("timed out"),
+    )
+    b = OpenAIBatchBackend(
+        "sk-test", transport=t, retry_policy=_fast_policy(max_attempts=4)
+    )
+    with pytest.raises(TransportError, match="after 4 attempt"):
+        b.status("batch-1")
+    assert len(t.calls) == 4
+
+
+def test_vertex_status_retries_and_refreshes_token(tmp_path):
+    tokens = iter(["tok-1", "tok-2", "tok-3"])
+    t = FlakyTransport(
+        lambda m, u, bd: (200, {"state": "JOB_STATE_SUCCEEDED"}),
+        n_failures=2, failure=503,
+    )
+    b = VertexBatchBackend(
+        "proj", "publishers/google/models/gemini-pro",
+        lambda: next(tokens), transport=t, retry_policy=_fast_policy(),
+    )
+    assert b.status("projects/p/locations/l/batchPredictionJobs/1") == (
+        "completed"
+    )
+    # a fresh bearer token was minted for every attempt
+    assert [h["Authorization"] for _, _, h, _ in t.calls] == [
+        "Bearer tok-1", "Bearer tok-2", "Bearer tok-3",
+    ]
+
+
+def test_retry_policy_delay_honors_retry_after_and_caps():
+    p = RetryPolicy(base_delay=0.5, max_delay=30.0, rng=lambda: 1.0)
+    assert p.delay(0, "7") == 7.0
+    assert p.delay(0, "120") == 30.0        # capped at max_delay
+    assert p.delay(0, "-3") == 0.0          # clamped below at zero
+    assert p.delay(0, "Wed, 21 Oct 2026 07:28:00 GMT") == 0.5  # date form
+    # exponential growth with full jitter in [cap/2, cap]
+    assert p.delay(0) == 0.5 and p.delay(2) == 2.0
+    lo = RetryPolicy(base_delay=0.5, rng=lambda: 0.0)
+    assert lo.delay(2) == 1.0               # cap/2 at rng=0
+    assert p.delay(20) == 30.0              # backoff capped at max_delay
+
+
+def test_fetch_download_retries_transient_failures(tmp_path):
+    payload = b'{"custom_id": "request-0"}\n'
+    calls = {"n": 0}
+
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/batches/batch-1"):
+            return 200, {
+                "id": "batch-1", "status": "completed",
+                "output_file_id": "f-out",
+            }
+        if url.endswith("/files/f-out/content"):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                return 502, b"bad gateway"
+            return 200, payload
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend(
+        "sk-test",
+        transport=FakeTransport(handler),
+        retry_policy=_fast_policy(),
+    )
+    out = tmp_path / "out"
+    b.fetch("batch-1", str(out))
+    assert (out / "batch-1.jsonl").read_bytes() == payload
+    assert calls["n"] == 3
