@@ -71,13 +71,19 @@ def data_uri(data: Column, mime: str = "image/png") -> Column:
     return F.concat(F.lit(f"data:{mime};base64,"), F.base64(data))
 
 
-def require_real_codecs() -> None:
-    """The real decode path needs PIL/av, absent from this container."""
-    raise NotImplementedError(
-        "real image/audio decoding requires PIL/av; this environment ships "
-        "neither — use decode_image_stub (deterministic fake) which "
-        "exercises identical Spark plumbing"
-    )
+def require_real_codecs(kind: str = "image") -> None:
+    """Assert the real decode path for ``kind`` (image/audio/video) is
+    runnable here; raises NotImplementedError naming the missing
+    library otherwise. The dispatchers (``decode_image``,
+    ``window_audio``) fall back to the deterministic stubs, which
+    exercise identical Spark plumbing."""
+    if not codec_support().get(kind, False):
+        lib = {"image": "Pillow", "video": "PyAV"}.get(kind, kind)
+        raise NotImplementedError(
+            f"real {kind} decoding requires {lib}, absent from this "
+            "environment — use the stub path (deterministic fake) which "
+            "exercises identical Spark plumbing"
+        )
 
 
 def _decode_bytes(b: bytes) -> tuple[int, int, list[float]]:
@@ -220,6 +226,195 @@ def window_audio_stub(
             ids, idxs, fps, lvls = [], [], [], []
 
     return df.select(id_col, data_col).mapInPandas(window, AUDIO_WINDOWS)
+
+
+# -- optional real-codec seam ---------------------------------------------
+#
+# The stubs above are oracle-paired and always available; when a real
+# codec library IS importable the dispatchers below route to a genuine
+# decode over the SAME Spark plumbing (schema, Arrow batching, scan
+# partitioning). Reference analog: examples/openai/run_visual_exam.py:
+# 42-49 decodes real PNGs — a user pointing that flow at real media
+# gets real features wherever the library exists, the deterministic
+# fake only as an explicit fallback.
+
+
+def _has_module(name: str) -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
+
+
+def codec_support() -> dict[str, bool]:
+    """Which real decode paths this environment can run. ``audio`` is
+    always true: uncompressed WAV decodes with stdlib ``wave``."""
+    return {
+        "image": _has_module("PIL"),
+        "audio": True,
+        "video": _has_module("av"),
+    }
+
+
+def decode_image_real(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Real image decode via Pillow: true width/height plus a
+    FEATURE_DIM grayscale-band feature (the image resized to a 1×N
+    strip — a stand-in for any thumbnail/embedding stage). Same
+    IMAGE_FEATURES schema and narrow mapInPandas plan as the stub;
+    fails fast on the driver when Pillow is absent, and imports
+    executor-side inside the batch loop."""
+    if not _has_module("PIL"):
+        raise NotImplementedError(
+            "decode_image_real requires Pillow; this environment ships "
+            "without it — decode_image(codec='stub') runs the same "
+            "plumbing with a deterministic fake"
+        )
+    id_name, data_name = id_col, data_col
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ids, ws, hs, ns, feats = [], [], [], [], []
+            for rid, b in zip(pdf[id_name], pdf[data_name]):
+                raw = bytes(b) if b is not None else b""
+                with Image.open(io.BytesIO(raw)) as img:
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    strip = img.convert("L").resize((FEATURE_DIM, 1))
+                    feats.append(
+                        [round(p / 255.0, 6) for p in strip.getdata()]
+                    )
+                ids.append(int(rid))
+                ns.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": ns,
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(decode, IMAGE_FEATURES)
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    codec: str = "auto",
+) -> DataFrame:
+    """Image decode dispatcher: ``auto`` uses Pillow when importable,
+    else the deterministic stub; ``real``/``stub`` force a path."""
+    if codec == "auto":
+        codec = "real" if codec_support()["image"] else "stub"
+    if codec == "stub":
+        return decode_image_stub(df, id_col, data_col)
+    if codec == "real":
+        return decode_image_real(df, id_col, data_col)
+    raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+
+
+AUDIO_WINDOW_SAMPLES = 1024
+
+
+def window_audio_real(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Real audio windowing for WAV payloads via stdlib ``wave``: each
+    clip decodes to 16-bit PCM and fans out to fixed
+    AUDIO_WINDOW_SAMPLES-sample windows with a true RMS level
+    (level_milli = RMS/full-scale × 1000) and an md5 fingerprint of the
+    window's raw bytes. Same AUDIO_WINDOWS schema and 1→many Arrow
+    boundary as the stub — and genuinely runnable with no third-party
+    codec, so the real path is TESTED, not just stubbed."""
+    id_name, data_name = id_col, data_col
+
+    def window(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, idxs, fps, lvls = [], [], [], []
+            for rid, b in zip(pdf[id_name], pdf[data_name]):
+                raw = bytes(b) if b is not None else b""
+                if not raw:  # empty/NULL payload → zero windows
+                    continue
+                with wave.open(io.BytesIO(raw)) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            "window_audio_real expects 16-bit PCM WAV"
+                        )
+                    pcm = w.readframes(w.getnframes())
+                n = len(pcm) // 2
+                samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+                step = AUDIO_WINDOW_SAMPLES
+                for i in range(0, len(samples), step):
+                    win = samples[i : i + step]
+                    chunk = pcm[2 * i : 2 * (i + step)]
+                    rms = (sum(s * s for s in win) / len(win)) ** 0.5
+                    fp = int(hashlib.md5(chunk).hexdigest()[:15], 16)
+                    ids.append(int(rid))
+                    idxs.append(i // step)
+                    fps.append(fp)
+                    lvls.append(int(round(rms / 32768.0 * 1000)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": idxs,
+                    "win_fp": fps,
+                    "level_milli": lvls,
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(window, AUDIO_WINDOWS)
+
+
+def window_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    codec: str = "auto",
+) -> DataFrame:
+    """Audio windowing dispatcher. ``auto`` prefers the real WAV path
+    only when the payloads are actual WAV (callers with synthetic
+    fixture bytes pass ``stub``); since stdlib wave always imports,
+    ``auto`` == ``real`` here, kept for symmetry with decode_image."""
+    if codec == "auto":
+        codec = "real" if codec_support()["audio"] else "stub"
+    if codec == "stub":
+        return window_audio_stub(df, id_col, data_col)
+    if codec == "real":
+        return window_audio_real(df, id_col, data_col)
+    raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+
+
+def sample_video_frames_real(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Real keyframe sampling needs ``av`` (PyAV); absent here. The
+    seam exists so an environment with PyAV plugs in without touching
+    callers."""
+    if not _has_module("av"):
+        raise NotImplementedError(
+            "sample_video_frames_real requires PyAV; this environment "
+            "ships without it — sample_video_frames (deterministic "
+            "stub) runs the same plumbing"
+        )
+    raise NotImplementedError(
+        "PyAV detected but the real sampler is not implemented in this "
+        "build; wire av.open(BytesIO(payload)) keyframe iteration into "
+        "the sample_video_frames batch loop"
+    )
 
 
 def sql_image_features(text_expr: str, n: int = 24) -> str:

@@ -59,8 +59,98 @@ def test_decode_stub_partitioning_preserved(spark, sf_dir):
 
 
 def test_real_codec_boundary_is_marked():
-    with pytest.raises(NotImplementedError):
-        mm.require_real_codecs()
+    for kind in ("image", "video"):
+        if not mm.codec_support()[kind]:
+            with pytest.raises(NotImplementedError, match=kind):
+                mm.require_real_codecs(kind)
+    mm.require_real_codecs("audio")  # stdlib wave: always runnable
+
+
+def test_decode_image_dispatcher(spark, sf_dir):
+    """auto → real iff Pillow importable, else the stub; forced paths
+    behave; bogus codec rejected."""
+    df = _docs_with_bytes(spark, sf_dir).limit(5)
+    stub = mm.decode_image(df, codec="stub")
+    assert stub.schema == mm.IMAGE_FEATURES
+    if mm.codec_support()["image"]:
+        auto = mm.decode_image(df, codec="auto")
+        assert auto.schema == mm.IMAGE_FEATURES
+    else:
+        # auto falls back to the stub — identical results
+        auto = {
+            (r.doc_id, r.width, r.height)
+            for r in mm.decode_image(df, codec="auto").collect()
+        }
+        assert auto == {
+            (r.doc_id, r.width, r.height) for r in stub.collect()
+        }
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image(df, codec="real")
+    with pytest.raises(ValueError, match="codec"):
+        mm.decode_image(df, codec="bogus")
+
+
+def test_decode_image_real_with_pillow(spark, sf_dir):
+    """Real Pillow decode over the same plumbing — runs wherever the
+    library exists (importorskip elsewhere)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("L", (40, 30), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, data binary"
+    )
+    row = mm.decode_image_real(df).collect()[0]
+    assert (row.width, row.height) == (40, 30)
+    assert len(row.feature) == mm.FEATURE_DIM
+    assert all(abs(x - 128 / 255.0) < 0.02 for x in row.feature)
+
+
+def _wav_bytes(samples):
+    """16-bit mono PCM WAV from a list of int samples."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_window_audio_real_decodes_wav(spark):
+    """The REAL audio path runs here (stdlib wave): true window count,
+    true RMS levels, deterministic fingerprints, zero windows for
+    empty/NULL payloads."""
+    step = mm.AUDIO_WINDOW_SAMPLES
+    const = _wav_bytes([1000] * (step + 10))  # 2 windows, known RMS
+    silent = _wav_bytes([0] * step)           # 1 window, RMS 0
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(const)),
+            (2, bytearray(silent)),
+            (3, bytearray(b"")),
+            (4, None),
+        ],
+        "doc_id long, data binary",
+    )
+    out = mm.window_audio(df, codec="real")
+    assert out.schema == mm.AUDIO_WINDOWS
+    rows = {(r.doc_id, r.win_idx): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    # RMS of a constant 1000 signal is 1000 → level 1000/32768*1000
+    assert rows[(1, 0)].level_milli == round(1000 / 32768 * 1000)
+    assert rows[(2, 0)].level_milli == 0
+    assert rows[(1, 0)].win_fp != rows[(1, 1)].win_fp  # 10-sample tail
+    again = {
+        (r.doc_id, r.win_idx): r.win_fp
+        for r in mm.window_audio(df, codec="real").collect()
+    }
+    assert again == {k: r.win_fp for k, r in rows.items()}
 
 
 def test_frame_sampler_fan_out_bounds_and_determinism(spark, sf_dir):
