@@ -43,6 +43,29 @@ def upsert_parquet(
     _merge(base, updates, key).write.mode("overwrite").parquet(out_dir)
 
 
+# Collecting one value per touched partition is bounded for date-like
+# partition columns (the intended use); a caller who passes a
+# high-cardinality column (a key, a uuid) would silently pull the whole
+# keyspace to the driver — cap and refuse instead.
+MAX_TOUCHED_PARTITIONS = 10_000
+
+
+def _collect_partition_values(df, part_col: str, context: str) -> list:
+    """Distinct ``part_col`` values, capped at MAX_TOUCHED_PARTITIONS —
+    the limit rides into the plan (limit(cap+1)), so the driver never
+    materializes an unbounded value set before the check fires."""
+    rows = df.distinct().limit(MAX_TOUCHED_PARTITIONS + 1).collect()
+    if len(rows) > MAX_TOUCHED_PARTITIONS:
+        raise ValueError(
+            f"{context}: more than {MAX_TOUCHED_PARTITIONS} distinct "
+            f"{part_col!r} values touched — {part_col!r} looks like a "
+            "high-cardinality column, not a partition column; partition "
+            "the table on a bounded column (e.g. a date) or use the "
+            "full-rewrite upsert"
+        )
+    return [r[0] for r in rows]
+
+
 def upsert_partitioned(
     spark: SparkSession,
     table_dir: str,
@@ -59,10 +82,9 @@ def upsert_partitioned(
     another partition is only replaced if that partition is also
     touched — keep partition assignment stable under updates (standard
     copy-on-write contract)."""
-    parts = [
-        r[0]
-        for r in updates.select(part_col).distinct().collect()
-    ]  # bounded: one value per touched partition
+    parts = _collect_partition_values(
+        updates.select(part_col), part_col, "upsert_partitioned"
+    )
     if any(v is None for v in parts):
         # isin() never matches NULL, so a null partition would drop all
         # existing null-partition rows from the merge while dynamic
@@ -145,13 +167,11 @@ def delete_keys_partitioned(
     EMPTY by the delete are removed explicitly (dynamic overwrite cannot
     express an empty partition). Returns the touched partition values."""
     base = spark.read.parquet(table_dir)
-    touched = [
-        r[0]
-        for r in base.join(keys, key, "left_semi")
-        .select(part_col)
-        .distinct()
-        .collect()
-    ]
+    touched = _collect_partition_values(
+        base.join(keys, key, "left_semi").select(part_col),
+        part_col,
+        "delete_keys_partitioned",
+    )
     if not touched:
         return []
     if any(v is None for v in touched):

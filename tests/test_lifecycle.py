@@ -579,6 +579,32 @@ def test_upsert_and_delete_refuse_null_partitions(spark, sf_dir, tmp_path):
         delete_keys_partitioned(spark, tbl, null_key, "doc_id", "lang")
 
 
+def test_upsert_refuses_high_cardinality_partition_column(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Passing a key-like column as part_col would collect the whole
+    keyspace to the driver; the capped collect (limit rides into the
+    plan) must refuse with guidance instead."""
+    import pytest as _pytest
+
+    from genai_batch_processor_spark.sources import upsert as ups
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    monkeypatch.setattr(ups, "MAX_TOUCHED_PARTITIONS", 100)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tbl = str(tmp_path / "tbl_hc")
+    docs.write.partitionBy("lang").parquet(tbl)
+    # doc_id has 500 distinct values > the (patched) cap of 100
+    with _pytest.raises(ValueError, match="high-cardinality"):
+        ups.upsert_partitioned(spark, tbl, docs, "doc_id", "doc_id")
+    with _pytest.raises(ValueError, match="high-cardinality"):
+        ups.delete_keys_partitioned(
+            spark, tbl, docs.select("doc_id"), "doc_id", "doc_id"
+        )
+
+
 def test_query_index_is_current():
     """QUERIES.md must match its generator — a stale index misstates
     coverage."""
