@@ -1,0 +1,155 @@
+"""Scaling spot-check: replicate sf0.1 Nx into a scratch dir and time
+the most expensive queries, reporting time-vs-sf0.1 ratios.
+
+A bucketed design should scale ~linearly in rows; anything strongly
+super-linear (pair explosions in the dedup family, an un-broadcast
+join, a driver-side collect that grew with the data) shows up as a
+ratio well above the replication factor. (round-3 VERDICT item 6; the
+driver testdata tops out at sf0.1 and is read-only, so the scaled
+copy is synthesized here, never checked in.)
+
+Replication preserves the structures the queries rely on:
+- every key column gets a per-replica offset, so joins stay intact
+  within a replica and cardinalities scale by N;
+- document text gets a per-replica token suffix (every word w -> w<k>)
+  — within-replica shingle/near-dup structure is preserved EXACTLY
+  while cross-replica Jaccard is 0, keeping near-dup density constant
+  instead of inflating pair counts 10x by construction;
+- embeddings get a per-replica, per-dimension perturbation that
+  changes vector DIRECTION (cosine is scale-invariant, so a plain
+  rescale would leave 10 exact copies of every vector and explode the
+  near-dup and top-k candidate sets);
+- events keep their time range (densification, the realistic shape of
+  a bigger day), with event/user ids offset.
+
+Usage: python tools/scale_check.py [factor] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from genai_batch_processor_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+KEY_OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SMALL = ["region", "nation"]  # fixed-cardinality dims: copy once
+
+# The 10 most expensive queries from the idle round-4 bench run.
+TOP = [
+    "embedding_ann_recall",
+    "ngram_jaccard",
+    "dedup_components",
+    "click_purchase_stream",
+    "simhash_near_dup",
+    "kmeans_cells",
+    "embedding_topk_ivf",
+    "price_bracket_join",
+    "user_stats_stream",
+    "embedding_dedup_survivors",
+]
+
+
+def build(spark, factor: int, out_dir: str) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for t in SMALL:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in KEY_OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        offsets = {k: 10 ** 12 for k in keys}  # clear of any real id
+        reps = []
+        for k in range(factor):
+            rep = df
+            for col, off in offsets.items():
+                rep = rep.withColumn(
+                    col, (F.col(col) + F.lit(k * off)).cast("long")
+                )
+            if t == "documents" and k > 0:
+                rep = rep.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", r"$1" + str(k)),
+                )
+            if t == "embeddings" and k > 0:
+                # direction-changing deterministic perturbation
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x + F.lit(0.11 * k) * F.sin(i * F.lit(k + 1.0))
+                        ).cast("float"),
+                    ),
+                )
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        # Single file named <t>.parquet, matching the driver layout
+        # (the stream source globs on the file name). Parquet is
+        # row-group splittable, so reads still parallelize.
+        tmp = f"{out_dir}/_tmp_{t}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.rename(f"{tmp}/{part}", f"{out_dir}/{t}.parquet")
+        shutil.rmtree(tmp)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
+    scaled_dir = f"/tmp/sfscale_{factor}x"
+    spark = get_spark("scale_check")
+
+    t0 = time.monotonic()
+    build(spark, factor, scaled_dir)
+    print(f"built {factor}x dataset in {time.monotonic() - t0:.1f}s",
+          file=sys.stderr)
+
+    qs = entrymod.queries()
+    results = {}
+    for name in TOP:
+        times = {}
+        for label, d in (("sf0.1", SRC), (f"{factor}x", scaled_dir)):
+            t1 = time.monotonic()
+            n = qs[name](spark, d).count()
+            times[label] = round(time.monotonic() - t1, 3)
+            times[f"rows_{label}"] = n
+        times["ratio"] = round(times[f"{factor}x"] / times["sf0.1"], 2)
+        results[name] = times
+        print(f"{name:28s} sf0.1={times['sf0.1']:7.2f}s "
+              f"{factor}x={times[f'{factor}x']:7.2f}s "
+              f"ratio={times['ratio']:5.1f} "
+              f"rows {times['rows_sf0.1']}->{times[f'rows_{factor}x']}",
+              file=sys.stderr)
+
+    payload = {"factor": factor, "queries": results}
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
