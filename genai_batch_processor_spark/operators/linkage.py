@@ -1,0 +1,112 @@
+"""Blocked record linkage / entity resolution.
+
+A training-data pipeline constantly reconciles noisy catalogs —
+product names, author strings, source registries — where "the same
+thing spelled slightly differently" must be paired without an O(n²)
+all-pairs comparison. The standard shape is blocking + in-block
+scoring:
+
+1. a cheap deterministic BLOCKING KEY (here: caller-computed columns,
+   e.g. brand + the head noun of a name) partitions the corpus so only
+   plausibly-matching rows ever meet;
+2. a self-join WITHIN each block scores candidate pairs with an edit
+   distance (JVM-side ``F.levenshtein`` — no Python in the hot path).
+
+Scale contract (the same one the MinHash-LSH and SimHash bucket caps
+use, operators/dedup.py): a degenerate blocking key must never drive a
+quadratic self-join, so oversized blocks are DROPPED, not joined —
+candidate generation stays bucket-local and bounded. Callers pick
+finer block columns rather than raising the cap.
+
+No reference analog (the reference has no linkage operators); this is
+part of the north-star §2 curation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Max rows per block before the block is dropped as degenerate
+# (cap² / 2 pairwise comparisons per block is the worst case a single
+# task will ever run).
+MAX_BLOCK = 200
+
+
+def blocked_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """Candidate match pairs (a_key < b_key) within blocking-key groups
+    with Levenshtein distance ≤ ``max_distance``.
+
+    Plan shape: one aggregation sizes the blocks (map-side partials),
+    an inner join keeps only rows in 2..max_block blocks, and the
+    within-block self-join shuffles both sides on the block columns —
+    at 1000 executors every block lands whole on one task, pairs never
+    cross partitions, and the cap bounds the per-task work.
+    """
+    ok = (
+        df.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n").between(2, max_block))
+        .select(*block_cols)
+    )
+    scoped = df.join(ok, block_cols, "inner")
+    a = scoped.select(
+        *block_cols,
+        F.col(key_col).alias("a_key"),
+        F.col(name_col).alias("a_name"),
+    )
+    b = scoped.select(
+        *block_cols,
+        F.col(key_col).alias("b_key"),
+        F.col(name_col).alias("b_name"),
+    )
+    return (
+        a.join(b, block_cols, "inner")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("a_name"), F.col("b_name")).cast("int"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("a_key", "b_key", "a_name", "b_name", "distance")
+    )
+
+
+def sql_blocked_pairs(
+    table: str,
+    key_col: str,
+    name_col: str,
+    block_exprs: dict[str, str],
+    max_distance: int = 2,
+    max_block: int = MAX_BLOCK,
+) -> str:
+    """DuckDB twin of :func:`blocked_pairs` over ``table``;
+    ``block_exprs`` maps block column name → SQL expression."""
+    block_select = ", ".join(
+        f"{expr} AS {name}" for name, expr in block_exprs.items()
+    )
+    cols = ", ".join(block_exprs)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_exprs)
+    return f"""
+    WITH rows_b AS (
+      SELECT {key_col} AS k, {name_col} AS nm, {block_select}
+      FROM {table}
+    ), ok AS (
+      SELECT {cols} FROM rows_b GROUP BY {cols}
+      HAVING count(*) BETWEEN 2 AND {max_block}
+    ), scoped AS (
+      SELECT rows_b.* FROM rows_b JOIN ok USING ({cols})
+    )
+    SELECT a.k AS a_key, b.k AS b_key,
+           a.nm AS a_name, b.nm AS b_name,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+    FROM scoped a JOIN scoped b ON {on} AND a.k < b.k
+    WHERE levenshtein(a.nm, b.nm) <= {max_distance}
+    """

@@ -269,6 +269,101 @@ ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
     WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
 """
 
+# Dedup-method audit: SimHash pairs graded against the Jaccard-verified
+# MinHash pair set. Splices the two base CTE chains (the SimHash CTEs
+# ride in with distinct names) and compares with integer-division
+# ratios — engine-exact, no float crosses the boundary.
+ORACLES["near_dup_method_agreement"] = (
+    _MINHASH_BASE
+    + f"""
+    , truth AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+      WHERE round(len(list_intersect(x.hs, y.hs))::DOUBLE
+                  / len(list_distinct(x.hs || y.hs)), 6)
+            >= {dedup.JACCARD_THRESHOLD}
+    ), wh AS (
+      SELECT doc_id, {dedup.sql_word_hashes('text')} AS whs FROM documents
+    ), sims AS (
+      SELECT doc_id, {dedup.sql_simhash_from_hashes('whs')} AS sh2 FROM wh
+    ), sbands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, sh2, {j} AS band, "
+          f"(sh2 >> {j * _NIB}) & {(1 << _NIB) - 1} AS nib FROM sims"
+          for j in range(dedup.SIMHASH_BANDS)
+      )}
+    ), sok AS (
+      SELECT band, nib FROM sbands GROUP BY band, nib
+      HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET}
+    ), sim AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sbands a
+      JOIN sok o ON a.band = o.band AND a.nib = o.nib
+      JOIN sbands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh2, b.sh2)) <= {dedup.SIMHASH_MAX_HAMMING}
+    ), nt AS (SELECT count(*) AS n_truth FROM truth
+    ), ns AS (SELECT count(*) AS n_simhash FROM sim
+    ), nb AS (
+      SELECT count(*) AS n_both
+      FROM truth t JOIN sim s ON t.id_a = s.id_a AND t.id_b = s.id_b
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_simhash AS BIGINT) AS n_simhash,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both * 1000 // n_simhash AS BIGINT) AS precision_milli,
+           CAST(n_both * 1000 // n_truth AS BIGINT) AS recall_milli
+    FROM nt, ns, nb
+"""
+)
+
+from genai_batch_processor_spark.operators import linkage as _linkage
+
+ORACLES["part_match_candidates"] = _linkage.sql_blocked_pairs(
+    "part",
+    "p_partkey",
+    "p_name",
+    {"p_brand": "p_brand", "noun": "string_split(p_name, ' ')[-1]"},
+)
+
+# BM25: association order mirrors the Spark expression exactly (left-
+# assoc chains), so both engines round identical doubles to milli ints.
+ORACLES["bm25_scores"] = """
+    WITH terms AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM terms
+      WHERE regexp_matches(term, '^[a-z]+$')
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), qterms AS (
+      SELECT term, df FROM dfreq WHERE strlen(term) >= 4
+      ORDER BY df DESC, term ASC LIMIT 5
+    ), stats AS (
+      SELECT count(*) AS nd,
+             sum(len(string_split(text, ' '))) AS total_dl
+      FROM documents
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl * nd / total_dl))
+               * 1000
+             ) AS BIGINT) AS s
+      FROM tf t JOIN qterms USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(s) AS BIGINT) AS bm25_milli
+    FROM scored GROUP BY doc_id
+"""
+
 # -- north-star: similarity search -------------------------------------------
 
 ORACLES["embedding_topk"] = f"""

@@ -2880,7 +2880,127 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select("doc_id", "shard", "pos")
 
 
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring — the retrieval primitive behind
+    query-targeted corpus curation (pull the documents most relevant
+    to a benchmark topic, rank candidates for decontamination review).
+
+    Query terms are corpus-derived and deterministic: the 5 highest
+    document-frequency terms of length ≥ 4 (ties by term). Corpus
+    stats (N, total doc length) ride a broadcast 1-row aggregate; the
+    per-(doc, term) score is rounded to integer MILLI units before the
+    per-document sum, so the total is an order-free integer — no float
+    accumulation order can split the engines (same contract as
+    doc_logprob). k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5) + 1).
+
+    Scale: the only corpus-wide shuffles are the tf/df hash aggregates
+    (map-side partials); the query-term set (5 rows) and the stats row
+    are broadcast, and doc length rides the explode so no join back to
+    the corpus is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        tx.word_count("text").alias("dl"),
+        F.explode(tx.words(F.lower("text"))).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    # dl is functionally dependent on doc_id: grouping by it adds no
+    # cardinality and saves a join back to the corpus for doc length.
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = F.broadcast(
+        dfreq.filter(F.length("term") >= 4)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(5)
+    )
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum(tx.word_count("text")).cast("long").alias("total_dl"),
+        )
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") * F.col("nd") / F.col("total_dl")
+    )
+    score_milli = F.round(
+        idf * F.col("tf") * (k1 + 1.0) / norm * 1000
+    ).cast("long")
+    scored = (
+        tf.join(qterms, "term")
+        .crossJoin(stats)
+        .select("doc_id", score_milli.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("s").cast("long").alias("bm25_milli"),
+    )
+
+
+def q_part_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: blocking on
+    (brand, head noun of the name), in-block Levenshtein ≤ 2
+    (operators/linkage.py — blocked candidate generation with the same
+    oversized-block drop contract as the LSH bucket caps)."""
+    from genai_batch_processor_spark.operators import linkage
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    return linkage.blocked_pairs(
+        parts, "p_partkey", "p_name", ["p_brand", "noun"]
+    )
+
+
+def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method audit: SimHash near-dup pairs graded against the
+    Jaccard-verified MinHash-LSH pair set as truth — precision/recall
+    in integer milli units. The quality contract that tells an
+    operator whether the cheaper single-pass SimHash sweep can stand
+    in for the banded-MinHash pipeline on their corpus (the dedup
+    analog of embedding_ann_recall). Integer division (div) keeps the
+    ratios engine-exact; both pair relations are tiny aggregates by
+    the time they meet, and the MinHash side reuses the shared
+    persisted pair stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _near_dup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
+    simp = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    )
+    both = truth.join(simp, ["id_a", "id_b"], "inner")
+    counts = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(
+            F.broadcast(
+                simp.agg(F.count(F.lit(1)).cast("long").alias("n_simhash"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+            )
+        )
+    )
+    return counts.select(
+        "n_truth",
+        "n_simhash",
+        "n_both",
+        F.expr("n_both * 1000 div n_simhash").alias("precision_milli"),
+        F.expr("n_both * 1000 div n_truth").alias("recall_milli"),
+    )
+
+
 QUERIES: dict[str, callable] = {
+    "bm25_scores": q_bm25_scores,
+    "part_match_candidates": q_part_match_candidates,
+    "near_dup_method_agreement": q_near_dup_method_agreement,
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
     "azure_model_rewrite": q_azure_model_rewrite,

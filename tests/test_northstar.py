@@ -347,3 +347,60 @@ def test_winnowing_catches_passage_containment_lsh_misses(spark):
 
     lsh = dedup.candidate_pairs(df, "doc_id", "text").collect()
     assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in lsh}
+
+
+def test_blocked_pairs_basics_and_oversized_block_dropped(spark):
+    """Entity-resolution candidate generation: matches only within a
+    block, distance thresholded, a_key < b_key — and a degenerate
+    blocking key (everything in one block) is DROPPED, not self-joined
+    (same contract as the LSH/SimHash bucket caps)."""
+    from genai_batch_processor_spark.operators import linkage
+
+    rows = [
+        (1, "red ring", "B1"),
+        (2, "red ring", "B1"),      # exact dup of 1 → distance 0
+        (3, "rad ring", "B1"),      # distance 1 from both
+        (4, "blue gear", "B1"),     # same block key? no — other name
+        (5, "red ring", "B2"),      # other block: never pairs with B1
+    ]
+    df = spark.createDataFrame(rows, "k long, name string, brand string")
+    out = {
+        (r.a_key, r.b_key): r.distance
+        for r in linkage.blocked_pairs(
+            df, "k", "name", ["brand"], max_distance=2
+        ).collect()
+    }
+    # block B1 has 4 rows: pairs among 1,2,3 pass the distance gate;
+    # 'blue gear' is 2+ block rows away in edit distance; 5 is B2-only
+    assert out == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+    # cap: a block of 3+ rows with max_block=2 vanishes entirely
+    capped = linkage.blocked_pairs(
+        df, "k", "name", ["brand"], max_distance=2, max_block=2
+    ).collect()
+    assert capped == []
+
+
+def test_bm25_scores_rank_relevant_docs_higher(spark, sf_dir):
+    """BM25 sanity: every scored doc matched ≥1 query term, scores are
+    positive, and a doc matching more query terms with higher tf beats
+    a low-overlap doc (monotonicity spot check via the top score)."""
+    from genai_batch_processor_spark import queries as q
+
+    out = q.q_bm25_scores(spark, sf_dir).collect()
+    assert out, "query terms must match some documents"
+    assert all(1 <= r.n_terms <= 5 for r in out)
+    assert all(r.bm25_milli > 0 for r in out)
+    best = max(out, key=lambda r: r.bm25_milli)
+    assert best.n_terms >= 2  # the top doc hits multiple query terms
+
+
+def test_near_dup_method_agreement_bounds(spark, sf_dir):
+    """The audit's invariants: intersection no larger than either set,
+    ratios in [0, 1000]."""
+    from genai_batch_processor_spark import queries as q
+
+    r = q.q_near_dup_method_agreement(spark, sf_dir).collect()[0]
+    assert r.n_both <= min(r.n_truth, r.n_simhash)
+    assert 0 <= r.precision_milli <= 1000
+    assert 0 <= r.recall_milli <= 1000
