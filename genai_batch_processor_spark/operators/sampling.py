@@ -231,6 +231,43 @@ def mixture_plan(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-flattened mixture weights — the multilingual/
+    multi-source LM standard (w_s ∝ n_s^(1/T)): T=1 is proportional
+    sampling, T→∞ uniform; T≈2-5 up-weights small sources so the head
+    doesn't drown the tail.
+
+    Engine-exactness: the per-stratum power is rounded to a SCALED
+    INTEGER before the normalizing sum, so the total is order-free and
+    ``weight_ppm`` comes from integer division — no float accumulation
+    crosses engines. One tiny aggregate (|strata| rows) + a broadcast
+    1-row total; the result is the relation a 100 TB run broadcasts
+    back onto the corpus exactly like ``mixture_plan``."""
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    powed = counts.withColumn(
+        "w_scaled",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), 1.0 / temperature)
+            * scale
+        ).cast("long"),
+    )
+    total = F.broadcast(
+        powed.agg(F.sum("w_scaled").cast("long").alias("w_total"))
+    )
+    return powed.crossJoin(total).select(
+        strata_col,
+        "n_docs",
+        F.expr("w_scaled * 1000000 div w_total").alias("weight_ppm"),
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     plan: DataFrame,

@@ -328,6 +328,43 @@ ORACLES["part_match_candidates"] = _linkage.sql_blocked_pairs(
     {"p_brand": "p_brand", "noun": "string_split(p_name, ' ')[-1]"},
 )
 
+ORACLES["temperature_mixture"] = """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), powed AS (
+      SELECT source, n_docs,
+             CAST(round(power(n_docs::DOUBLE, 0.5) * 1000) AS BIGINT)
+               AS w_scaled
+      FROM counts
+    ), total AS (
+      SELECT sum(w_scaled) AS w_total FROM powed
+    )
+    SELECT source, n_docs,
+           CAST(w_scaled * 1000000 // w_total AS BIGINT) AS weight_ppm
+    FROM powed CROSS JOIN total
+"""
+
+ORACLES["event_key_skew"] = """
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_n,
+             round(quantile_cont(n, 0.99), 6) AS p99_n
+      FROM counts
+    ), top AS (
+      SELECT user_id, n FROM counts
+      ORDER BY n DESC, user_id ASC LIMIT 10
+    )
+    SELECT user_id, n,
+           CAST(n * 1000000 // total_rows AS BIGINT) AS share_ppm,
+           n_keys, total_rows, max_n, p99_n
+    FROM top CROSS JOIN stats
+"""
+
 # BM25: association order mirrors the Spark expression exactly (left-
 # assoc chains), so both engines round identical doubles to milli ints.
 ORACLES["bm25_scores"] = """

@@ -2997,7 +2997,51 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (operators/sampling.py:
+    temperature_weights, T=2): the standard multi-source LM reweighting
+    that up-weights tail sources. Scaled-integer powers make the
+    normalizing sum order-free; weight_ppm is integer division — the
+    oracle derives the identical plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_weights(docs, "source", temperature=2.0)
+
+
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report — the operational query you run BEFORE
+    picking a 100 TB partitioning: top-10 heaviest user_ids with their
+    ppm share of all events, alongside the global key count, max, and
+    p99 per-key count (F.percentile == DuckDB quantile_cont exactly).
+    Plan: one corpus-wide hash aggregate; everything after runs on the
+    |keys| relation, with the global stats a broadcast 1-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = F.broadcast(
+        counts.agg(
+            F.sum("n").cast("long").alias("total_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("max_n"),
+            F.round(F.percentile("n", 0.99), 6).alias("p99_n"),
+        )
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    return top.crossJoin(stats).select(
+        "user_id",
+        "n",
+        F.expr("n * 1000000 div total_rows").alias("share_ppm"),
+        "n_keys",
+        "total_rows",
+        "max_n",
+        "p99_n",
+    )
+
+
 QUERIES: dict[str, callable] = {
+    "temperature_mixture": q_temperature_mixture,
+    "event_key_skew": q_event_key_skew,
     "bm25_scores": q_bm25_scores,
     "part_match_candidates": q_part_match_candidates,
     "near_dup_method_agreement": q_near_dup_method_agreement,

@@ -186,3 +186,36 @@ def test_curriculum_head_tracks_weights(spark, sf_dir):
     # src3 (weight 0.25) well under it
     assert head.get("src0", 0) / n_head > 2 / 20
     assert head.get("src3", 0) / n_head < 1 / 20
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """T=1 reproduces proportional shares; higher T compresses the
+    head-tail gap; weights sum to ~1e6. (Synthetic skewed strata — the
+    fixture's sources are near-uniform, where flattening is a no-op.)"""
+    from genai_batch_processor_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "head" if i < 900 else ("mid" if i < 990 else "tail"))
+         for i in range(1000)],
+        "doc_id long, source string",
+    )
+
+    def shares(t):
+        rows = sampling.temperature_weights(
+            docs, "source", temperature=t
+        ).collect()
+        return {r.source: (r.n_docs, r.weight_ppm) for r in rows}
+
+    s1, s4 = shares(1.0), shares(4.0)
+    assert set(s1) == set(s4)
+    total1 = sum(w for _, w in s1.values())
+    assert 1_000_000 - len(s1) <= total1 <= 1_000_000  # floor-div dust
+    big = max(s1, key=lambda k: s1[k][0])
+    small = min(s1, key=lambda k: s1[k][0])
+    # T=1 ≈ proportional: ppm tracks doc share within rounding
+    n_total = sum(n for n, _ in s1.values())
+    assert abs(s1[big][1] - s1[big][0] * 1_000_000 // n_total) <= 1000
+    # higher temperature narrows the big/small ratio
+    ratio1 = s1[big][1] / max(s1[small][1], 1)
+    ratio4 = s4[big][1] / max(s4[small][1], 1)
+    assert ratio4 < ratio1
