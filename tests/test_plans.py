@@ -365,3 +365,35 @@ def test_chunking_is_jvm_only_and_packing_partitions_by_group(
         assert marker not in plan
     plan = _plan(spark, "chunk_packing", sf_dir)
     assert "SinglePartition" not in plan
+
+
+def test_part_match_candidates_no_single_partition(spark, sf_dir):
+    """The linkage self-join must stay block-local — no global funnel
+    and no cartesian product anywhere in the plan."""
+    plan = _plan(spark, "part_match_candidates", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir):
+    """The 5-term query side and the 1-row stats both ride broadcasts;
+    the only corpus-wide shuffles are the tf/df hash aggregates."""
+    plan = _plan(spark, "bm25_scores", sf_dir)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_temperature_mixture_is_two_aggregates_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, "temperature_mixture", sf_dir)
+    assert "BroadcastExchange" in plan  # 1-row total
+    assert "PythonUDF" not in plan
+
+
+def test_event_key_skew_single_corpus_aggregate(spark, sf_dir):
+    """Exactly one corpus-wide shuffle (the per-key count); the heavy-
+    hitter top-k is a TakeOrdered on the keys relation, never a global
+    sort of raw events."""
+    plan = _plan(spark, "event_key_skew", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
