@@ -693,3 +693,64 @@ def test_fetch_download_retries_transient_failures(tmp_path):
     b.fetch("batch-1", str(out))
     assert (out / "batch-1.jsonl").read_bytes() == payload
     assert calls["n"] == 3
+
+
+def test_run_job_end_to_end_through_a_storm_of_transient_failures(tmp_path):
+    """The full orchestrator lifecycle completes even when EVERY wire
+    step is hit by transient failures: 503s on upload, a definitive 429
+    on batch create, a connection reset mid-poll, and a 502 on the
+    result download — the end-to-end proof of the transport retry
+    layer, not just per-call units."""
+    state = {"upload_fails": 2, "create_429s": 1, "poll_resets": 1,
+             "dl_fails": 1, "polls": 0}
+
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/files") and method == "POST":
+            if state["upload_fails"] > 0:
+                state["upload_fails"] -= 1
+                return 503, b"unavailable"
+            return 200, {"id": "file-1"}
+        if url.endswith("/batches") and method == "POST":
+            if state["create_429s"] > 0:
+                state["create_429s"] -= 1
+                return 429, b"rate limited"
+            return 200, {"id": "batch-1", "status": "validating"}
+        if url.endswith("/batches/batch-1"):
+            if state["poll_resets"] > 0:
+                state["poll_resets"] -= 1
+                raise ConnectionResetError("peer reset")
+            state["polls"] += 1
+            s = "in_progress" if state["polls"] < 2 else "completed"
+            return 200, {
+                "id": "batch-1",
+                "status": s,
+                "output_file_id": "f-out" if s == "completed" else None,
+            }
+        if url.endswith("/files/f-out/content"):
+            if state["dl_fails"] > 0:
+                state["dl_fails"] -= 1
+                return 502, b"bad gateway"
+            return 200, b'{"custom_id": "request-0"}\n'
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend(
+        "sk-test",
+        transport=FakeTransport(handler),
+        retry_policy=_fast_policy(),
+    )
+    out = str(tmp_path / "results")
+    job = orchestrator.run_job(
+        b,
+        input_path=_shard_dir(tmp_path, n=1),
+        output_path=out,
+        manifest_dir=str(tmp_path / "manifests"),
+        poll_interval_seconds=0.01,
+    )
+    assert job.state == "completed"
+    assert os.path.exists(os.path.join(out, "batch-1.jsonl"))
+    # every injected failure was actually consumed
+    assert all(
+        state[k] == 0
+        for k in ("upload_fails", "create_429s", "poll_resets", "dl_fails")
+    )
