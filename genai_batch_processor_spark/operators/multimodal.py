@@ -306,16 +306,51 @@ def decode_image_real(
     return df.select(id_col, data_col).mapInPandas(decode, IMAGE_FEATURES)
 
 
+# Magic-byte prefixes real decoders can actually parse.
+_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM")
+_WAV_MAGIC = (b"RIFF",)
+
+
+def _payload_matches(
+    df: DataFrame, data_col: str, magic: tuple[bytes, ...]
+) -> bool:
+    """Driver-side 1-row probe: does the first non-null payload carry
+    one of the real-format magic prefixes? Bounded (limit rides into
+    the plan) — the same class of probe the stream source uses for its
+    schema. A relation of stub/fixture bytes routes to the stub even
+    when the real library is importable; mixed relations follow their
+    first row (callers with genuinely mixed formats pass an explicit
+    codec)."""
+    rows = (
+        df.select(data_col)
+        .filter(F.col(data_col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not rows or rows[0][0] is None:
+        return False
+    head = bytes(rows[0][0])[:8]
+    return any(head.startswith(m) for m in magic)
+
+
 def decode_image(
     df: DataFrame,
     id_col: str = "doc_id",
     data_col: str = "data",
     codec: str = "auto",
 ) -> DataFrame:
-    """Image decode dispatcher: ``auto`` uses Pillow when importable,
-    else the deterministic stub; ``real``/``stub`` force a path."""
+    """Image decode dispatcher: ``auto`` uses Pillow when it is
+    importable AND the payloads carry a real image magic prefix
+    (PNG/JPEG/GIF/BMP — fixture fake bytes would crash a real
+    decoder); otherwise the deterministic stub. ``real``/``stub``
+    force a path."""
     if codec == "auto":
-        codec = "real" if codec_support()["image"] else "stub"
+        codec = (
+            "real"
+            if codec_support()["image"]
+            and _payload_matches(df, data_col, _IMAGE_MAGIC)
+            else "stub"
+        )
     if codec == "stub":
         return decode_image_stub(df, id_col, data_col)
     if codec == "real":
@@ -354,6 +389,14 @@ def window_audio_real(
                         raise ValueError(
                             "window_audio_real expects 16-bit PCM WAV"
                         )
+                    if w.getnchannels() != 1:
+                        # stereo frames would interleave L/R samples
+                        # into one RMS and mis-size every window —
+                        # refuse loudly, like the sampwidth check
+                        raise ValueError(
+                            "window_audio_real expects mono WAV; "
+                            f"got {w.getnchannels()} channels"
+                        )
                     pcm = w.readframes(w.getnframes())
                 n = len(pcm) // 2
                 samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
@@ -385,12 +428,16 @@ def window_audio(
     data_col: str = "data",
     codec: str = "auto",
 ) -> DataFrame:
-    """Audio windowing dispatcher. ``auto`` prefers the real WAV path
-    only when the payloads are actual WAV (callers with synthetic
-    fixture bytes pass ``stub``); since stdlib wave always imports,
-    ``auto`` == ``real`` here, kept for symmetry with decode_image."""
+    """Audio windowing dispatcher. ``auto`` takes the real WAV path
+    only when the payloads actually carry the RIFF magic (stdlib wave
+    always imports, but fixture fake bytes would crash the parser);
+    anything else routes to the deterministic stub."""
     if codec == "auto":
-        codec = "real" if codec_support()["audio"] else "stub"
+        codec = (
+            "real"
+            if _payload_matches(df, data_col, _WAV_MAGIC)
+            else "stub"
+        )
     if codec == "stub":
         return window_audio_stub(df, id_col, data_col)
     if codec == "real":

@@ -231,11 +231,16 @@ def mixture_plan(
     )
 
 
+# Power-scale for temperature weights: one shared constant so the
+# DuckDB oracle interpolates the same value the operator uses.
+TEMP_SCALE = 1000
+
+
 def temperature_weights(
     df: DataFrame,
     strata_col: str,
     temperature: float = 2.0,
-    scale: int = 1000,
+    scale: int = TEMP_SCALE,
 ) -> DataFrame:
     """Temperature-flattened mixture weights — the multilingual/
     multi-source LM standard (w_s ∝ n_s^(1/T)): T=1 is proportional

@@ -328,14 +328,20 @@ ORACLES["part_match_candidates"] = _linkage.sql_blocked_pairs(
     {"p_brand": "p_brand", "noun": "string_split(p_name, ' ')[-1]"},
 )
 
-ORACLES["temperature_mixture"] = """
+from genai_batch_processor_spark.operators import sampling as _smp2
+from genai_batch_processor_spark import queries as _q2
+
+# exponent/scale interpolated from the query's own constants so a
+# one-sided tuning edit fails loudly at review, not as a spurious
+# engine mismatch in the parity gate.
+ORACLES["temperature_mixture"] = f"""
     WITH counts AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY source
     ), powed AS (
       SELECT source, n_docs,
-             CAST(round(power(n_docs::DOUBLE, 0.5) * 1000) AS BIGINT)
-               AS w_scaled
+             CAST(round(power(n_docs::DOUBLE, {1.0 / _q2.TEMP_MIX_T!r})
+                  * {_smp2.TEMP_SCALE}) AS BIGINT) AS w_scaled
       FROM counts
     ), total AS (
       SELECT sum(w_scaled) AS w_total FROM powed
@@ -1080,7 +1086,10 @@ from genai_batch_processor_spark.operators import multimodal as _mm  # noqa: E40
 
 ORACLES["video_frames"] = f"""
     WITH t AS (
-      SELECT doc_id, md5(substr(text, 1, 24)) AS dig FROM documents
+      SELECT doc_id,
+             md5(CASE WHEN coalesce(substr(text, 1, 24), '') = ''
+                      THEN chr(0) ELSE substr(text, 1, 24) END) AS dig
+      FROM documents
     ), f AS (
       SELECT doc_id, dig,
              unnest(generate_series(

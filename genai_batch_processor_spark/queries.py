@@ -58,6 +58,24 @@ def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted SimHash pair stage per (session, sf_dir), shared
+    by simhash_near_dup and the method-agreement audit — the audit
+    references the pair relation twice in one plan, and without the
+    persist the banding fan-out would execute twice (round-4 review
+    finding; mirrors _near_dup_pairs_shared)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIMHASH_PAIRS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").persist()
+        _SIMHASH_PAIRS_CACHE[key] = df
+    return df
+
+
 # Trained IVF centroids, shared by embedding_topk_ivf_trained and
 # embedding_ann_recall: training is 2 Lloyd iterations over the corpus —
 # identical every time (deterministic init + scaled-integer means), so
@@ -363,9 +381,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 via nibble banding)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text")
+    """SimHash near-dup pairs (hamming ≤ 3 via nibble banding; shared
+    persisted stage — see _simhash_pairs_shared)."""
+    pairs = _simhash_pairs_shared(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -2967,13 +2985,11 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for the banded-MinHash pipeline on their corpus (the dedup
     analog of embedding_ann_recall). Integer division (div) keeps the
     ratios engine-exact; both pair relations are tiny aggregates by
-    the time they meet, and the MinHash side reuses the shared
-    persisted pair stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    the time they meet, and BOTH sides reuse shared persisted pair
+    stages (the sim side is referenced twice in this plan — the
+    persist keeps the banding fan-out from executing twice)."""
     truth = _near_dup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
-    simp = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").select(
-        "id_a", "id_b"
-    )
+    simp = _simhash_pairs_shared(spark, sf_dir).select("id_a", "id_b")
     both = truth.join(simp, ["id_a", "id_b"], "inner")
     counts = (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
@@ -2997,14 +3013,19 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_MIX_T = 2.0  # shared with the oracle — edit here, not there
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture (operators/sampling.py:
-    temperature_weights, T=2): the standard multi-source LM reweighting
-    that up-weights tail sources. Scaled-integer powers make the
-    normalizing sum order-free; weight_ppm is integer division — the
-    oracle derives the identical plan."""
+    temperature_weights, T=TEMP_MIX_T): the standard multi-source LM
+    reweighting that up-weights tail sources. Scaled-integer powers
+    make the normalizing sum order-free; weight_ppm is integer
+    division — the oracle derives the identical plan."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.temperature_weights(docs, "source", temperature=2.0)
+    return sampling.temperature_weights(
+        docs, "source", temperature=TEMP_MIX_T
+    )
 
 
 def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

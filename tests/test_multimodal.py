@@ -67,23 +67,20 @@ def test_real_codec_boundary_is_marked():
 
 
 def test_decode_image_dispatcher(spark, sf_dir):
-    """auto → real iff Pillow importable, else the stub; forced paths
-    behave; bogus codec rejected."""
+    """auto routes by payload MAGIC, not just library presence: the
+    fixture's fake bytes go to the stub even where Pillow exists (a
+    real decoder would crash on them); forced paths behave; bogus
+    codec rejected."""
     df = _docs_with_bytes(spark, sf_dir).limit(5)
     stub = mm.decode_image(df, codec="stub")
     assert stub.schema == mm.IMAGE_FEATURES
-    if mm.codec_support()["image"]:
-        auto = mm.decode_image(df, codec="auto")
-        assert auto.schema == mm.IMAGE_FEATURES
-    else:
-        # auto falls back to the stub — identical results
-        auto = {
-            (r.doc_id, r.width, r.height)
-            for r in mm.decode_image(df, codec="auto").collect()
-        }
-        assert auto == {
-            (r.doc_id, r.width, r.height) for r in stub.collect()
-        }
+    # fake payloads: auto == stub regardless of Pillow availability
+    auto = {
+        (r.doc_id, r.width, r.height)
+        for r in mm.decode_image(df, codec="auto").collect()
+    }
+    assert auto == {(r.doc_id, r.width, r.height) for r in stub.collect()}
+    if not mm.codec_support()["image"]:
         with pytest.raises(NotImplementedError, match="Pillow"):
             mm.decode_image(df, codec="real")
     with pytest.raises(ValueError, match="codec"):
@@ -153,6 +150,47 @@ def test_window_audio_real_decodes_wav(spark):
     assert again == {k: r.win_fp for k, r in rows.items()}
 
 
+def test_window_audio_auto_routes_by_riff_magic(spark, sf_dir):
+    """auto sniffs the payload: real RIFF bytes take the WAV parser,
+    fixture fake bytes fall back to the md5 stub instead of crashing
+    (round-4 review finding: auto must never feed non-WAV bytes to
+    wave.open)."""
+    wav = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes([5] * 10)))], "doc_id long, data binary"
+    )
+    real = mm.window_audio(wav, codec="auto").collect()
+    assert len(real) == 1 and real[0].win_idx == 0  # one 10-sample window
+
+    fake = _docs_with_bytes(spark, sf_dir).limit(3)
+    via_auto = {
+        (r.doc_id, r.win_idx): r.win_fp
+        for r in mm.window_audio(fake, codec="auto").collect()
+    }
+    via_stub = {
+        (r.doc_id, r.win_idx): r.win_fp
+        for r in mm.window_audio_stub(fake).collect()
+    }
+    assert via_auto == via_stub
+
+
+def test_window_audio_real_rejects_stereo(spark):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, data binary"
+    )
+    with pytest.raises(Exception, match="mono"):
+        mm.window_audio_real(df).collect()
+
+
 def test_frame_sampler_fan_out_bounds_and_determinism(spark, sf_dir):
     """1→many Arrow fan-out: every doc yields 1..MAX_FRAMES frames with
     dense 0-based indices, deterministically."""
@@ -199,6 +237,35 @@ def test_audio_windows_oracle_handles_empty_and_null_text():
         for i in range(n_windows):
             fp = int(hashlib.md5(f"{digest}@{i}".encode()).hexdigest()[:15], 16)
             exp.append((doc_id, i, fp, fp % 1000))
+    assert got == sorted(exp)
+
+
+def test_video_frames_oracle_handles_empty_and_null_text():
+    """Same latent class as the audio oracle (round-4 review finding):
+    the frame-sampler oracle must replay the stub's b"\\x00" fallback
+    for empty/NULL payloads."""
+    import hashlib
+
+    import duckdb
+
+    from genai_batch_processor_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'hello world'), (1, ''), (2, NULL)"
+        ") t(doc_id, text)"
+    )
+    got = sorted(con.execute(ORACLES["video_frames"]).fetchall())
+    con.close()
+
+    exp = []
+    for doc_id, payload in [(0, b"hello world"), (1, b""), (2, None)]:
+        digest = hashlib.md5(payload if payload else b"\x00").hexdigest()
+        n_frames = 1 + int(digest[:2], 16) % mm.MAX_FRAMES
+        for i in range(n_frames):
+            fp = int(hashlib.md5(f"{digest}-{i}".encode()).hexdigest()[:15], 16)
+            exp.append((doc_id, i, fp))
     assert got == sorted(exp)
 
 
