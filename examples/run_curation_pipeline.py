@@ -1,0 +1,125 @@
+"""End-to-end training-data curation over the north-star operator set —
+the flow a 100 TB pretraining-data job runs, composed from this repo's
+operators (no reference analog: the reference stops at batch
+inference; this is the pipeline that decides WHAT to send).
+
+Stages, each a lazy DataFrame transformation until the final actions:
+
+1. NEAR-DUP PRUNE — MinHash-LSH candidate pairs → Jaccard verify →
+   connected components → keep one survivor per cluster.
+2. QUALITY GATE — native-expression text metrics; drop documents
+   below a quality score or outside a length band.
+3. DECONTAMINATE — drop documents sharing shingles with a benchmark
+   set (here: a small probe built from the corpus head, stands in for
+   a real eval set; broadcast-sized at any corpus scale).
+4. MIXTURE — temperature-flattened source weights (w ∝ n^(1/T)) →
+   per-source ppm sampling rates → row-local hash-rate filter.
+5. PACK + ORDER — chunk long documents to a context window, assign the
+   deterministic (shard, pos) training-consumption order.
+
+Run:  python examples/run_curation_pipeline.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# allow `python examples/<script>.py` from anywhere: put the repo
+# root (the package home) on sys.path before package imports
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.functions import text as tx
+from genai_batch_processor_spark.operators import batching, chunking, dedup
+from genai_batch_processor_spark.operators import sampling
+from genai_batch_processor_spark.session import get_spark
+from genai_batch_processor_spark.sources.tables import load_table
+
+MIN_QUALITY = 0.5          # tx.quality_score is a [0,1] composite
+LEN_BAND = (20, 5000)      # words
+TEMPERATURE = 2.0
+CONTEXT_WORDS = 64
+N_SHARDS = 8
+
+
+def main(spark: SparkSession | None = None, sf_dir: str | None = None):
+    spark = spark or get_spark("example-curation")
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. near-dup prune: pairs → components → min-id survivors
+    pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
+    comps = dedup.connected_components(pairs)
+    deduped = dedup.dedup_survivors(docs, comps, "doc_id")
+
+    # 2. quality gate: native exprs, no Python in the plan
+    gated = deduped.withColumn(
+        "quality", tx.quality_score("text")
+    ).withColumn("n_words", tx.word_count("text")).filter(
+        (F.col("quality") >= MIN_QUALITY)
+        & F.col("n_words").between(*LEN_BAND)
+    )
+
+    # 3. decontaminate against a (stand-in) benchmark probe
+    bench = docs.orderBy("doc_id").limit(5).select("text")
+    hits = dedup.contamination_hits(gated, bench, "doc_id", "text")
+    clean = gated.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    # 4. temperature mixture → ppm rates → row-local filter
+    weights = sampling.temperature_weights(
+        clean, "source", temperature=TEMPERATURE
+    )
+    # rate: sample each source at weight_ppm relative to its share so
+    # the output mixture approaches the flattened target
+    counts = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    total = F.broadcast(clean.agg(F.count(F.lit(1)).alias("n_all")))
+    rates = (
+        weights.join(counts, "source")
+        .crossJoin(total)
+        .select(
+            "source",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("weight_ppm * n_all div n_src").cast("long"),
+            ).alias("rate_ppm"),
+        )
+    )
+    mixed = clean.join(F.broadcast(rates), "source").filter(
+        # hash_coord is already in [0, 1e6) — same scale as rate_ppm
+        sampling.hash_coord("doc_id", "curation-mix") < F.col("rate_ppm")
+    )
+
+    # 5. context-window chunking + deterministic training order
+    chunks = chunking.chunk_documents(
+        mixed.select("doc_id", "text"), "doc_id", "text",
+        chunk_words=CONTEXT_WORDS,
+    )
+    ordered = batching.training_order(
+        chunks.withColumn(
+            "chunk_key",
+            F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")),
+        ),
+        "chunk_key",
+        seed="epoch-0",
+        n_shards=N_SHARDS,
+    )
+    return deduped, clean, mixed, ordered
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else None
+    deduped, clean, mixed, ordered = main(sf_dir=sf)
+    print(
+        f"survivors: {deduped.count()}  post-gate: {clean.count()}  "
+        f"sampled: {mixed.count()}  training chunks: {ordered.count()}"
+    )
+    ordered.groupBy("shard").count().orderBy("shard").show()

@@ -9,6 +9,15 @@ Run:  python examples/run_multichoice_exam.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow `python examples/<script>.py` from anywhere: put the repo
+# root (the package home) on sys.path before package imports
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -57,3 +57,29 @@ def test_azure_example(spark, sf_dir):
     assert {r["deployment"] for r in answered.limit(30).collect()} == {
         az.DEPLOYMENT
     }
+
+
+def test_curation_pipeline_example(spark, sf_dir):
+    """The end-to-end curation flow: monotone narrowing through dedup →
+    quality gate → decontamination → mixture sampling, then chunk
+    fan-out with every chunk assigned a (shard, pos) training slot."""
+    import run_curation_pipeline
+
+    deduped, clean, mixed, ordered = run_curation_pipeline.main(
+        spark, sf_dir
+    )
+    n_dedup, n_clean, n_mixed = (
+        deduped.count(), clean.count(), mixed.count(),
+    )
+    assert 0 < n_clean <= n_dedup <= 500
+    assert 0 < n_mixed <= n_clean
+    rows = ordered.collect()
+    assert len(rows) >= n_mixed  # chunking fans out, never drops docs
+    # every (shard, pos) slot is unique and pos is dense per shard
+    slots = {(r.shard, r.pos) for r in rows}
+    assert len(slots) == len(rows)
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
