@@ -297,6 +297,97 @@ def jaccard_pairs_from_hashes(
     )
 
 
+# -- incremental near-dup (persisted index, probe-only new batches) ----------
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The persistable LSH index of a corpus: one row per (band, doc)
+    carrying ``(band, key, id, hs)`` — the banded bucket relation WITH
+    the verification payload, so a later batch can both probe buckets
+    AND Jaccard-verify without ever re-reading the indexed corpus text.
+    The B× redundancy of ``hs`` is the price of single-join probing;
+    at rest, partition by ``band`` (see sources/index_store.py).
+
+    At 100 TB this is the difference between re-shingling the whole
+    corpus per ingest batch and an index-probe join whose left side is
+    only the new batch."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
+    )
+    sigs = hashed.select(
+        F.struct(
+            F.col("__id").alias("id"), F.col("__hs").alias("hs")
+        ).alias("__rec"),
+        minhash_signature(F.col("__hs")).alias("__sig"),
+    )
+    return (
+        sigs.select("__rec", "__sig", _band_index(LSH_BANDS).alias("band"))
+        .select(
+            "band",
+            band_key_at(F.col("__sig"), F.col("band")).alias("key"),
+            F.col("__rec.id").alias("id"),
+            F.col("__rec.hs").alias("hs"),
+        )
+    )
+
+
+def incremental_near_dup_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT, probing a
+    prebuilt :func:`minhash_index` — old-old pairs are never generated
+    (the indexed corpus is presumed already deduped) and the corpus
+    text is never touched. Bucket-size caps apply to the COMBINED
+    (index + batch) bucket, so results match a from-scratch run over
+    the union restricted to new-sided pairs (the oracle replays exactly
+    that). Pair ids are normalized (id_a < id_b) across the old/new id
+    spaces."""
+    new_index = minhash_index(new_docs, id_col, text_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    union = index.withColumn("is_new", F.lit(False)).unionByName(new_index)
+    rec = F.struct(F.col("id"), F.col("hs"))
+    grouped = (
+        union.groupBy("band", "key")
+        .agg(
+            F.sort_array(F.collect_list(rec)).alias("all_recs"),
+            # collect_list drops NULLs → only the new-batch records
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new"), rec))
+            ).alias("new_recs"),
+        )
+        .filter(
+            (F.size("all_recs") >= 2)
+            & (F.size("all_recs") <= max_bucket)
+            & (F.size("new_recs") >= 1)
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("new_recs"),
+            lambda x: F.transform(
+                F.filter(F.col("all_recs"), lambda y: y["id"] != x["id"]),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.round(jaccard(x["hs"], y["hs"]), 6).alias("jaccard"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # -- near-dup clustering (components + survivors) ----------------------------
 
 

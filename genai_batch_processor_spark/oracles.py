@@ -269,6 +269,38 @@ ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
     WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
 """
 
+# Incremental near-dup: from-scratch MinHash over (corpus ∪ re-keyed
+# new batch), restricted to pairs with a new side (id_b lands in the
+# offset id space for any such pair since id_a < id_b) — the relation
+# the index-probe path must reproduce exactly.
+from genai_batch_processor_spark import queries as _qinc
+
+ORACLES["incremental_near_dup"] = (
+    f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_qinc.INC_DEDUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 3
+)"""
+    + _MINHASH_BASE.replace("WITH sh AS", ", sh AS", 1).replace(
+        "FROM documents", "FROM unioned"
+    )
+    + f"""
+    , scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.hs, y.hs))::DOUBLE
+                   / len(list_distinct(x.hs || y.hs)), 6) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+      AND id_b >= {_qinc.INC_DEDUP_OFFSET}
+"""
+)
+
 # Dedup-method audit: SimHash pairs graded against the Jaccard-verified
 # MinHash pair set. Splices the two base CTE chains (the SimHash CTEs
 # ride in with distinct names) and compares with integer-division

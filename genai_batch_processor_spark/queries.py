@@ -3013,6 +3013,28 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INC_DEDUP_OFFSET = 1_000_000  # new-batch id space; shared with oracle
+
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new ingest batch (10% of the corpus,
+    re-keyed into a disjoint id space) probed against the prebuilt
+    MinHash band index of the existing corpus
+    (operators/dedup.py:minhash_index / incremental_near_dup_pairs).
+    Only new-sided pairs are generated — the indexed corpus text is
+    never re-shingled — and results match a from-scratch run over the
+    union restricted to new-sided pairs, which is exactly what the
+    oracle replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup.minhash_index(docs, "doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup.incremental_near_dup_pairs(
+        index, new_docs, "doc_id", "text"
+    )
+
+
 TEMP_MIX_T = 2.0  # shared with the oracle — edit here, not there
 
 
@@ -3061,6 +3083,7 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, callable] = {
+    "incremental_near_dup": q_incremental_near_dup,
     "temperature_mixture": q_temperature_mixture,
     "event_key_skew": q_event_key_skew,
     "bm25_scores": q_bm25_scores,

@@ -57,6 +57,42 @@ def load_centroid_cells(spark: SparkSession, path: str) -> DataFrame:
     return cells.select("cell", "dim", "n_vecs", "c_val")
 
 
+def save_minhash_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`operators.dedup.minhash_index` relation,
+    partitioned by band (probe joins shuffle on (band, key), so at-rest
+    band partitioning lets a probe read only matching bands). This IS
+    data-sized (corpus × B rows) — sharded write, never coalesced."""
+    (
+        index.select(
+            F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
+            F.col("band").cast("int").alias("band"),
+            F.col("key").cast("long").alias("key"),
+            F.col("id").cast("long").alias("id"),
+            F.col("hs"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def load_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+    """Reload a persisted MinHash band index with the same version
+    guard as the centroid store (the check reads one row, not the
+    index: format_version is constant per write)."""
+    idx = spark.read.parquet(path)
+    versions = [
+        r["format_version"]
+        for r in idx.select("format_version").limit(2).distinct().collect()
+    ]
+    if versions != [INDEX_FORMAT_VERSION]:
+        raise ValueError(
+            f"minhash index at {path} has format_version {versions}, "
+            f"expected [{INDEX_FORMAT_VERSION}]"
+        )
+    return idx.select("band", "key", "id", "hs")
+
+
 def load_centroids(
     spark: SparkSession, path: str
 ) -> list[tuple[int, list[float]]]:

@@ -404,3 +404,61 @@ def test_near_dup_method_agreement_bounds(spark, sf_dir):
     assert r.n_both <= min(r.n_truth, r.n_simhash)
     assert 0 <= r.precision_milli <= 1000
     assert 0 <= r.recall_milli <= 1000
+
+
+def test_minhash_index_roundtrip_and_incremental_probe(spark, sf_dir, tmp_path):
+    """The persisted band index round-trips through parquet (band-
+    partitioned, version-guarded) and an incremental probe against the
+    LOADED index matches probing the in-memory one — the train-once /
+    ingest-many seam."""
+    from genai_batch_processor_spark.sources import index_store
+    from genai_batch_processor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    index = dedup.minhash_index(docs, "doc_id", "text")
+    path = str(tmp_path / "mh_index")
+    index_store.save_minhash_index(index, path)
+    loaded = index_store.load_minhash_index(spark, path)
+    assert dict(loaded.dtypes)["hs"] == dict(index.dtypes)["hs"]
+
+    new_docs = docs.limit(20).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    direct = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_near_dup_pairs(
+            index, new_docs, "doc_id", "text"
+        ).collect()
+    }
+    via_disk = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_near_dup_pairs(
+            loaded, new_docs, "doc_id", "text"
+        ).collect()
+    }
+    assert via_disk == direct
+    assert len(direct) >= 20  # every re-keyed copy pairs its original
+    # only new-sided pairs: the larger id always lives in the new space
+    assert all(b >= 5_000_000 for _, b in direct)
+
+
+def test_minhash_index_version_guard(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.sources import index_store
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    index = dedup.minhash_index(df, "doc_id", "text")
+    path = str(tmp_path / "mh_bad")
+    index_store.save_minhash_index(index, path)
+    bad = spark.read.parquet(path).withColumn(
+        "format_version", F.lit(99)
+    )
+    bad.write.mode("overwrite").partitionBy("band").parquet(
+        str(tmp_path / "mh_bad2")
+    )
+    with pytest.raises(ValueError, match="format_version"):
+        index_store.load_minhash_index(spark, str(tmp_path / "mh_bad2"))
