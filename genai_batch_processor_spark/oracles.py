@@ -301,6 +301,9 @@ WITH unioned AS (
 """
 )
 
+# The streamed probe must reproduce the one-shot probe exactly.
+ORACLES["incremental_near_dup_stream"] = ORACLES["incremental_near_dup"]
+
 # Dedup-method audit: SimHash pairs graded against the Jaccard-verified
 # MinHash pair set. Splices the two base CTE chains (the SimHash CTEs
 # ride in with distinct names) and compares with integer-division

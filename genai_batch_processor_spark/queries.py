@@ -3035,6 +3035,67 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest twin of incremental_near_dup: the new batch
+    arrives as a file STREAM (1 file per trigger → multiple
+    micro-batches); each micro-batch probes the corpus band index PLUS
+    the band rows of every previously-ingested micro-batch
+    (probe-then-extend — so cross-micro-batch new-new near-dups are
+    found when the later side arrives, each pair exactly once). The
+    streamed union must equal the one-shot probe: SAME ORACLE as
+    incremental_near_dup. Per-batch pair sets are bounded (the batch
+    side is small by definition), so the final assembly is a bounded
+    driver collect, not a data-path collect."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup.minhash_index(docs, "doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"), "text"
+    )
+    shards = tempfile.mkdtemp(prefix="inc_dedup_shards_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_inc_dedup_")
+    state: dict[str, list] = {"extras": [], "rows": []}
+    try:
+        new_docs.repartition(2).write.mode("overwrite").parquet(shards)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            probe = index
+            for extra in state["extras"]:
+                probe = probe.unionByName(extra)
+            pairs = dedup.incremental_near_dup_pairs(
+                probe, batch_df, "doc_id", "text"
+            )
+            state["rows"].extend(pairs.collect())
+            extra = dedup.minhash_index(
+                batch_df, "doc_id", "text"
+            ).persist()
+            extra.count()  # materialize before the micro-batch ends
+            state["extras"].append(extra)
+
+        (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(shards, ignore_errors=True)
+    return spark.createDataFrame(
+        state["rows"], "id_a long, id_b long, jaccard double"
+    )
+
+
 TEMP_MIX_T = 2.0  # shared with the oracle — edit here, not there
 
 
@@ -3084,6 +3145,7 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, callable] = {
     "incremental_near_dup": q_incremental_near_dup,
+    "incremental_near_dup_stream": q_incremental_near_dup_stream,
     "temperature_mixture": q_temperature_mixture,
     "event_key_skew": q_event_key_skew,
     "bm25_scores": q_bm25_scores,
