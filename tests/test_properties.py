@@ -193,3 +193,101 @@ def test_plan_shards_caps_hold_for_any_profile(spark, sizes, max_lines):
         assert r["n"] <= max_lines
         assert r["bytes"] <= max_bytes, "strict cap violated"
         assert r["hi"] - r["lo"] + 1 == r["n"]
+
+
+# -- incremental near-dup == from-scratch (new-sided restriction) ------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_doc = st.lists(_word, min_size=4, max_size=12).map(" ".join)
+_corpora = st.lists(_doc, min_size=2, max_size=14)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_corpora, new=_corpora)
+def test_incremental_probe_matches_from_scratch(spark, old, new):
+    """For ANY corpus split, probing the old corpus's band index with
+    the new batch yields exactly the from-scratch near-dup pairs over
+    the union restricted to pairs with a new side. (Caps can't fire:
+    the generated corpora are far below MAX_BUCKET.)"""
+    offset = 1000
+    old_df = spark.createDataFrame(
+        list(enumerate(old)), "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame(
+        [(offset + i, t) for i, t in enumerate(new)],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_index(old_df, "doc_id", "text")
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.incremental_near_dup_pairs(
+            index, new_df, "doc_id", "text"
+        ).collect()
+    }
+    scratch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.near_dup_pairs(
+            old_df.unionByName(new_df), "doc_id", "text"
+        ).collect()
+        if r.id_b >= offset
+    }
+    assert inc == scratch
+
+
+# -- blocked linkage == brute force within blocks ----------------------------
+
+_name = st.lists(
+    st.sampled_from(["red", "blue", "bolt", "gear", "ring", "rang"]),
+    min_size=1,
+    max_size=3,
+).map(" ".join)
+_catalog = st.lists(
+    st.tuples(_name, st.sampled_from(["B1", "B2"])),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_catalog, max_distance=st.integers(0, 4))
+def test_blocked_pairs_match_bruteforce(spark, rows, max_distance):
+    """With the cap disabled, blocked_pairs equals the brute-force
+    pair set among same-block rows at the distance threshold."""
+    from genai_batch_processor_spark.operators import linkage
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        [(i, nm, blk) for i, (nm, blk) in enumerate(rows)],
+        "k long, name string, block string",
+    )
+    got = {
+        (r.a_key, r.b_key, r.distance)
+        for r in linkage.blocked_pairs(
+            df, "k", "name", ["block"],
+            max_distance=max_distance, max_block=10_000,
+        ).collect()
+    }
+    want = {
+        (i, j, lev(na, nb))
+        for i, (na, ba) in enumerate(rows)
+        for j, (nb, bb) in enumerate(rows)
+        if i < j and ba == bb and lev(na, nb) <= max_distance
+    }
+    assert got == want
