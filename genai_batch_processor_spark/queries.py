@@ -3050,7 +3050,10 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    index = dedup.minhash_index(docs, "doc_id", "text")
+    # Persisted for the stream's lifetime: every micro-batch probes the
+    # SAME corpus index — without the persist each probe re-shingles
+    # the corpus, the exact work incrementality exists to avoid.
+    index = dedup.minhash_index(docs, "doc_id", "text").persist()
     new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"), "text"
     )
@@ -3091,6 +3094,9 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(shards, ignore_errors=True)
+        index.unpersist()
+        for extra in state["extras"]:
+            extra.unpersist()
     return spark.createDataFrame(
         state["rows"], "id_a long, id_b long, jaccard double"
     )
