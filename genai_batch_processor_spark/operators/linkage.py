@@ -88,7 +88,13 @@ def sql_blocked_pairs(
     max_block: int = MAX_BLOCK,
 ) -> str:
     """DuckDB twin of :func:`blocked_pairs` over ``table``;
-    ``block_exprs`` maps block column name → SQL expression."""
+    ``block_exprs`` maps block column name → SQL expression.
+
+    Engine boundary (pinned in tests/test_fuzz_parity.py): Spark's
+    ``levenshtein`` counts CODEPOINTS while DuckDB's counts UTF-8
+    BYTES, so this twin is exact only for ASCII names — which the
+    fixture catalog is. A non-ASCII catalog needs a byte-normalized
+    name column on both sides before the distance."""
     block_select = ", ".join(
         f"{expr} AS {name}" for name, expr in block_exprs.items()
     )

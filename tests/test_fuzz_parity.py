@@ -295,3 +295,51 @@ def test_kmv_sketch_twin_on_adversarial_strings(fuzz_data):
     s, d = rows_of(spark_df), duck_rows(con, sql)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"kmv: first mismatches {mismatches[:3]}"
+
+
+# -- levenshtein engine boundary (linkage oracle twin) -----------------------
+
+
+def test_levenshtein_twins_agree_on_ascii(spark):
+    """The linkage oracle relies on Spark and DuckDB agreeing on edit
+    distance. They DO for ASCII — fuzzed here — and they do NOT for
+    non-ASCII (next test), which is why sql_blocked_pairs documents an
+    ASCII-name contract."""
+    import duckdb
+
+    rng = random.Random(20260814)
+    alpha = string.ascii_lowercase + " -#0123456789"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        for _ in range(120)
+    ]
+    cases = [(words[i], words[-i - 1]) for i in range(60)]
+    sdf = spark.createDataFrame(cases, "a string, b string")
+    s = [
+        r.d
+        for r in sdf.select(F.levenshtein("a", "b").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    d = [
+        con.execute("SELECT levenshtein(?, ?)", list(c)).fetchone()[0]
+        for c in cases
+    ]
+    con.close()
+    assert s == d
+
+
+def test_levenshtein_engines_diverge_on_non_ascii(spark):
+    """PINNED DIVERGENCE: Spark levenshtein counts CODEPOINTS, DuckDB
+    counts UTF-8 BYTES ('café'→'cafe' is 1 vs 2). If either engine
+    changes behavior this test fails and the linkage oracle contract
+    (ASCII names only) must be revisited."""
+    import duckdb
+
+    sdf = spark.createDataFrame(
+        [("café", "cafe")], "a string, b string"
+    )
+    s = sdf.select(F.levenshtein("a", "b").alias("d")).collect()[0].d
+    con = duckdb.connect()
+    d = con.execute("SELECT levenshtein('café', 'cafe')").fetchone()[0]
+    con.close()
+    assert (s, d) == (1, 2)
