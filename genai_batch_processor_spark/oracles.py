@@ -304,6 +304,31 @@ WITH unioned AS (
 # The streamed probe must reproduce the one-shot probe exactly.
 ORACLES["incremental_near_dup_stream"] = ORACLES["incremental_near_dup"]
 
+from genai_batch_processor_spark.functions import text as _tx2
+
+ORACLES["length_buckets"] = f"""
+    WITH sized AS (
+      SELECT {_tx2.sql_token_count('text')} AS t FROM documents
+    ), th AS (
+      SELECT quantile_cont(t, 0.25) AS q1,
+             quantile_cont(t, 0.50) AS q2,
+             quantile_cont(t, 0.75) AS q3
+      FROM sized
+    ), bucketed AS (
+      SELECT t,
+             CAST(CASE WHEN t <= q1 THEN 0
+                       WHEN t <= q2 THEN 1
+                       WHEN t <= q3 THEN 2
+                       ELSE 3 END AS INT) AS bucket
+      FROM sized CROSS JOIN th
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(t) AS BIGINT) AS max_tokens,
+           CAST(max(t) * count(*) - sum(t) AS BIGINT) AS padding_tokens
+    FROM bucketed GROUP BY bucket
+"""
+
 # Dedup-method audit: SimHash pairs graded against the Jaccard-verified
 # MinHash pair set. Splices the two base CTE chains (the SimHash CTEs
 # ride in with distinct names) and compares with integer-division

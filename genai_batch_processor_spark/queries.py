@@ -3102,6 +3102,54 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-aware batch planning: bucket documents by token-count
+    quartile and report per-bucket count, max length, and padding
+    waste (sum of max − len) — the numbers that decide whether
+    length-bucketed batching pays for a serving/training run (padding
+    to a per-bucket max instead of the global max).
+
+    Engine-exact: quartile thresholds via exact F.percentile (==
+    DuckDB quantile_cont bit-for-bit), padding as max·n − Σlen in pure
+    integers — no float leaves the threshold comparison. Plan: one
+    corpus pass for lengths, a broadcast 1-row threshold aggregate,
+    one shuffle on the 4-value bucket key with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(tx.token_count("text").alias("t"))
+    thresholds = F.broadcast(
+        sized.agg(
+            F.percentile("t", 0.25).alias("q1"),
+            F.percentile("t", 0.50).alias("q2"),
+            F.percentile("t", 0.75).alias("q3"),
+        )
+    )
+    bucketed = sized.crossJoin(thresholds).select(
+        "t",
+        F.when(F.col("t") <= F.col("q1"), 0)
+        .when(F.col("t") <= F.col("q2"), 1)
+        .when(F.col("t") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("t").cast("long").alias("max_tokens"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_tokens",
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+        )
+    )
+
+
 TEMP_MIX_T = 2.0  # shared with the oracle — edit here, not there
 
 
@@ -3152,6 +3200,7 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, callable] = {
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_near_dup_stream": q_incremental_near_dup_stream,
+    "length_buckets": q_length_buckets,
     "temperature_mixture": q_temperature_mixture,
     "event_key_skew": q_event_key_skew,
     "bm25_scores": q_bm25_scores,
