@@ -302,15 +302,19 @@ def jaccard_pairs_from_hashes(
 
 def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The persistable LSH index of a corpus: one row per (band, doc)
-    carrying ``(band, key, id, hs)`` — the banded bucket relation WITH
-    the verification payload, so a later batch can both probe buckets
-    AND Jaccard-verify without ever re-reading the indexed corpus text.
-    The B× redundancy of ``hs`` is the price of single-join probing;
-    at rest, partition by ``band`` (see sources/index_store.py).
+    carrying ``(band, key, id, hs, bucket_n)`` — the banded bucket
+    relation WITH the verification payload AND its bucket's member
+    count, so a later batch can probe buckets, Jaccard-verify, and
+    apply the combined bucket-size cap without re-reading the indexed
+    corpus text OR re-counting its buckets. The B× redundancy of
+    ``hs`` is the price of single-join probing; at rest, partition by
+    ``band`` (see sources/index_store.py).
 
     At 100 TB this is the difference between re-shingling the whole
     corpus per ingest batch and an index-probe join whose left side is
-    only the new batch."""
+    only the new batch — and ``bucket_n`` is what lets the probe skip
+    the index-wide aggregation too (one groupBy at BUILD time, free at
+    every probe)."""
     hashed = df.select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     )
@@ -320,7 +324,7 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("__rec"),
         minhash_signature(F.col("__hs")).alias("__sig"),
     )
-    return (
+    base = (
         sigs.select("__rec", "__sig", _band_index(LSH_BANDS).alias("band"))
         .select(
             "band",
@@ -329,6 +333,10 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("__rec.hs").alias("hs"),
         )
     )
+    sizes = base.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_n")
+    )
+    return base.join(sizes, ["band", "key"])
 
 
 def incremental_near_dup_pairs(
@@ -345,44 +353,82 @@ def incremental_near_dup_pairs(
     text is never touched. Bucket-size caps apply to the COMBINED
     (index + batch) bucket, so results match a from-scratch run over
     the union restricted to new-sided pairs (the oracle replays exactly
-    that). Pair ids are normalized (id_a < id_b) across the old/new id
-    spaces."""
-    new_index = minhash_index(new_docs, id_col, text_col).withColumn(
-        "is_new", F.lit(True)
+    that; the equivalence is property-tested for arbitrary splits).
+
+    Probe plan — THE INDEX NEVER SHUFFLES: the new batch's band rows
+    (small by definition) broadcast against a single scan of the
+    index; the combined cap uses the index's build-time ``bucket_n``
+    plus the batch's own bucket counts, so no probe-time aggregation
+    touches the index either. New-new pairs within the batch come from
+    the batch-local grouped path, capped by the same combined size.
+    Pair ids are normalized (id_a < id_b) across the id spaces."""
+    new_index = minhash_index(new_docs, id_col, text_col)
+
+    # -- old-new: broadcast the batch into one index scan --------------
+    new_side = F.broadcast(
+        new_index.select(
+            "band",
+            "key",
+            F.col("id").alias("new_id"),
+            F.col("hs").alias("new_hs"),
+            F.col("bucket_n").alias("new_n"),
+        )
     )
-    union = index.withColumn("is_new", F.lit(False)).unionByName(new_index)
+    old_new = (
+        index.join(new_side, ["band", "key"])
+        .filter(F.col("bucket_n") + F.col("new_n") <= max_bucket)
+        .select(
+            F.least(F.col("id"), F.col("new_id")).alias("id_a"),
+            F.greatest(F.col("id"), F.col("new_id")).alias("id_b"),
+            F.round(
+                jaccard(F.col("hs"), F.col("new_hs")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+    # -- new-new: batch-local buckets, capped by the COMBINED size -----
+    # (old count for the batch's keys rides in from a semi-aggregated
+    # slice of the probe join's own inputs: keys absent → 0)
+    old_sizes = (
+        index.join(
+            F.broadcast(new_index.select("band", "key").distinct()),
+            ["band", "key"],
+            "left_semi",
+        )
+        .select("band", "key", "bucket_n")
+        .distinct()
+        .withColumnRenamed("bucket_n", "old_n")
+    )
     rec = F.struct(F.col("id"), F.col("hs"))
     grouped = (
-        union.groupBy("band", "key")
-        .agg(
-            F.sort_array(F.collect_list(rec)).alias("all_recs"),
-            # collect_list drops NULLs → only the new-batch records
-            F.sort_array(
-                F.collect_list(F.when(F.col("is_new"), rec))
-            ).alias("new_recs"),
-        )
+        new_index.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(rec)).alias("recs"))
+        .join(F.broadcast(old_sizes), ["band", "key"], "left")
+        .withColumn("old_n", F.coalesce(F.col("old_n"), F.lit(0)))
         .filter(
-            (F.size("all_recs") >= 2)
-            & (F.size("all_recs") <= max_bucket)
-            & (F.size("new_recs") >= 1)
+            (F.size("recs") >= 2)
+            & (F.size("recs") + F.col("old_n") <= max_bucket)
         )
     )
     pairs = F.flatten(
         F.transform(
-            F.col("new_recs"),
-            lambda x: F.transform(
-                F.filter(F.col("all_recs"), lambda y: y["id"] != x["id"]),
+            F.col("recs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
                 lambda y: F.struct(
-                    F.least(x["id"], y["id"]).alias("id_a"),
-                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
                     F.round(jaccard(x["hs"], y["hs"]), 6).alias("jaccard"),
                 ),
             ),
         )
     )
+    new_new = grouped.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b", "p.jaccard"
+    )
+
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.jaccard")
+        old_new.unionByName(new_new)
         .distinct()
         .filter(F.col("jaccard") >= threshold)
     )

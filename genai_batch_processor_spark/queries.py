@@ -3043,7 +3043,11 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     (probe-then-extend — so cross-micro-batch new-new near-dups are
     found when the later side arrives, each pair exactly once). The
     streamed union must equal the one-shot probe: SAME ORACLE as
-    incremental_near_dup. Per-batch pair sets are bounded (the batch
+    incremental_near_dup. Cap nuance: each probe applies the
+    bucket-size cap against its own source's recorded bucket_n (a
+    global cross-batch cap would need a stateful bucket-count store);
+    exact whenever buckets are below the cap, which the oracle gate
+    checks on the fixture. Per-batch pair sets are bounded (the batch
     side is small by definition), so the final assembly is a bounded
     driver collect, not a data-path collect."""
     import shutil

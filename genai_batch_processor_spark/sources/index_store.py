@@ -69,6 +69,7 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
             F.col("key").cast("long").alias("key"),
             F.col("id").cast("long").alias("id"),
             F.col("hs"),
+            F.col("bucket_n").cast("long").alias("bucket_n"),
         )
         .write.mode("overwrite")
         .partitionBy("band")
@@ -90,7 +91,7 @@ def load_minhash_index(spark: SparkSession, path: str) -> DataFrame:
             f"minhash index at {path} has format_version {versions}, "
             f"expected [{INDEX_FORMAT_VERSION}]"
         )
-    return idx.select("band", "key", "id", "hs")
+    return idx.select("band", "key", "id", "hs", "bucket_n")
 
 
 def load_centroids(

@@ -397,3 +397,11 @@ def test_event_key_skew_single_corpus_aggregate(spark, sf_dir):
     plan = _plan(spark, "event_key_skew", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "PythonUDF" not in plan
+
+
+def test_incremental_probe_broadcasts_the_batch(spark, sf_dir):
+    """The index-probe join must broadcast the (small) new batch —
+    never cartesian, and the probe side rides BroadcastHashJoins."""
+    plan = _plan(spark, "incremental_near_dup", sf_dir)
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # new side + old_sizes
