@@ -54,10 +54,13 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     )
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. near-dup prune: pairs → components → min-id survivors
+    # 1. near-dup prune: pairs → components → min-id survivors.
+    # Persisted: every later stage (and each returned relation a
+    # caller acts on) builds on this subtree — without the persist the
+    # MinHash pipeline re-runs per action.
     pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
     comps = dedup.connected_components(pairs)
-    deduped = dedup.dedup_survivors(docs, comps, "doc_id")
+    deduped = dedup.dedup_survivors(docs, comps, "doc_id").persist()
 
     # 2. quality gate: native exprs, no Python in the plan
     gated = deduped.withColumn(
@@ -67,31 +70,31 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
         & F.col("n_words").between(*LEN_BAND)
     )
 
-    # 3. decontaminate against a (stand-in) benchmark probe
+    # 3. decontaminate against a (stand-in) benchmark probe.
+    # Persisted: the mixture planner aggregates it and the sample
+    # filter scans it again.
     bench = docs.orderBy("doc_id").limit(5).select("text")
     hits = dedup.contamination_hits(gated, bench, "doc_id", "text")
-    clean = gated.join(hits.select("doc_id"), "doc_id", "left_anti")
+    clean = gated.join(
+        hits.select("doc_id"), "doc_id", "left_anti"
+    ).persist()
 
-    # 4. temperature mixture → ppm rates → row-local filter
-    weights = sampling.temperature_weights(
+    # 4. temperature mixture → ppm rates → row-local filter. The
+    # weights relation is |sources| rows — a PLAN, not data — so it is
+    # collected once and the per-source rates rebroadcast as literals:
+    # zero extra passes over the corpus (weights.n_docs already IS the
+    # per-source count, and n_all its sum).
+    w_rows = sampling.temperature_weights(
         clean, "source", temperature=TEMPERATURE
-    )
-    # rate: sample each source at weight_ppm relative to its share so
-    # the output mixture approaches the flattened target
-    counts = clean.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_src")
-    )
-    total = F.broadcast(clean.agg(F.count(F.lit(1)).alias("n_all")))
-    rates = (
-        weights.join(counts, "source")
-        .crossJoin(total)
-        .select(
-            "source",
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.expr("weight_ppm * n_all div n_src").cast("long"),
-            ).alias("rate_ppm"),
-        )
+    ).collect()
+    n_all = sum(r.n_docs for r in w_rows)
+    rates = spark.createDataFrame(
+        [
+            (r.source,
+             min(1_000_000, r.weight_ppm * n_all // r.n_docs))
+            for r in w_rows
+        ],
+        "source string, rate_ppm long",
     )
     mixed = clean.join(F.broadcast(rates), "source").filter(
         # hash_coord is already in [0, 1e6) — same scale as rate_ppm

@@ -361,8 +361,17 @@ def incremental_near_dup_pairs(
     plus the batch's own bucket counts, so no probe-time aggregation
     touches the index either. New-new pairs within the batch come from
     the batch-local grouped path, capped by the same combined size.
-    Pair ids are normalized (id_a < id_b) across the id spaces."""
-    new_index = minhash_index(new_docs, id_col, text_col)
+    Pair ids are normalized (id_a < id_b) across the id spaces; a
+    batch id that already exists in the index (a replay) matches only
+    OTHER docs — the probe-join self-match is filtered, preserving the
+    strict ordering the from-scratch path guarantees structurally.
+
+    The batch's band relation is persisted for the call (referenced by
+    both probe paths and small by definition); pass a PERSISTED or
+    store-loaded index for the corpus side — a live unpersisted
+    ``minhash_index(corpus)`` plan re-shingles the corpus once per
+    reference."""
+    new_index = minhash_index(new_docs, id_col, text_col).persist()
 
     # -- old-new: broadcast the batch into one index scan --------------
     new_side = F.broadcast(
@@ -377,6 +386,7 @@ def incremental_near_dup_pairs(
     old_new = (
         index.join(new_side, ["band", "key"])
         .filter(F.col("bucket_n") + F.col("new_n") <= max_bucket)
+        .filter(F.col("id") != F.col("new_id"))  # replayed-id self-match
         .select(
             F.least(F.col("id"), F.col("new_id")).alias("id_a"),
             F.greatest(F.col("id"), F.col("new_id")).alias("id_b"),

@@ -306,21 +306,34 @@ def decode_image_real(
     return df.select(id_col, data_col).mapInPandas(decode, IMAGE_FEATURES)
 
 
-# Magic-byte prefixes real decoders can actually parse.
-_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM")
-_WAV_MAGIC = (b"RIFF",)
+# Magic-byte matchers for formats the real decoders can actually
+# parse. RIFF is a container shared by WAV and WebP — the fourcc at
+# bytes 8..12 disambiguates (routing WebP bytes into wave.open, or
+# WebP images past a non-image gate, would be wrong both ways).
 
 
-def _payload_matches(
-    df: DataFrame, data_col: str, magic: tuple[bytes, ...]
-) -> bool:
+def _is_image_magic(head: bytes) -> bool:
+    return head.startswith(
+        (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM",
+         b"II*\x00", b"MM\x00*")  # TIFF, both endiannesses
+    ) or (head[:4] == b"RIFF" and head[8:12] == b"WEBP")
+
+
+def _is_wav_magic(head: bytes) -> bool:
+    return head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+
+
+def _payload_matches(df: DataFrame, data_col: str, is_magic) -> bool:
     """Driver-side 1-row probe: does the first non-null payload carry
-    one of the real-format magic prefixes? Bounded (limit rides into
-    the plan) — the same class of probe the stream source uses for its
-    schema. A relation of stub/fixture bytes routes to the stub even
-    when the real library is importable; mixed relations follow their
-    first row (callers with genuinely mixed formats pass an explicit
-    codec)."""
+    the real-format magic? Bounded (limit rides into the plan) — the
+    same class of probe the stream source uses for its schema. A
+    relation of stub/fixture bytes routes to the stub even when the
+    real library is importable. CONTRACT: the probe samples ONE row
+    with no ordering, so a relation MIXING real and fake formats must
+    pass an explicit codec (dispatch would otherwise follow whichever
+    row the scan yields first); it is also an eager driver action, so
+    streaming DataFrames must pass an explicit codec (the dispatchers
+    raise)."""
     rows = (
         df.select(data_col)
         .filter(F.col(data_col).isNotNull())
@@ -329,8 +342,7 @@ def _payload_matches(
     )
     if not rows or rows[0][0] is None:
         return False
-    head = bytes(rows[0][0])[:8]
-    return any(head.startswith(m) for m in magic)
+    return is_magic(bytes(rows[0][0])[:16])
 
 
 def decode_image(
@@ -340,15 +352,21 @@ def decode_image(
     codec: str = "auto",
 ) -> DataFrame:
     """Image decode dispatcher: ``auto`` uses Pillow when it is
-    importable AND the payloads carry a real image magic prefix
-    (PNG/JPEG/GIF/BMP — fixture fake bytes would crash a real
-    decoder); otherwise the deterministic stub. ``real``/``stub``
-    force a path."""
+    importable AND the payloads carry a real image magic
+    (PNG/JPEG/GIF/BMP/TIFF/WebP — fixture fake bytes would crash a
+    real decoder); otherwise the deterministic stub. ``real``/``stub``
+    force a path; see _payload_matches for auto's mixed-format and
+    streaming contract."""
     if codec == "auto":
+        if df.isStreaming:
+            raise ValueError(
+                "codec='auto' probes a payload row, which a streaming "
+                "DataFrame cannot serve — pass codec='real' or 'stub'"
+            )
         codec = (
             "real"
             if codec_support()["image"]
-            and _payload_matches(df, data_col, _IMAGE_MAGIC)
+            and _payload_matches(df, data_col, _is_image_magic)
             else "stub"
         )
     if codec == "stub":
@@ -429,13 +447,20 @@ def window_audio(
     codec: str = "auto",
 ) -> DataFrame:
     """Audio windowing dispatcher. ``auto`` takes the real WAV path
-    only when the payloads actually carry the RIFF magic (stdlib wave
-    always imports, but fixture fake bytes would crash the parser);
-    anything else routes to the deterministic stub."""
+    only when the payloads actually carry the RIFF/WAVE magic (stdlib
+    wave always imports, but fixture fake bytes — or a WebP, which is
+    also RIFF — would crash the parser); anything else routes to the
+    deterministic stub. See _payload_matches for auto's mixed-format
+    and streaming contract."""
     if codec == "auto":
+        if df.isStreaming:
+            raise ValueError(
+                "codec='auto' probes a payload row, which a streaming "
+                "DataFrame cannot serve — pass codec='real' or 'stub'"
+            )
         codec = (
             "real"
-            if _payload_matches(df, data_col, _WAV_MAGIC)
+            if _payload_matches(df, data_col, _is_wav_magic)
             else "stub"
         )
     if codec == "stub":

@@ -62,6 +62,14 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
     partitioned by band (probe joins shuffle on (band, key), so at-rest
     band partitioning lets a probe read only matching bands). This IS
     data-sized (corpus × B rows) — sharded write, never coalesced."""
+    id_type = dict(index.dtypes).get("id")
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # cast('long') would silently NULL every non-numeric id and
+        # the corrupt index would pass the version guard — refuse
+        raise ValueError(
+            f"minhash index id column must be integral, got {id_type}; "
+            "re-key string ids (e.g. assign_ids) before persisting"
+        )
     (
         index.select(
             F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
@@ -79,12 +87,14 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
 
 def load_minhash_index(spark: SparkSession, path: str) -> DataFrame:
     """Reload a persisted MinHash band index with the same version
-    guard as the centroid store (the check reads one row, not the
-    index: format_version is constant per write)."""
+    guard as the centroid store. The distinct runs BEFORE the limit so
+    a mixed-version directory (e.g. a partial overwrite leaving old
+    files beside new) cannot hide behind two same-version sample rows;
+    the scan reads one small column, not the payload."""
     idx = spark.read.parquet(path)
     versions = [
         r["format_version"]
-        for r in idx.select("format_version").limit(2).distinct().collect()
+        for r in idx.select("format_version").distinct().limit(3).collect()
     ]
     if versions != [INDEX_FORMAT_VERSION]:
         raise ValueError(

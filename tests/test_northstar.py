@@ -462,3 +462,37 @@ def test_minhash_index_version_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="format_version"):
         index_store.load_minhash_index(spark, str(tmp_path / "mh_bad2"))
+
+
+def test_incremental_probe_filters_replayed_id_self_match(spark):
+    """A batch doc whose id ALREADY EXISTS in the index (replay) must
+    pair with other docs but never with itself (round-4 review: the
+    probe join would otherwise emit id_a == id_b rows)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(5, text), (6, text)], "doc_id long, text string"
+    )
+    index = dedup.minhash_index(corpus, "doc_id", "text")
+    replay = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_near_dup_pairs(
+            index, replay, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {(5, 6)}
+
+
+def test_minhash_index_save_refuses_string_ids(spark, tmp_path):
+    """cast('long') on a string id would silently NULL every id —
+    the store must refuse instead."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    df = spark.createDataFrame(
+        [("doc-a", "a b c d e")], "doc_id string, text string"
+    )
+    index = dedup.minhash_index(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="integral"):
+        index_store.save_minhash_index(index, str(tmp_path / "bad"))
