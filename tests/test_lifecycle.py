@@ -712,3 +712,50 @@ def test_pipeline_run_exposes_submit_metrics(spark, sf_dir, tmp_path):
     pipe2.run(docs, poll_interval_seconds=0.01)
     assert pipe2.last_metrics["n_submitted"] == 60
     assert pipe2.last_metrics["n_input_rows"] is None
+
+
+def test_takedown_reaches_persisted_dedup_index(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten must reach DERIVED artifacts, not just the
+    corpus: erase doc ids from the persisted MinHash band index with
+    the same partitioned-delete machinery (band = the partition
+    column), then verify a probe for the erased content no longer
+    pairs with the removed ids."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import index_store
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.sources.upsert import (
+        delete_keys_partitioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    path = str(tmp_path / "mh_index")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), path
+    )
+
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(9_000_000, victim.text)], "doc_id long, text string"
+    )
+
+    before = dedup.incremental_near_dup_pairs(
+        index_store.load_minhash_index(spark, path),
+        probe, "doc_id", "text",
+    )
+    assert before.filter(F.col("id_a") == victim.doc_id).count() > 0
+
+    touched = delete_keys_partitioned(
+        spark, path,
+        spark.createDataFrame([(victim.doc_id,)], "id long"),
+        "id", "band",
+    )
+    assert touched  # the id lived in every band it was hashed into
+
+    reloaded = index_store.load_minhash_index(spark, path)
+    assert reloaded.filter(F.col("id") == victim.doc_id).count() == 0
+    after = dedup.incremental_near_dup_pairs(
+        reloaded, probe, "doc_id", "text"
+    )
+    assert after.filter(F.col("id_a") == victim.doc_id).count() == 0
