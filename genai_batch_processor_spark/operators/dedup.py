@@ -333,10 +333,18 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("__rec.hs").alias("hs"),
         )
     )
-    sizes = base.groupBy("band", "key").agg(
-        F.count(F.lit(1)).cast("long").alias("bucket_n")
+    # window count, not groupBy+join-back: the join would evaluate the
+    # md5-heavy base pipeline twice (once for the sizes aggregate, once
+    # for the join's left side); the window shuffles once on (band,key)
+    # and counts in place.
+    from pyspark.sql.window import Window as _W
+
+    return base.withColumn(
+        "bucket_n",
+        F.count(F.lit(1))
+        .over(_W.partitionBy("band", "key"))
+        .cast("long"),
     )
-    return base.join(sizes, ["band", "key"])
 
 
 def incremental_near_dup_pairs(
