@@ -269,12 +269,42 @@ ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
     WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
 """
 
+from genai_batch_processor_spark import queries as _qinc
+
+ORACLES["vocab_oov_rate"] = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, term FROM terms
+      WHERE regexp_matches(term, '^[a-z]+$')
+    ), vocab AS (
+      SELECT term FROM filtered GROUP BY term
+      ORDER BY count(*) DESC, term ASC LIMIT {_qinc.VOCAB_TOP_K}
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT)
+             AS n_oov,
+           CAST(count(*) FILTER (WHERE v.term IS NULL) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM filtered f LEFT JOIN vocab v ON f.term = v.term
+    GROUP BY f.doc_id
+"""
+
+ORACLES["dedup_cluster_stats"] = _COMPONENTS_BASE + """
+    , sizes AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component_id
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+"""
+
 # Incremental near-dup: from-scratch MinHash over (corpus ∪ re-keyed
 # new batch), restricted to pairs with a new side (id_b lands in the
 # offset id space for any such pair since id_a < id_b) — the relation
 # the index-probe path must reproduce exactly.
-from genai_batch_processor_spark import queries as _qinc
-
 ORACLES["incremental_near_dup"] = (
     f"""
 WITH unioned AS (

@@ -3013,6 +3013,57 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 50  # "known" vocabulary size; shared with the oracle
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-K term vocabulary — the curation signal that flags documents
+    full of junk tokens a fixed tokenizer vocab won't cover. The vocab
+    is a TakeOrdered over the aggregated term counts (broadcast-sized
+    at any corpus scale); OOV counting is a broadcast anti-semi via
+    left join null-check, all integer — oov_ppm = oov*1e6 div n."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tx.words(F.lower("text"))).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+    vocab = F.broadcast(
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_TOP_K)
+        .select("term", F.lit(True).alias("known"))
+    )
+    marked = terms.join(vocab, "term", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(
+            F.when(F.col("known").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    ).select(
+        "doc_id",
+        "n_terms",
+        "n_oov",
+        F.expr("n_oov * 1000000 div n_terms").alias("oov_ppm"),
+    )
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup components — the summary
+    an operator reads before pulling the dedup trigger (how much of
+    the corpus is duplicated, and in what clump sizes). Reuses the
+    shared persisted pair stage; everything after the component
+    aggregate runs on the |clusters| relation."""
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 # New-batch id space; shared with the oracle. Far above any fixture's
 # doc_id range — an overlap would collide the re-keyed batch with real
 # ids and silently misclassify pairs on both engines.
@@ -3225,6 +3276,8 @@ QUERIES: dict[str, callable] = {
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_near_dup_stream": q_incremental_near_dup_stream,
     "length_buckets": q_length_buckets,
+    "vocab_oov_rate": q_vocab_oov_rate,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
     "temperature_mixture": q_temperature_mixture,
     "event_key_skew": q_event_key_skew,
     "bm25_scores": q_bm25_scores,
