@@ -214,6 +214,15 @@ def run_job(
     if states != {"completed"}:
         job.state = "failed"
         job.save(manifest_dir)
+        # Salvage diagnostics before raising: a failed batch usually
+        # carries a provider error file (the reference reads it even
+        # when status != completed, oai:221-224 — its one behavior the
+        # fail-loudly contract here was losing). Strictly best-effort:
+        # a salvage failure must never mask the real error.
+        try:
+            _fetch_results(backend, job)
+        except Exception:  # noqa: BLE001 — deliberate: salvage only
+            pass
         raise RuntimeError(f"{job.job_id}: terminal states {states}")
     # fetch BEFORE marking completed: a crash mid-download leaves the
     # manifest resumable (resume_job re-polls — instant, already
@@ -301,6 +310,10 @@ def resume_job(
     if states != {"completed"}:
         job.state = "failed"
         job.save(manifest_dir)
+        try:  # salvage provider error files — see run_job
+            _fetch_results(backend, job)
+        except Exception:  # noqa: BLE001 — deliberate: salvage only
+            pass
         raise RuntimeError(f"{job_id}: terminal states {states}")
     _fetch_results(backend, job)
     job.state = "completed"

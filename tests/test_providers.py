@@ -754,3 +754,41 @@ def test_run_job_end_to_end_through_a_storm_of_transient_failures(tmp_path):
         state[k] == 0
         for k in ("upload_fails", "create_429s", "poll_resets", "dl_fails")
     )
+
+
+def test_failed_batch_salvages_error_file_before_raising(tmp_path):
+    """A failed batch still carries a provider error file; run_job must
+    download it for diagnostics BEFORE raising (the reference reads the
+    error file even when status != completed — the one behavior the
+    fail-loudly contract was losing)."""
+    err_lines = b'{"custom_id": "request-0", "error": {"code": "boom"}}\n'
+
+    def handler(method, url, body):
+        url = url.split("?")[0]
+        if url.endswith("/files") and method == "POST":
+            return 200, {"id": "file-1"}
+        if url.endswith("/batches") and method == "POST":
+            return 200, {"id": "batch-1", "status": "validating"}
+        if url.endswith("/batches/batch-1"):
+            return 200, {
+                "id": "batch-1",
+                "status": "failed",
+                "error_file_id": "f-err",
+            }
+        if url.endswith("/files/f-err/content"):
+            return 200, err_lines
+        raise AssertionError(url)
+
+    b = OpenAIBatchBackend("sk-test", transport=FakeTransport(handler))
+    out = str(tmp_path / "results")
+    with pytest.raises(RuntimeError, match="failed"):
+        orchestrator.run_job(
+            b,
+            input_path=_shard_dir(tmp_path, n=1),
+            output_path=out,
+            manifest_dir=str(tmp_path / "manifests"),
+            poll_interval_seconds=0.01,
+        )
+    salvaged = os.path.join(out, "batch-1.errors.jsonl")
+    assert os.path.exists(salvaged)
+    assert open(salvaged, "rb").read() == err_lines
