@@ -596,3 +596,9 @@ class VertexBatchBackend:
         """batchPredictionJobs.cancel — ``batch_id`` is the full
         resource name, the public wire appends ``:cancel``."""
         self._call("POST", f"{batch_id}:cancel", {})
+
+    def delete(self, batch_id: str) -> None:
+        """batchPredictionJobs.delete — the resource-GC step the
+        reference's cleanup performs (``vtx:334-338``); idempotent
+        retry-wise (deleting an absent job 404s, which surfaces)."""
+        self._call("DELETE", batch_id)

@@ -273,6 +273,7 @@ def test_golden_vertex_poll_cancel():
         (200, {"name": job, "state": "JOB_STATE_RUNNING"}),
         (200, {"name": job, "state": "JOB_STATE_SUCCEEDED"}),
         (200, {}),
+        (200, {}),
     ]
     t = GoldenTransport(responses)
     b = VertexBatchBackend(
@@ -284,4 +285,5 @@ def test_golden_vertex_poll_cancel():
     assert b.status(job) == "in_progress"
     assert b.status(job) == "completed"
     b.cancel(job)
+    b.delete(job)
     _check("vertex_poll_cancel", t, responses)
