@@ -343,3 +343,35 @@ def test_levenshtein_engines_diverge_on_non_ascii(spark):
     d = con.execute("SELECT levenshtein('café', 'cafe')").fetchone()[0]
     con.close()
     assert (s, d) == (1, 2)
+
+
+def test_sqrt_power_twins_agree_for_temperature_weights(spark):
+    """temperature_weights rounds power(n, 1/T)*scale to integers; the
+    Spark and DuckDB float results must round identically across count
+    magnitudes (fuzzed 1..1e12 with awkward near-half-integer cases)."""
+    import duckdb
+
+    rng = random.Random(20260815)
+    ns = (
+        [1, 2, 3, 10, 99, 10**6, 10**9, 10**12]
+        + [rng.randint(1, 10**12) for _ in range(200)]
+    )
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    s = [
+        r.w
+        for r in sdf.select(
+            F.round(F.pow(F.col("n").cast("double"), 0.5) * 1000)
+            .cast("long")
+            .alias("w")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    d = [
+        con.execute(
+            "SELECT CAST(round(power(?::DOUBLE, 0.5) * 1000) AS BIGINT)",
+            [n],
+        ).fetchone()[0]
+        for n in ns
+    ]
+    con.close()
+    assert s == d

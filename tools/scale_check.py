@@ -53,7 +53,9 @@ KEY_OFFSETS = {
 }
 SMALL = ["region", "nation"]  # fixed-cardinality dims: copy once
 
-# The 10 most expensive queries from the idle round-4 bench run.
+# The most expensive queries from the idle round-4 bench run, plus
+# the round's new families (incremental probe, BM25, linkage,
+# method-agreement audit) whose scale behavior is worth pinning.
 TOP = [
     "embedding_ann_recall",
     "ngram_jaccard",
@@ -65,6 +67,11 @@ TOP = [
     "price_bracket_join",
     "user_stats_stream",
     "embedding_dedup_survivors",
+    "incremental_near_dup",
+    "bm25_scores",
+    "part_match_candidates",
+    "near_dup_method_agreement",
+    "vocab_oov_rate",
 ]
 
 
