@@ -62,7 +62,14 @@ def plan_info(df) -> dict | None:
     regression (lost broadcast, new single-partition exchange) shows up
     in the round-over-round BENCH diff, not just in wall time. ExprIds,
     codegen ids, plan ids and temp paths are stripped before hashing —
-    they vary per session while the plan shape does not."""
+    they vary per session while the plan shape does not.
+
+    CAVEAT for diff readers: queries that consume a session-cached
+    shared stage (the MinHash pair family, the trained-centroid and
+    corpus-index caches) digest an InMemoryRelation once the cache is
+    warm, so their digests depend on RUN ORDER within the bench
+    session — a changed digest for those queries is only a regression
+    if the plan SHAPE counters moved with it."""
     try:
         jvm = df.sparkSession._jvm
         s = df._jdf.queryExecution().explainString(

@@ -83,17 +83,20 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     # weights relation is |sources| rows — a PLAN, not data — so it is
     # collected once and the per-source rates rebroadcast as literals:
     # zero extra passes over the corpus (weights.n_docs already IS the
-    # per-source count, and n_all its sum).
+    # per-source count, and n_all its sum). A filter can only
+    # DOWNSAMPLE, so raw rates are renormalized by the max — the most
+    # up-weighted source keeps 100% of its rows and every other source
+    # scales relative to it, preserving the target PROPORTIONS on
+    # skewed corpora (a plain clamp at 1e6 would flatten exactly the
+    # tail sources temperature sampling exists to up-weight).
     w_rows = sampling.temperature_weights(
         clean, "source", temperature=TEMPERATURE
     ).collect()
     n_all = sum(r.n_docs for r in w_rows)
+    raw = {r.source: r.weight_ppm * n_all // r.n_docs for r in w_rows}
+    top = max(raw.values())
     rates = spark.createDataFrame(
-        [
-            (r.source,
-             min(1_000_000, r.weight_ppm * n_all // r.n_docs))
-            for r in w_rows
-        ],
+        [(s, v * 1_000_000 // top) for s, v in raw.items()],
         "source string, rate_ppm long",
     )
     mixed = clean.join(F.broadcast(rates), "source").filter(

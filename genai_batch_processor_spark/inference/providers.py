@@ -156,6 +156,8 @@ def _send_with_retries(
     was created) and ``retry_network=False`` (a connection that died
     mid-flight leaves the create ambiguous — surface, don't duplicate).
     """
+    import http.client
+
     statuses = policy.RETRYABLE if retry_statuses is None else retry_statuses
     attempt = 0
     while True:
@@ -163,7 +165,11 @@ def _send_with_retries(
         last = attempt + 1 >= policy.max_attempts
         try:
             out = transport.request(method, url, headers, body)
-        except OSError as e:
+        # OSError covers URLError/timeouts/resets; HTTPException covers
+        # protocol-level failures urllib surfaces from the BODY read
+        # (IncompleteRead, BadStatusLine) — both are transient network
+        # classes and both must hit the retry budget, not escape raw.
+        except (OSError, http.client.HTTPException) as e:
             if not retry_network or last:
                 raise TransportError(
                     f"{method} {url.split('?')[0]} failed after "
@@ -513,6 +519,7 @@ class VertexBatchBackend:
         *,
         retry_statuses: frozenset[int] | None = None,
         retry_network: bool = True,
+        accept_statuses: frozenset[int] = frozenset(),
     ) -> dict:
         body = json.dumps(payload).encode() if payload is not None else None
 
@@ -533,6 +540,8 @@ class VertexBatchBackend:
             retry_statuses=retry_statuses,
             retry_network=retry_network,
         )
+        if status in accept_statuses:
+            return {}
         if status == 400:
             raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
         if not 200 <= status < 300:
@@ -599,6 +608,8 @@ class VertexBatchBackend:
 
     def delete(self, batch_id: str) -> None:
         """batchPredictionJobs.delete — the resource-GC step the
-        reference's cleanup performs (``vtx:334-338``); idempotent
-        retry-wise (deleting an absent job 404s, which surfaces)."""
-        self._call("DELETE", batch_id)
+        reference's cleanup performs (``vtx:334-338``). Deletion is
+        target-state idempotent: a 404 counts as success, because a
+        retry after a lost success response (the delete landed, the
+        reply didn't) must not report a completed cleanup as failed."""
+        self._call("DELETE", batch_id, accept_statuses=frozenset({404}))

@@ -337,9 +337,21 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # md5-heavy base pipeline twice (once for the sizes aggregate, once
     # for the join's left side); the window shuffles once on (band,key)
     # and counts in place.
+    return with_bucket_counts(base)
+
+
+def with_bucket_counts(base: DataFrame) -> DataFrame:
+    """Attach/refresh ``bucket_n`` on a ``(band, key, id, hs)``
+    relation via a window count (one shuffle, single evaluation).
+
+    Also the REPAIR step after deleting rows from a persisted index
+    (takedowns via the partitioned delete): the denormalized
+    ``bucket_n`` on surviving rows still counts the removed members,
+    which over-applies the combined bucket cap at probe time — refresh
+    and rewrite after erasures."""
     from pyspark.sql.window import Window as _W
 
-    return base.withColumn(
+    return base.drop("bucket_n").withColumn(
         "bucket_n",
         F.count(F.lit(1))
         .over(_W.partitionBy("band", "key"))
@@ -354,6 +366,7 @@ def incremental_near_dup_pairs(
     text_col: str,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT, probing a
     prebuilt :func:`minhash_index` — old-old pairs are never generated
@@ -374,12 +387,22 @@ def incremental_near_dup_pairs(
     OTHER docs — the probe-join self-match is filtered, preserving the
     strict ordering the from-scratch path guarantees structurally.
 
-    The batch's band relation is persisted for the call (referenced by
-    both probe paths and small by definition); pass a PERSISTED or
-    store-loaded index for the corpus side — a live unpersisted
+    The batch's band relation is referenced by both probe paths, so it
+    must be materialized once: pass ``batch_index`` (a prebuilt,
+    caller-persisted ``minhash_index(new_docs)``) when the caller
+    manages lifecycles — e.g. a streaming ingest loop that keeps batch
+    indexes as probe extras and unpersists them on completion — else
+    the function persists one internally per call (bounded by the
+    batch size, but a long-running loop should prefer ``batch_index``
+    to avoid accumulating session cache entries). Pass a PERSISTED or
+    store-loaded index for the corpus side too — a live unpersisted
     ``minhash_index(corpus)`` plan re-shingles the corpus once per
     reference."""
-    new_index = minhash_index(new_docs, id_col, text_col).persist()
+    new_index = (
+        batch_index
+        if batch_index is not None
+        else minhash_index(new_docs, id_col, text_col).persist()
+    )
 
     # -- old-new: broadcast the batch into one index scan --------------
     new_side = F.broadcast(

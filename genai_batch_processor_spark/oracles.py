@@ -403,8 +403,12 @@ ORACLES["near_dup_method_agreement"] = (
     SELECT CAST(n_truth AS BIGINT) AS n_truth,
            CAST(n_simhash AS BIGINT) AS n_simhash,
            CAST(n_both AS BIGINT) AS n_both,
-           CAST(n_both * 1000 // n_simhash AS BIGINT) AS precision_milli,
-           CAST(n_both * 1000 // n_truth AS BIGINT) AS recall_milli
+           CAST(CASE WHEN n_simhash > 0
+                     THEN n_both * 1000 // n_simhash END AS BIGINT)
+             AS precision_milli,
+           CAST(CASE WHEN n_truth > 0
+                     THEN n_both * 1000 // n_truth END AS BIGINT)
+             AS recall_milli
     FROM nt, ns, nb
 """
 )

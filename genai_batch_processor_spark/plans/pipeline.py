@@ -188,21 +188,15 @@ class BatchPipeline:
             if dedupe_prompts:
                 keyed = with_req.withColumn("__pkey", self._dedup_key())
                 groups = batching.prompt_groups(keyed, "__pkey", "idx")
-                # Inner join on (key, rep_idx) selects exactly the
-                # representative rows (same set as a left-semi) while
-                # carrying each group's multiplicity, so n_input_rows is
-                # observed during the write action — no separate agg job
-                # re-running build_requests + the groupBy (round-3
-                # ADVICE: the class promises write-time telemetry).
+                # Representatives carry each group's multiplicity so
+                # n_input_rows is observed during the write action — no
+                # separate agg job re-running build_requests + the
+                # groupBy (round-3 ADVICE: the class promises
+                # write-time telemetry).
                 n_obs = Observation(f"dedupe-{uuid.uuid4().hex[:6]}")
-                submit_set = keyed.join(
-                    groups.select(
-                        "__pkey",
-                        F.col("rep_idx").alias("idx"),
-                        "n_rows",
-                    ),
-                    ["__pkey", "idx"],
-                    "inner",
+                submit_set = batching.representatives(
+                    keyed, "__pkey", "idx",
+                    groups=groups, carry=("n_rows",),
                 ).observe(
                     n_obs,
                     F.sum("n_rows").cast("long").alias("n_input_rows"),

@@ -3004,12 +3004,22 @@ def q_near_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # NULL ratios when a pair set is empty — Spark's div would return
+    # NULL but DuckDB's // raises, so the guard must be explicit and
+    # mirrored (an empty SimHash sweep is a real outcome on a corpus
+    # with no near-dups).
     return counts.select(
         "n_truth",
         "n_simhash",
         "n_both",
-        F.expr("n_both * 1000 div n_simhash").alias("precision_milli"),
-        F.expr("n_both * 1000 div n_truth").alias("recall_milli"),
+        F.when(
+            F.col("n_simhash") > 0,
+            F.expr("n_both * 1000 div n_simhash"),
+        ).alias("precision_milli"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr("n_both * 1000 div n_truth"),
+        ).alias("recall_milli"),
     )
 
 
@@ -3148,14 +3158,17 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             probe = index
             for extra in state["extras"]:
                 probe = probe.unionByName(extra)
-            pairs = dedup.incremental_near_dup_pairs(
-                probe, batch_df, "doc_id", "text"
-            )
-            state["rows"].extend(pairs.collect())
+            # One band relation per batch, built once: it is this
+            # epoch's probe batch AND the next epochs' probe extra
+            # (caller-managed lifecycle — released in the finally).
             extra = dedup.minhash_index(
                 batch_df, "doc_id", "text"
             ).persist()
             extra.count()  # materialize before the micro-batch ends
+            pairs = dedup.incremental_near_dup_pairs(
+                probe, batch_df, "doc_id", "text", batch_index=extra
+            )
+            state["rows"].extend(pairs.collect())
             state["extras"].append(extra)
 
         (

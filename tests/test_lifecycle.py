@@ -759,3 +759,22 @@ def test_takedown_reaches_persisted_dedup_index(spark, sf_dir, tmp_path):
         reloaded, probe, "doc_id", "text"
     )
     assert after.filter(F.col("id_a") == victim.doc_id).count() == 0
+
+    # the denormalized bucket_n still counts the erased member on
+    # surviving rows (over-applies the combined cap at probe time);
+    # the refresh + rewrite-to-fresh-dir repairs it
+    def _mismatched(idx):
+        return (
+            idx.groupBy("band", "key", "bucket_n")
+            .agg(F.count(F.lit(1)).alias("actual"))
+            .filter(F.col("bucket_n") != F.col("actual"))
+            .count()
+        )
+
+    assert _mismatched(reloaded) > 0  # staleness is real pre-refresh
+    repaired_path = str(tmp_path / "mh_index_repaired")
+    index_store.save_minhash_index(
+        dedup.with_bucket_counts(reloaded), repaired_path
+    )
+    repaired = index_store.load_minhash_index(spark, repaired_path)
+    assert _mismatched(repaired) == 0

@@ -82,7 +82,12 @@ def build(spark, factor: int, out_dir: str) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, keys in KEY_OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        offsets = {k: 10 ** 12 for k in keys}  # clear of any real id
+        # Clear of any real id AND not a multiple of the probe query's
+        # INC_DEDUP_OFFSET (1e12): replica ids k*7e12 can never collide
+        # with re-keyed probe ids (replica_id + 1e12), which would make
+        # the scaled incremental_near_dup structurally different from
+        # the sf0.1 run it is compared against.
+        offsets = {k: 7 * 10 ** 12 for k in keys}
         reps = []
         for k in range(factor):
             rep = df
