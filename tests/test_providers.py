@@ -792,3 +792,31 @@ def test_failed_batch_salvages_error_file_before_raising(tmp_path):
     salvaged = os.path.join(out, "batch-1.errors.jsonl")
     assert os.path.exists(salvaged)
     assert open(salvaged, "rb").read() == err_lines
+
+
+def test_protocol_exceptions_from_body_reads_are_retried(tmp_path):
+    """http.client.HTTPException (IncompleteRead, BadStatusLine) is not
+    an OSError — it must still hit the retry budget, not escape raw
+    (round-4 high-effort review finding)."""
+    import http.client
+
+    t = FlakyTransport(
+        lambda m, u, bd: (200, {"id": "batch-1", "status": "completed"}),
+        n_failures=2,
+        failure=http.client.IncompleteRead(b"partial"),
+    )
+    b = OpenAIBatchBackend(
+        "sk-test", transport=t, retry_policy=_fast_policy()
+    )
+    assert b.status("batch-1") == "completed"
+    assert len(t.calls) == 3
+
+
+def test_vertex_delete_treats_404_as_success():
+    t = FakeTransport(lambda m, u, bd: (404, b"not found"))
+    b = VertexBatchBackend(
+        "p1", "publishers/google/models/gemini-pro",
+        lambda: "tok", transport=t, retry_policy=_fast_policy(),
+    )
+    b.delete("projects/p/locations/l/batchPredictionJobs/9")  # no raise
+    assert t.paths()[0][0] == "DELETE"
