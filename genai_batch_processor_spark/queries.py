@@ -58,6 +58,25 @@ def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_COMPONENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted label-propagation clustering per (session,
+    sf_dir), shared by dedup_components, dedup_survivors, and
+    dedup_cluster_stats — three queries otherwise re-running the same
+    iterative CC over the shared pair stage. (dedup_components_star
+    deliberately stays separate: it exists to prove the alternative
+    algorithm produces identical labels.)"""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _COMPONENTS_CACHE.get(key)
+    if df is None:
+        pairs = _near_dup_pairs_shared(spark, sf_dir)
+        df = dedup.connected_components(pairs).persist()
+        _COMPONENTS_CACHE[key] = df
+    return df
+
+
 _SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -349,9 +368,9 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the verified
     MinHash-LSH pair graph (iterative min-label propagation; DuckDB twin
-    is a recursive-CTE transitive closure)."""
-    pairs = _near_dup_pairs_shared(spark, sf_dir)
-    return dedup.connected_components(pairs)
+    is a recursive-CTE transitive closure). Shared persisted stage —
+    see _components_shared."""
+    return _components_shared(spark, sf_dir)
 
 
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,8 +387,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup: one survivor (min id) per near-dup component,
     singletons kept."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _near_dup_pairs_shared(spark, sf_dir)
-    comps = dedup.connected_components(pairs)
+    comps = _components_shared(spark, sf_dir)
     return dedup.dedup_survivors(docs, comps, "doc_id").select(
         "doc_id", "lang", "source"
     )
@@ -3062,10 +3080,9 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup components — the summary
     an operator reads before pulling the dedup trigger (how much of
     the corpus is duplicated, and in what clump sizes). Reuses the
-    shared persisted pair stage; everything after the component
-    aggregate runs on the |clusters| relation."""
-    pairs = _near_dup_pairs_shared(spark, sf_dir)
-    comps = dedup.connected_components(pairs)
+    shared persisted clustering (_components_shared); everything
+    after the component aggregate runs on the |clusters| relation."""
+    comps = _components_shared(spark, sf_dir)
     sizes = comps.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
