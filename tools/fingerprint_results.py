@@ -1,0 +1,65 @@
+"""Result-fingerprint manifest: one value hash per query at a fixed
+scale factor, committed as RESULTS_FINGERPRINT.json.
+
+Per-round oracle parity proves Spark == DuckDB *within* a round; this
+manifest proves results are stable *across* rounds and refactors — any
+engine change that silently alters a query's output shows up as a
+fingerprint diff in review, even if both engines drifted together
+(e.g. a constant tuned on one side and mirrored on the other).
+
+Hashing matches the driver's compare: columns sorted by name, rows
+sorted by their repr tuple, sha256 over the joined reprs.
+
+Usage: python tools/fingerprint_results.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from genai_batch_processor_spark.session import get_spark
+
+
+def fingerprint(df) -> dict:
+    cols = df.columns
+    idx = [cols.index(c) for c in sorted(cols)]
+    rows = sorted(
+        tuple(repr(r[i]) for i in idx) for r in df.collect()
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return {
+        "rows": len(rows),
+        "schema": [f"{c}:{t}" for c, t in sorted(df.dtypes)],
+        "sha256": h.hexdigest()[:24],
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "RESULTS_FINGERPRINT.json"
+    spark = get_spark("fingerprint")
+    manifest: dict = {"sf_dir": sf_dir, "queries": {}}
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            manifest["queries"][name] = fingerprint(fn(spark, sf_dir))
+        except Exception as e:  # record, don't abort the sweep
+            manifest["queries"][name] = {"error": f"{type(e).__name__}: {e}"}
+        print(name, manifest["queries"][name], file=sys.stderr)
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
+    n_err = sum(1 for v in manifest["queries"].values() if "error" in v)
+    print(json.dumps({"queries": len(manifest["queries"]), "errors": n_err}))
+
+
+if __name__ == "__main__":
+    main()
