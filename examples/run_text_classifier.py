@@ -45,7 +45,8 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     # have been consumed — they read from the pipeline's work_dir.
     pipe = OpenAIBatchPipeline(spark)
     results, errors = pipe.run(
-        docs, labels=LABELS, poll_interval_seconds=0.01
+        docs, labels=LABELS, temperature=0.1,  # ex-cls:59-60 budget
+        poll_interval_seconds=0.01,
     )
     answered = results.select(
         "doc_id",

@@ -48,8 +48,8 @@ class VisualExamPipeline(OpenAIBatchPipeline):
             ),
         )
         return requests.build_openai_requests(
-            df, id_col="idx", user_content=content, max_tokens=50
-        )
+            df, id_col="idx", user_content=content, max_tokens=100
+        )  # ex-vis:113 budget (max_completion_tokens=100)
 
 
 def main(spark: SparkSession | None = None, sf_dir: str | None = None):
