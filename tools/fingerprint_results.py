@@ -24,13 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from genai_batch_processor_spark.session import get_spark
+from tools.check_parity import norm_val  # ONE normalization definition
 
 
 def fingerprint(df) -> dict:
     cols = df.columns
     idx = [cols.index(c) for c in sorted(cols)]
+    # norm_val mirrors the parity gate (floats to 6 dp, NaN sentinel):
+    # a 7th-decimal float wobble must not raise a drift alarm the
+    # oracle compare itself would ignore.
     rows = sorted(
-        tuple(repr(r[i]) for i in idx) for r in df.collect()
+        tuple(repr(norm_val(r[i])) for i in idx) for r in df.collect()
     )
     h = hashlib.sha256()
     for r in rows:
@@ -51,14 +55,18 @@ def main() -> None:
     for name, fn in sorted(entrymod.queries().items()):
         try:
             manifest["queries"][name] = fingerprint(fn(spark, sf_dir))
-        except Exception as e:  # record, don't abort the sweep
-            manifest["queries"][name] = {"error": f"{type(e).__name__}: {e}"}
+        except Exception as e:  # record TYPE only — messages carry
+            # nondeterministic paths/ports/object-ids that would make
+            # the manifest itself unstable exactly when it matters
+            manifest["queries"][name] = {"error": type(e).__name__}
         print(name, manifest["queries"][name], file=sys.stderr)
     with open(out, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.write("\n")
     n_err = sum(1 for v in manifest["queries"].values() if "error" in v)
     print(json.dumps({"queries": len(manifest["queries"]), "errors": n_err}))
+    if n_err:  # a failed sweep must not look like a clean regeneration
+        sys.exit(1)
 
 
 if __name__ == "__main__":
