@@ -414,3 +414,22 @@ def test_stream_inference_equals_one_shot_run(spark, sf_dir, tmp_path):
     # errors are also only key-dependent
     n_err_stream = spark.read.parquet(os.path.join(out, "errors")).count()
     assert n_err_stream == errors.count()
+
+
+def test_streaming_incremental_dedup_equals_one_shot(spark):
+    """The micro-batched index probe must reproduce the one-shot probe
+    exactly — also oracle-gated, but locked here so a streaming
+    refactor can't drift while the sampled driver gate looks away."""
+    from genai_batch_processor_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    one = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in q.q_incremental_near_dup(spark, sf).collect()
+    }
+    streamed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in q.q_incremental_near_dup_stream(spark, sf).collect()
+    }
+    assert streamed == one
+    assert len(one) > 0
