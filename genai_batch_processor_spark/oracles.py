@@ -2377,3 +2377,128 @@ ORACLES["doc_logprob"] = f"""
            CAST(sum(lp) AS BIGINT) AS total_logp_milli
     FROM scored GROUP BY doc_id
 """
+
+# -- round-4 additions: curation-pipeline primitives --------------------------
+
+from genai_batch_processor_spark import queries as _q4  # noqa: E402
+
+ORACLES["rrf_fusion"] = f"""
+    WITH exact_r AS (
+      SELECT query_id, neighbor_id, "rank" FROM ({ORACLES["embedding_topk"]})
+    ), quant_r AS (
+      SELECT query_id, neighbor_id, "rank"
+      FROM ({ORACLES["embedding_topk_int8"]})
+    ), contribs AS (
+      SELECT query_id, neighbor_id,
+             1000000 // ({_q4.RRF_K} + "rank") AS c
+      FROM exact_r
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             1000000 // ({_q4.RRF_K} + "rank") AS c
+      FROM quant_r
+    ), fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS INT) AS n_lists,
+             CAST(sum(c) AS BIGINT) AS rrf_micro
+      FROM contribs GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, n_lists, rrf_micro,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id ASC
+           ) AS INT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {similarity.TOPK_DEFAULT}
+"""
+
+ORACLES["span_dedup_stats"] = f"""
+    WITH spans AS (
+      SELECT doc_id, {sql_hash60('s')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest({tx.sql_shingles('lower(text)', 5)}) AS s
+        FROM documents
+      )
+    ), dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM spans)
+      GROUP BY h HAVING count(*) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(d.h) AS BIGINT) AS n_dup_spans,
+           CAST(count(d.h) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM spans s LEFT JOIN dup d ON s.h = d.h
+    GROUP BY s.doc_id
+"""
+
+_FUNNEL_W = "string_split(lower(text), ' ')"
+_FUNNEL_STOP = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
+ORACLES["quality_filter_funnel"] = f"""
+    WITH m AS (
+      SELECT len({_FUNNEL_W}) AS n_words,
+             list_sum(list_transform({_FUNNEL_W}, x -> length(x)))
+               AS sum_chars,
+             len(list_distinct({_FUNNEL_W})) AS n_distinct,
+             len(list_filter({_FUNNEL_W}, x -> x IN ({_FUNNEL_STOP})))
+               AS n_stop,
+             len(regexp_extract_all(lower(text), '{tx.PUNCT_PATTERN}'))
+               AS n_punct,
+             length(lower(text)) AS n_chars
+      FROM documents
+    ), flags AS (
+      SELECT (n_words >= {_q4.FUNNEL_MIN_WORDS}) AS f1,
+             (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words) AS f2,
+             (10 * (n_words - n_distinct) <= 3 * n_words) AS f3,
+             (n_stop >= 2) AS f4,
+             (10 * n_punct <= n_chars) AS f5
+      FROM m
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE f1 AND f2) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT) AS n3,
+             CAST(count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4)
+               AS BIGINT) AS n4,
+             CAST(count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5)
+               AS BIGINT) AS n5
+      FROM flags
+    )
+    SELECT 0 AS stage, 'all' AS rule, n0 AS n_pass FROM c
+    UNION ALL SELECT 1, 'min_words', n1 FROM c
+    UNION ALL SELECT 2, 'word_shape', n2 FROM c
+    UNION ALL SELECT 3, 'repetition', n3 FROM c
+    UNION ALL SELECT 4, 'stopwords', n4 FROM c
+    UNION ALL SELECT 5, 'symbol_ratio', n5 FROM c
+"""
+
+ORACLES["dsir_weights"] = f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {sql_hash32('g')} % {_q4.DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest({tx.sql_shingles('lower(text)', 2)}) AS g
+        FROM documents
+      )
+    ), bc AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(count(*) FILTER (WHERE lang = '{_q4.DSIR_TARGET_LANG}')
+               AS BIGINT) AS n_tgt
+      FROM feats GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+             CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+      FROM bc
+    ), ratios AS (
+      SELECT b,
+             CAST(round((
+               ln((n_tgt + 1)::DOUBLE / (t_tgt + {_q4.DSIR_BUCKETS}))
+               - ln((n_raw + 1)::DOUBLE / (t_raw + {_q4.DSIR_BUCKETS}))
+             ) * 1000) AS BIGINT) AS lr_milli
+      FROM bc CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(lr_milli) AS BIGINT) AS dsir_milli
+    FROM feats f JOIN ratios r ON f.b = r.b
+    GROUP BY f.doc_id
+"""

@@ -3302,7 +3302,223 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- round-4 additions: curation-pipeline primitives -------------------------
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant; shared with oracle
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (Cormack et al.)
+    of two independent retrieval paths — exact cosine top-k and the
+    int8 quantized-retrieve/rescore path — into one consensus ranking.
+    The serving-stack primitive for combining retrievers without score
+    calibration: rrf = Σ_systems 1/(K + rank), here in exact integer
+    MICRO units (1000000 div (K + rank)) so the fused ordering is
+    engine-identical with no float summation anywhere.
+
+    Scale: both branches broadcast the same tiny query set over the
+    corpus scan (no corpus shuffle); the fusion aggregate runs on the
+    |queries| × top-k candidate relation, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    exact = similarity.topk_bruteforce(emb, qs)
+    quant = similarity.topk_int8(emb, qs)
+    contrib = F.expr(f"1000000 div ({RRF_K} + rank)")
+    both = exact.select(
+        "query_id", "neighbor_id", contrib.alias("c")
+    ).unionByName(quant.select("query_id", "neighbor_id", contrib.alias("c")))
+    fused = both.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("c").cast("long").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("fused_rank") <= similarity.TOPK_DEFAULT)
+
+
+SPAN_N = 5  # exact-substring dedup span width (words); shared with oracle
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT duplication statistics (the Lee et al.
+    "Deduplicating Training Data" substring family, approximated with
+    fixed-width word spans instead of suffix arrays — the standard
+    distributed reformulation): a span is duplicated if its 5-word
+    window occurs in ≥ 2 distinct documents. Per-doc output feeds the
+    span-trim / drop decision that whole-doc MinHash cannot make —
+    boilerplate headers duplicated across distinct pages.
+
+    Scale: one corpus explode → 60-bit span hashes; doc-frequency is a
+    hash aggregate over (doc, hash) distinct; the duplicated-hash set
+    (aggregate-sized) joins back to the span stream on its hash key —
+    map-side partial aggs on both sides, no corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(tx.shingles(F.lower("text"), SPAN_N)).alias("span"),
+    ).select("doc_id", hashing.portable_hash60("span").alias("h"))
+    docfreq = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    dup = docfreq.filter(F.col("ndocs") >= 2).select(
+        "h", F.lit(True).alias("dup")
+    )
+    return (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("n_dup_spans * 1000000 div n_spans").alias("dup_ppm"),
+        )
+    )
+
+
+# Funnel thresholds (integer-exact rule forms; shared with the oracle).
+FUNNEL_MIN_WORDS = 20
+FUNNEL_RULES = (
+    "all", "min_words", "word_shape", "repetition", "stopwords",
+    "symbol_ratio",
+)
+
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter attrition report (the Gopher-rules
+    shape): how many documents survive each successive rule —
+    min word count, mean word length in [3,10], repetition ≤ 0.3,
+    ≥ 2 stopwords, punctuation ratio ≤ 0.1. Every rule is stated in
+    cross-multiplied INTEGER form (e.g. mean-len bounds as
+    3·n ≤ Σlen ≤ 10·n), so no float threshold can split the engines.
+    This is the report an operator reads before a corpus-wide filter:
+    which rule is doing the cutting, and is the attrition sane.
+
+    Scale: one corpus scan computing per-doc integer counters, one
+    1-row global aggregate of the cumulative conjunctions, then a
+    constant 6-row stack — nothing after the scan is data-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    ws = tx.words(t)
+    flagged = docs.select(
+        F.size(ws).alias("n_words"),
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).alias(
+            "sum_chars"
+        ),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.size(F.filter(ws, lambda w: w.isin(*tx.STOPWORDS))).alias(
+            "n_stop"
+        ),
+        F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)).alias("n_punct"),
+        F.length(t).alias("n_chars"),
+    )
+    f1 = F.col("n_words") >= FUNNEL_MIN_WORDS
+    f2 = (3 * F.col("n_words") <= F.col("sum_chars")) & (
+        F.col("sum_chars") <= 10 * F.col("n_words")
+    )
+    f3 = 10 * (F.col("n_words") - F.col("n_distinct")) <= 3 * F.col(
+        "n_words"
+    )
+    f4 = F.col("n_stop") >= 2
+    f5 = 10 * F.col("n_punct") <= F.col("n_chars")
+    cum = [f1, f1 & f2, f1 & f2 & f3, f1 & f2 & f3 & f4,
+           f1 & f2 & f3 & f4 & f5]
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"n{i+1}")
+            for i, c in enumerate(cum)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{i}, '{rule}', n{i}" for i, rule in enumerate(FUNNEL_RULES)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(FUNNEL_RULES)}, {stack_args}) AS (stage, rule, n_pass)"
+        )
+    )
+
+
+DSIR_BUCKETS = 256  # hashed-feature space; shared with the oracle
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., Data Selection via
+    Importance Resampling): hashed word-bigram features, per-document
+    weight = Σ_features ln(p_target/p_raw) under Laplace-smoothed
+    bucket models, with the 'en' slice of the corpus standing in for
+    the target distribution. Per-bucket log-ratios are rounded to
+    integer MILLI-nats before the per-doc sum (order-free, the
+    doc_logprob contract), so the ranking that drives resampling is
+    engine-exact.
+
+    Scale: bigram buckets are a corpus hash-agg (map-side partials);
+    the bucket model is exactly DSIR_BUCKETS rows — broadcast — and
+    totals ride a 1-row broadcast aggregate, so the scoring join back
+    to the feature stream never shuffles the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tx.shingles(F.lower("text"), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hashing.portable_hash32("g") % DSIR_BUCKETS).alias("b"),
+    )
+    buckets = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tgt"),
+    )
+    totals = F.broadcast(
+        buckets.agg(
+            F.sum("n_raw").cast("long").alias("t_raw"),
+            F.sum("n_tgt").cast("long").alias("t_tgt"),
+        )
+    )
+    lr = F.log(
+        (F.col("n_tgt") + 1).cast("double")
+        / (F.col("t_tgt") + DSIR_BUCKETS)
+    ) - F.log(
+        (F.col("n_raw") + 1).cast("double")
+        / (F.col("t_raw") + DSIR_BUCKETS)
+    )
+    ratios = F.broadcast(
+        buckets.crossJoin(totals).select(
+            "b", F.round(lr * 1000).cast("long").alias("lr_milli")
+        )
+    )
+    return (
+        feats.join(ratios, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_milli").cast("long").alias("dsir_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
+    "rrf_fusion": q_rrf_fusion,
+    "span_dedup_stats": q_span_dedup_stats,
+    "quality_filter_funnel": q_quality_filter_funnel,
+    "dsir_weights": q_dsir_weights,
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_near_dup_stream": q_incremental_near_dup_stream,
     "length_buckets": q_length_buckets,
