@@ -1,0 +1,94 @@
+"""Semantic invariants for the round-4 curation primitives — properties
+the DuckDB oracle parity can't state (it would just repeat the same SQL):
+funnel monotonicity, span-count arithmetic, DSIR feature accounting, RRF
+consensus bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark import queries as q
+from genai_batch_processor_spark.functions import text as tx
+from genai_batch_processor_spark.operators import similarity
+from genai_batch_processor_spark.sources.tables import load_table
+
+
+def test_funnel_monotone_and_total(spark, sf_dir):
+    rows = {
+        r.stage: r
+        for r in q.q_quality_filter_funnel(spark, sf_dir).collect()
+    }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows[0].rule == "all" and rows[0].n_pass == n_docs
+    assert list(rows) == sorted(rows)
+    passes = [rows[i].n_pass for i in sorted(rows)]
+    # each added rule can only remove documents
+    assert all(a >= b for a, b in zip(passes, passes[1:]))
+    assert [rows[i].rule for i in sorted(rows)] == list(q.FUNNEL_RULES)
+
+
+def test_span_dedup_counts_and_self_duplication(spark, sf_dir):
+    out = q.q_span_dedup_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # per-doc span count is max(n_words - SPAN_N + 1, 1) — shingles()
+    # falls back to the whole text below SPAN_N words
+    expected = docs.select(
+        "doc_id",
+        F.greatest(
+            tx.word_count(F.lower("text")) - (q.SPAN_N - 1), F.lit(1)
+        )
+        .cast("long")
+        .alias("want"),
+    )
+    joined = out.join(expected, "doc_id").collect()
+    assert len(joined) == docs.count()
+    for r in joined:
+        assert r.n_spans == r.want
+        assert 0 <= r.n_dup_spans <= r.n_spans
+    # exact-duplicate text pairs must have every span duplicated
+    dup_docs = (
+        docs.groupBy(F.lower("text").alias("t"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    fully = out.join(dup_docs, "doc_id").collect()
+    for r in fully:
+        assert r.dup_ppm == 1_000_000, r
+
+
+def test_dsir_feature_accounting(spark, sf_dir):
+    out = q.q_dsir_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # bigram shingles: n_words - 1 features (>= 2 words), else 1
+    expected = docs.select(
+        "doc_id",
+        F.greatest(tx.word_count(F.lower("text")) - 1, F.lit(1))
+        .cast("long")
+        .alias("want"),
+    )
+    joined = out.join(expected, "doc_id").collect()
+    assert len(joined) == docs.count()
+    for r in joined:
+        assert r.n_feats == r.want
+
+
+def test_rrf_fusion_consensus_bounds(spark, sf_dir):
+    rows = q.q_rrf_fusion(spark, sf_dir).collect()
+    k = similarity.TOPK_DEFAULT
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r.n_lists in (1, 2)
+        # contribution bounds: rank 1..k in each list
+        lo = r.n_lists * (1_000_000 // (q.RRF_K + k))
+        hi = r.n_lists * (1_000_000 // (q.RRF_K + 1))
+        assert lo <= r.rrf_micro <= hi, r
+        per_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_query.items():
+        ranks = sorted(x.fused_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= k
+        # fused order must follow rrf_micro descending
+        by_rank = sorted(rs, key=lambda x: x.fused_rank)
+        scores = [x.rrf_micro for x in by_rank]
+        assert scores == sorted(scores, reverse=True)
