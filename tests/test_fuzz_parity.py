@@ -127,7 +127,43 @@ _CASES = {
         lambda c: _snapshot.row_fingerprint([c, c]),
         lambda e: _snapshot.sql_row_fingerprint([e, e]),
     ),
+    # quality_filter_funnel's per-doc integer metrics, as one pipe-joined
+    # string — the exact counters its cross-multiplied rules compare, so
+    # an engine split on any weird input shows up here before it can
+    # skew the funnel's aggregate.
+    "funnel_metrics": (
+        lambda c: _funnel_metrics_spark(c),
+        lambda e: _funnel_metrics_sql(e),
+    ),
 }
+
+
+def _funnel_metrics_spark(c):
+    t = F.lower(F.col(c))
+    ws = tx.words(t)
+    return F.concat_ws(
+        "|",
+        F.size(ws),
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)),
+        F.size(F.array_distinct(ws)),
+        F.size(F.filter(ws, lambda w: w.isin(*tx.STOPWORDS))),
+        F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)),
+        F.length(t),
+    )
+
+
+def _funnel_metrics_sql(e):
+    t = f"lower({e})"
+    w = f"string_split({t}, ' ')"
+    stop = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
+    return (
+        f"concat_ws('|', len({w}), "
+        f"coalesce(list_sum(list_transform({w}, x -> length(x))), 0), "
+        f"len(list_distinct({w})), "
+        f"len(list_filter({w}, x -> x IN ({stop}))), "
+        f"len(regexp_extract_all({t}, '{tx.PUNCT_PATTERN}')), "
+        f"length({t}))"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(_CASES))
