@@ -3360,10 +3360,11 @@ def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tx.shingles(F.lower("text"), SPAN_N)).alias("span"),
     ).select("doc_id", hashing.portable_hash60("span").alias("h"))
-    docfreq = (
-        spans.distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
+    # count_distinct collapses to one partial-distinct + final pair of
+    # exchanges on h — one fewer corpus-wide shuffle than an explicit
+    # distinct() (keyed on all columns) followed by a groupBy(h).
+    docfreq = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs")
     )
     dup = docfreq.filter(F.col("ndocs") >= 2).select(
         "h", F.lit(True).alias("dup")
