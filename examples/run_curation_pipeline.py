@@ -7,13 +7,21 @@ Stages, each a lazy DataFrame transformation until the final actions:
 
 1. NEAR-DUP PRUNE — MinHash-LSH candidate pairs → Jaccard verify →
    connected components → keep one survivor per cluster.
+1b. SPAN PRUNE — per-doc exact duplicated-span ppm (the boilerplate
+   signal whole-doc MinHash misses); drop documents that are mostly
+   spans seen elsewhere in the corpus.
 2. QUALITY GATE — native-expression text metrics; drop documents
-   below a quality score or outside a length band.
+   below a quality score or outside a length band. The funnel report
+   (operators/curation.py:filter_funnel) is printed first so the
+   attrition of each rule is visible before the cut.
 3. DECONTAMINATE — drop documents sharing shingles with a benchmark
    set (here: a small probe built from the corpus head, stands in for
    a real eval set; broadcast-sized at any corpus scale).
 4. MIXTURE — temperature-flattened source weights (w ∝ n^(1/T)) →
-   per-source ppm sampling rates → row-local hash-rate filter.
+   per-source ppm sampling rates → row-local hash-rate filter,
+   composed with DSIR importance weights toward the 'en' slice
+   (operators/curation.py:dsir_weights): a document samples in only
+   if it clears BOTH the source rate and its importance rank gate.
 5. PACK + ORDER — chunk long documents to a context window, assign the
    deterministic (shard, pos) training-consumption order.
 
@@ -36,12 +44,15 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import text as tx
 from genai_batch_processor_spark.operators import batching, chunking, dedup
-from genai_batch_processor_spark.operators import sampling
+from genai_batch_processor_spark.operators import curation, sampling
 from genai_batch_processor_spark.session import get_spark
 from genai_batch_processor_spark.sources.tables import load_table
 
 MIN_QUALITY = 0.5          # tx.quality_score is a [0,1] composite
 LEN_BAND = (20, 5000)      # words
+MAX_DUP_PPM = 600_000      # drop docs that are mostly duplicated spans
+DSIR_MIN_MILLI = -1_000    # drop docs strongly off-target (milli-nats)
+DSIR_TARGET_LANG = "en"
 TEMPERATURE = 2.0
 CONTEXT_WORDS = 64
 N_SHARDS = 8
@@ -60,7 +71,18 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     # MinHash pipeline re-runs per action.
     pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
     comps = dedup.connected_components(pairs)
-    deduped = dedup.dedup_survivors(docs, comps, "doc_id").persist()
+    survivors = dedup.dedup_survivors(docs, comps, "doc_id")
+
+    # 1b. span prune: exact duplicated-span ppm over the surviving
+    # corpus — boilerplate that repeats across DISTINCT pages slips
+    # whole-doc MinHash but shows up here. The stats relation is
+    # per-doc-sized; the anti-join keys on doc_id.
+    spans = curation.span_dup_stats(survivors, "doc_id", "text")
+    deduped = survivors.join(
+        spans.filter(F.col("dup_ppm") > MAX_DUP_PPM).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).persist()
 
     # 2. quality gate: native exprs, no Python in the plan
     gated = deduped.withColumn(
@@ -99,9 +121,27 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
         [(s, v * 1_000_000 // top) for s, v in raw.items()],
         "source string, rate_ppm long",
     )
-    mixed = clean.join(F.broadcast(rates), "source").filter(
-        # hash_coord is already in [0, 1e6) — same scale as rate_ppm
-        sampling.hash_coord("doc_id", "curation-mix") < F.col("rate_ppm")
+    # DSIR importance weights toward the target language slice,
+    # composed with the source-rate gate: a row samples in only if it
+    # clears the per-source rate AND is not strongly off-target. The
+    # weight relation is per-doc-sized and joins on doc_id; the bucket
+    # model inside dsir_weights is broadcast, so this adds no
+    # corpus-wide shuffle beyond the doc_id join.
+    dsir = curation.dsir_weights(
+        clean, F.col("lang") == DSIR_TARGET_LANG, "doc_id", "text"
+    )
+    mixed = (
+        clean.join(F.broadcast(rates), "source")
+        .join(dsir.select("doc_id", "dsir_milli"), "doc_id")
+        .filter(
+            # hash_coord is already in [0, 1e6) — same scale as rate_ppm
+            (
+                sampling.hash_coord("doc_id", "curation-mix")
+                < F.col("rate_ppm")
+            )
+            & (F.col("dsir_milli") >= DSIR_MIN_MILLI)
+        )
+        .drop("dsir_milli", "rate_ppm")
     )
 
     # 5. context-window chunking + deterministic training order
@@ -122,8 +162,14 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
 
 
 if __name__ == "__main__":
+    from genai_batch_processor_spark import queries as q
+
     sf = sys.argv[1] if len(sys.argv) > 1 else None
     deduped, clean, mixed, ordered = main(sf_dir=sf)
+    # attrition report BEFORE the cut: which rule does the cutting
+    curation.filter_funnel(
+        deduped.select(*q.funnel_metric_cols()), q.funnel_rules()
+    ).show()
     print(
         f"survivors: {deduped.count()}  post-gate: {clean.count()}  "
         f"sampled: {mixed.count()}  training chunks: {ordered.count()}"

@@ -3319,24 +3319,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both branches broadcast the same tiny query set over the
     corpus scan (no corpus shuffle); the fusion aggregate runs on the
     |queries| × top-k candidate relation, not the corpus."""
+    from genai_batch_processor_spark.operators import curation
+
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     exact = similarity.topk_bruteforce(emb, qs)
     quant = similarity.topk_int8(emb, qs)
-    contrib = F.expr(f"1000000 div ({RRF_K} + rank)")
-    both = exact.select(
-        "query_id", "neighbor_id", contrib.alias("c")
-    ).unionByName(quant.select("query_id", "neighbor_id", contrib.alias("c")))
-    fused = both.groupBy("query_id", "neighbor_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_lists"),
-        F.sum("c").cast("long").alias("rrf_micro"),
+    return curation.rrf_fuse(
+        [exact, quant], k_const=RRF_K, topk=similarity.TOPK_DEFAULT
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_micro").desc(), F.col("neighbor_id").asc()
-    )
-    return fused.withColumn(
-        "fused_rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("fused_rank") <= similarity.TOPK_DEFAULT)
 
 
 SPAN_N = 5  # exact-substring dedup span width (words); shared with oracle
@@ -3355,36 +3346,10 @@ def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate over (doc, hash) distinct; the duplicated-hash set
     (aggregate-sized) joins back to the span stream on its hash key —
     map-side partial aggs on both sides, no corpus self-join."""
+    from genai_batch_processor_spark.operators import curation
+
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id",
-        F.explode(tx.shingles(F.lower("text"), SPAN_N)).alias("span"),
-    ).select("doc_id", hashing.portable_hash60("span").alias("h"))
-    # count_distinct collapses to one partial-distinct + final pair of
-    # exchanges on h — one fewer corpus-wide shuffle than an explicit
-    # distinct() (keyed on all columns) followed by a groupBy(h).
-    docfreq = spans.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
-    dup = docfreq.filter(F.col("ndocs") >= 2).select(
-        "h", F.lit(True).alias("dup")
-    )
-    return (
-        spans.join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            "n_dup_spans",
-            F.expr("n_dup_spans * 1000000 div n_spans").alias("dup_ppm"),
-        )
-    )
+    return curation.span_dup_stats(docs, "doc_id", "text", SPAN_N)
 
 
 # Funnel thresholds (integer-exact rule forms; shared with the oracle).
@@ -3393,6 +3358,46 @@ FUNNEL_RULES = (
     "all", "min_words", "word_shape", "repetition", "stopwords",
     "symbol_ratio",
 )
+
+
+def funnel_metric_cols() -> list:
+    """Per-doc integer counters the funnel rules compare (over
+    lower(text)); fuzz-pinned against their DuckDB twins in
+    tests/test_fuzz_parity.py::funnel_metrics."""
+    t = F.lower(F.col("text"))
+    ws = tx.words(t)
+    return [
+        F.size(ws).alias("n_words"),
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).alias(
+            "sum_chars"
+        ),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.size(F.filter(ws, lambda w: w.isin(*tx.STOPWORDS))).alias(
+            "n_stop"
+        ),
+        F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)).alias("n_punct"),
+        F.length(t).alias("n_chars"),
+    ]
+
+
+def funnel_rules() -> list[tuple[str, F.Column]]:
+    """The Gopher-style rule chain over the funnel metric columns, every
+    threshold in cross-multiplied integer form."""
+    return [
+        ("min_words", F.col("n_words") >= FUNNEL_MIN_WORDS),
+        (
+            "word_shape",
+            (3 * F.col("n_words") <= F.col("sum_chars"))
+            & (F.col("sum_chars") <= 10 * F.col("n_words")),
+        ),
+        (
+            "repetition",
+            10 * (F.col("n_words") - F.col("n_distinct"))
+            <= 3 * F.col("n_words"),
+        ),
+        ("stopwords", F.col("n_stop") >= 2),
+        ("symbol_ratio", 10 * F.col("n_punct") <= F.col("n_chars")),
+    ]
 
 
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3408,47 +3413,11 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus scan computing per-doc integer counters, one
     1-row global aggregate of the cumulative conjunctions, then a
     constant 6-row stack — nothing after the scan is data-sized."""
+    from genai_batch_processor_spark.operators import curation
+
     docs = load_table(spark, sf_dir, "documents")
-    t = F.lower(F.col("text"))
-    ws = tx.words(t)
-    flagged = docs.select(
-        F.size(ws).alias("n_words"),
-        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).alias(
-            "sum_chars"
-        ),
-        F.size(F.array_distinct(ws)).alias("n_distinct"),
-        F.size(F.filter(ws, lambda w: w.isin(*tx.STOPWORDS))).alias(
-            "n_stop"
-        ),
-        F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)).alias("n_punct"),
-        F.length(t).alias("n_chars"),
-    )
-    f1 = F.col("n_words") >= FUNNEL_MIN_WORDS
-    f2 = (3 * F.col("n_words") <= F.col("sum_chars")) & (
-        F.col("sum_chars") <= 10 * F.col("n_words")
-    )
-    f3 = 10 * (F.col("n_words") - F.col("n_distinct")) <= 3 * F.col(
-        "n_words"
-    )
-    f4 = F.col("n_stop") >= 2
-    f5 = 10 * F.col("n_punct") <= F.col("n_chars")
-    cum = [f1, f1 & f2, f1 & f2 & f3, f1 & f2 & f3 & f4,
-           f1 & f2 & f3 & f4 & f5]
-    agg = flagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        *[
-            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"n{i+1}")
-            for i, c in enumerate(cum)
-        ],
-    )
-    stack_args = ", ".join(
-        f"{i}, '{rule}', n{i}" for i, rule in enumerate(FUNNEL_RULES)
-    )
-    return agg.select(
-        F.expr(
-            f"stack({len(FUNNEL_RULES)}, {stack_args}) AS (stage, rule, n_pass)"
-        )
-    )
+    flagged = docs.select(*funnel_metric_cols())
+    return curation.filter_funnel(flagged, funnel_rules())
 
 
 DSIR_BUCKETS = 256  # hashed-feature space; shared with the oracle
@@ -3469,49 +3438,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket model is exactly DSIR_BUCKETS rows — broadcast — and
     totals ride a 1-row broadcast aggregate, so the scoring join back
     to the feature stream never shuffles the corpus."""
+    from genai_batch_processor_spark.operators import curation
+
     docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select(
+    return curation.dsir_weights(
+        docs,
+        F.col("lang") == DSIR_TARGET_LANG,
         "doc_id",
-        "lang",
-        F.explode(tx.shingles(F.lower("text"), 2)).alias("g"),
-    ).select(
-        "doc_id",
-        "lang",
-        (hashing.portable_hash32("g") % DSIR_BUCKETS).alias("b"),
-    )
-    buckets = feats.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_raw"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_tgt"),
-    )
-    totals = F.broadcast(
-        buckets.agg(
-            F.sum("n_raw").cast("long").alias("t_raw"),
-            F.sum("n_tgt").cast("long").alias("t_tgt"),
-        )
-    )
-    lr = F.log(
-        (F.col("n_tgt") + 1).cast("double")
-        / (F.col("t_tgt") + DSIR_BUCKETS)
-    ) - F.log(
-        (F.col("n_raw") + 1).cast("double")
-        / (F.col("t_raw") + DSIR_BUCKETS)
-    )
-    ratios = F.broadcast(
-        buckets.crossJoin(totals).select(
-            "b", F.round(lr * 1000).cast("long").alias("lr_milli")
-        )
-    )
-    return (
-        feats.join(ratios, "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("lr_milli").cast("long").alias("dsir_milli"),
-        )
+        "text",
+        DSIR_BUCKETS,
     )
 
 
