@@ -11,9 +11,9 @@ Stages, each a lazy DataFrame transformation until the final actions:
    signal whole-doc MinHash misses); drop documents that are mostly
    spans seen elsewhere in the corpus.
 2. QUALITY GATE — native-expression text metrics; drop documents
-   below a quality score or outside a length band. The funnel report
-   (operators/curation.py:filter_funnel) is printed first so the
-   attrition of each rule is visible before the cut.
+   below a quality score or outside a length band. A funnel report of
+   THESE rules (operators/curation.py:filter_funnel) prints first so
+   each rule's attrition is visible before the cut.
 3. DECONTAMINATE — drop documents sharing shingles with a benchmark
    set (here: a small probe built from the corpus head, stands in for
    a real eval set; broadcast-sized at any corpus scale).
@@ -71,7 +71,11 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     # MinHash pipeline re-runs per action.
     pairs = dedup.near_dup_pairs(docs, "doc_id", "text")
     comps = dedup.connected_components(pairs)
-    survivors = dedup.dedup_survivors(docs, comps, "doc_id")
+    # Persisted: the span stage references this subtree three times
+    # (twice inside span_dup_stats' two-scan design, once as the
+    # anti-join left side) — unpersisted, the whole MinHash pipeline
+    # would re-run per reference.
+    survivors = dedup.dedup_survivors(docs, comps, "doc_id").persist()
 
     # 1b. span prune: exact duplicated-span ppm over the surviving
     # corpus — boilerplate that repeats across DISTINCT pages slips
@@ -162,13 +166,19 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
 
 
 if __name__ == "__main__":
-    from genai_batch_processor_spark import queries as q
-
     sf = sys.argv[1] if len(sys.argv) > 1 else None
     deduped, clean, mixed, ordered = main(sf_dir=sf)
-    # attrition report BEFORE the cut: which rule does the cutting
+    # attrition report of the ACTUAL stage-2 gate rules, in gate
+    # order — which rule is doing the cutting, before the cut
     curation.filter_funnel(
-        deduped.select(*q.funnel_metric_cols()), q.funnel_rules()
+        deduped.select(
+            tx.quality_score("text").alias("quality"),
+            tx.word_count("text").alias("n_words"),
+        ),
+        [
+            ("quality", F.col("quality") >= MIN_QUALITY),
+            ("len_band", F.col("n_words").between(*LEN_BAND)),
+        ],
     ).show()
     print(
         f"survivors: {deduped.count()}  post-gate: {clean.count()}  "

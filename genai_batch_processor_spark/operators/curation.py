@@ -88,13 +88,19 @@ def dsir_weights(
     integer milli-nats per bucket BEFORE the per-doc sum, so the
     resampling order is exact. Output: (id, n_feats, dsir_milli).
 
+    NULL text coalesces to '' (one empty-string feature) so every
+    input document appears in the output with a weight — a NULL-hash
+    bucket would silently drop the row at the ratios join, turning a
+    data-quality issue into a missing id.
+
     Scale: the bucket model is exactly ``buckets`` rows and the totals
     a 1-row aggregate — both broadcast — so scoring never shuffles the
     corpus-sized feature stream."""
+    text = F.coalesce(F.lower(F.col(text_col)), F.lit(""))
     feats = docs.select(
         F.col(id_col).alias("__id"),
         is_target.alias("__tgt"),
-        F.explode(tx.shingles(F.lower(F.col(text_col)), 2)).alias("g"),
+        F.explode(tx.shingles(text, 2)).alias("g"),
     ).select(
         "__id",
         "__tgt",

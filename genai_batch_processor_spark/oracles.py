@@ -2415,7 +2415,7 @@ ORACLES["span_dedup_stats"] = f"""
       SELECT doc_id, {sql_hash60('s')} AS h
       FROM (
         SELECT doc_id,
-               unnest({tx.sql_shingles('lower(text)', 5)}) AS s
+               unnest({tx.sql_shingles('lower(text)', _q4.SPAN_N)}) AS s
         FROM documents
       )
     ), dup AS (
@@ -2430,19 +2430,13 @@ ORACLES["span_dedup_stats"] = f"""
     GROUP BY s.doc_id
 """
 
-_FUNNEL_W = "string_split(lower(text), ' ')"
-_FUNNEL_STOP = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
+_FUNNEL_M = ",\n             ".join(
+    f"{sql} AS {name}"
+    for name, sql in _q4.sql_funnel_metric_exprs("text").items()
+)
 ORACLES["quality_filter_funnel"] = f"""
     WITH m AS (
-      SELECT len({_FUNNEL_W}) AS n_words,
-             list_sum(list_transform({_FUNNEL_W}, x -> length(x)))
-               AS sum_chars,
-             len(list_distinct({_FUNNEL_W})) AS n_distinct,
-             len(list_filter({_FUNNEL_W}, x -> x IN ({_FUNNEL_STOP})))
-               AS n_stop,
-             len(regexp_extract_all(lower(text), '{tx.PUNCT_PATTERN}'))
-               AS n_punct,
-             length(lower(text)) AS n_chars
+      SELECT {_FUNNEL_M}
       FROM documents
     ), flags AS (
       SELECT (n_words >= {_q4.FUNNEL_MIN_WORDS}) AS f1,
@@ -2476,7 +2470,8 @@ ORACLES["dsir_weights"] = f"""
              {sql_hash32('g')} % {_q4.DSIR_BUCKETS} AS b
       FROM (
         SELECT doc_id, lang,
-               unnest({tx.sql_shingles('lower(text)', 2)}) AS g
+               unnest({tx.sql_shingles("coalesce(lower(text), '')", 2)})
+                 AS g
         FROM documents
       )
     ), bc AS (

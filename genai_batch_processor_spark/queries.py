@@ -16,6 +16,7 @@ from genai_batch_processor_spark.functions import hashing, ids, text as tx
 from genai_batch_processor_spark.inference import mock
 from genai_batch_processor_spark.operators import (
     batching,
+    curation,
     dedup,
     joinback,
     requests,
@@ -3304,7 +3305,9 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- round-4 additions: curation-pipeline primitives -------------------------
 
-RRF_K = 60  # standard reciprocal-rank-fusion constant; shared with oracle
+# Aliases of the operator defaults (operators/curation.py) — ONE copy
+# of each tuning constant, shared by query, oracle, and operator.
+RRF_K = curation.RRF_K_DEFAULT
 
 
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3319,8 +3322,6 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both branches broadcast the same tiny query set over the
     corpus scan (no corpus shuffle); the fusion aggregate runs on the
     |queries| × top-k candidate relation, not the corpus."""
-    from genai_batch_processor_spark.operators import curation
-
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     exact = similarity.topk_bruteforce(emb, qs)
@@ -3330,7 +3331,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPAN_N = 5  # exact-substring dedup span width (words); shared with oracle
+SPAN_N = curation.SPAN_WORDS_DEFAULT  # span width; shared with oracle
 
 
 def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3346,8 +3347,6 @@ def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate over (doc, hash) distinct; the duplicated-hash set
     (aggregate-sized) joins back to the span stream on its hash key —
     map-side partial aggs on both sides, no corpus self-join."""
-    from genai_batch_processor_spark.operators import curation
-
     docs = load_table(spark, sf_dir, "documents")
     return curation.span_dup_stats(docs, "doc_id", "text", SPAN_N)
 
@@ -3378,6 +3377,25 @@ def funnel_metric_cols() -> list:
         F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)).alias("n_punct"),
         F.length(t).alias("n_chars"),
     ]
+
+
+def sql_funnel_metric_exprs(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`funnel_metric_cols`, keyed by the same
+    column names — the ONE definition the oracle and the fuzz harness
+    both build from, so the pin cannot drift from the query."""
+    t = f"lower({text_expr})"
+    w = f"string_split({t}, ' ')"
+    stop = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
+    return {
+        "n_words": f"len({w})",
+        "sum_chars": (
+            f"coalesce(list_sum(list_transform({w}, x -> length(x))), 0)"
+        ),
+        "n_distinct": f"len(list_distinct({w}))",
+        "n_stop": f"len(list_filter({w}, x -> x IN ({stop})))",
+        "n_punct": f"len(regexp_extract_all({t}, '{tx.PUNCT_PATTERN}'))",
+        "n_chars": f"length({t})",
+    }
 
 
 def funnel_rules() -> list[tuple[str, F.Column]]:
@@ -3413,14 +3431,12 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus scan computing per-doc integer counters, one
     1-row global aggregate of the cumulative conjunctions, then a
     constant 6-row stack — nothing after the scan is data-sized."""
-    from genai_batch_processor_spark.operators import curation
-
     docs = load_table(spark, sf_dir, "documents")
     flagged = docs.select(*funnel_metric_cols())
     return curation.filter_funnel(flagged, funnel_rules())
 
 
-DSIR_BUCKETS = 256  # hashed-feature space; shared with the oracle
+DSIR_BUCKETS = curation.DSIR_BUCKETS_DEFAULT  # shared with the oracle
 DSIR_TARGET_LANG = "en"
 
 
@@ -3438,8 +3454,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket model is exactly DSIR_BUCKETS rows — broadcast — and
     totals ride a 1-row broadcast aggregate, so the scoring join back
     to the feature stream never shuffles the corpus."""
-    from genai_batch_processor_spark.operators import curation
-
     docs = load_table(spark, sf_dir, "documents")
     return curation.dsir_weights(
         docs,

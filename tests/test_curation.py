@@ -73,6 +73,22 @@ def test_dsir_feature_accounting(spark, sf_dir):
         assert r.n_feats == r.want
 
 
+def test_dsir_weights_keeps_null_and_empty_text(spark):
+    from genai_batch_processor_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"), (2, None, "de"), (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = curation.dsir_weights(docs, F.col("lang") == "en").collect()
+    # every input id present — NULL/empty text must not silently vanish
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_feats == 3  # 4 words -> 3 bigrams
+    assert by_id[2].n_feats == 1  # coalesced '' -> one feature
+    assert by_id[3].n_feats == 1
+
+
 def test_rrf_fusion_consensus_bounds(spark, sf_dir):
     rows = q.q_rrf_fusion(spark, sf_dir).collect()
     k = similarity.TOPK_DEFAULT

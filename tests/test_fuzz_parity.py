@@ -139,31 +139,19 @@ _CASES = {
 
 
 def _funnel_metrics_spark(c):
-    t = F.lower(F.col(c))
-    ws = tx.words(t)
-    return F.concat_ws(
-        "|",
-        F.size(ws),
-        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)),
-        F.size(F.array_distinct(ws)),
-        F.size(F.filter(ws, lambda w: w.isin(*tx.STOPWORDS))),
-        F.regexp_count(t, F.lit(tx.PUNCT_PATTERN)),
-        F.length(t),
-    )
+    # the REAL metric columns (queries.funnel_metric_cols reads column
+    # "text"), joined into one comparable string — not a re-derivation
+    from genai_batch_processor_spark import queries as q
+
+    assert c == "text"  # funnel_metric_cols is defined over "text"
+    return F.concat_ws("|", *q.funnel_metric_cols())
 
 
 def _funnel_metrics_sql(e):
-    t = f"lower({e})"
-    w = f"string_split({t}, ' ')"
-    stop = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
-    return (
-        f"concat_ws('|', len({w}), "
-        f"coalesce(list_sum(list_transform({w}, x -> length(x))), 0), "
-        f"len(list_distinct({w})), "
-        f"len(list_filter({w}, x -> x IN ({stop}))), "
-        f"len(regexp_extract_all({t}, '{tx.PUNCT_PATTERN}')), "
-        f"length({t}))"
-    )
+    from genai_batch_processor_spark import queries as q
+
+    exprs = q.sql_funnel_metric_exprs(e)  # same dict the oracle uses
+    return "concat_ws('|', " + ", ".join(exprs.values()) + ")"
 
 
 @pytest.mark.parametrize("name", sorted(_CASES))
