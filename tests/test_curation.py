@@ -89,6 +89,83 @@ def test_dsir_weights_keeps_null_and_empty_text(spark):
     assert by_id[3].n_feats == 1
 
 
+def test_rrf_fuse_matches_python_reference(spark):
+    """rrf_fuse vs a pure-Python RRF on randomized ranking lists —
+    checks the operator itself, independent of the fixture corpus."""
+    import random
+
+    from genai_batch_processor_spark.operators import curation
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n_sys = rng.randint(1, 3)
+        systems = []
+        for _ in range(n_sys):
+            rows = []
+            for qid in range(rng.randint(1, 4)):
+                neighbors = rng.sample(range(100), rng.randint(0, 6))
+                rows.extend(
+                    (qid, n, r + 1) for r, n in enumerate(neighbors)
+                )
+            systems.append(rows)
+        if not any(systems):
+            continue
+        expected: dict[tuple[int, int], int] = {}
+        for rows in systems:
+            for qid, n, rank in rows:
+                expected[(qid, n)] = expected.get((qid, n), 0) + (
+                    1_000_000 // (60 + rank)
+                )
+        dfs = [
+            spark.createDataFrame(
+                rows or [(0, 0, 1)],
+                "query_id long, neighbor_id long, rank int",
+            ).limit(len(rows))
+            for rows in systems
+        ]
+        got = {
+            (r.query_id, r.neighbor_id): r.rrf_micro
+            for r in curation.rrf_fuse(dfs).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_filter_funnel_matches_python_reference(spark):
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from genai_batch_processor_spark.operators import curation
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        vals = [
+            (rng.randint(0, 9), rng.randint(0, 9)) for _ in range(30)
+        ]
+        df = spark.createDataFrame(vals, "a int, b int")
+        rules = [
+            ("a_small", SF.col("a") <= 5),
+            ("b_even", SF.col("b") % 2 == 0),
+            ("sum_bound", SF.col("a") + SF.col("b") < 12),
+        ]
+        py_rules = [
+            lambda r: r[0] <= 5,
+            lambda r: r[1] % 2 == 0,
+            lambda r: r[0] + r[1] < 12,
+        ]
+        expected = [len(vals)]
+        for k in range(1, len(py_rules) + 1):
+            expected.append(
+                sum(1 for v in vals if all(p(v) for p in py_rules[:k]))
+            )
+        out = {
+            r.stage: (r.rule, r.n_pass)
+            for r in curation.filter_funnel(df, rules).collect()
+        }
+        assert [out[i][1] for i in range(len(expected))] == expected
+        assert out[0][0] == "all" and out[2][0] == "b_even"
+
+
 def test_rrf_fusion_consensus_bounds(spark, sf_dir):
     rows = q.q_rrf_fusion(spark, sf_dir).collect()
     k = similarity.TOPK_DEFAULT
