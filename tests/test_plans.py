@@ -40,6 +40,8 @@ NO_SINGLE_PARTITION = [
     "winnow_pairs",
     "chunk_vote",
     "mixture_sample",
+    "span_dedup_stats",
+    "rrf_fusion",
 ]
 
 # pure column-expression pipelines: no Python evaluation allowed
@@ -365,6 +367,18 @@ def test_chunking_is_jvm_only_and_packing_partitions_by_group(
         assert marker not in plan
     plan = _plan(spark, "chunk_packing", sf_dir)
     assert "SinglePartition" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    """dsir_weights' scoring join (corpus feature stream x bucket
+    model) must broadcast the model side — the feature stream never
+    shuffles for it. The model is exactly DSIR_BUCKETS rows, so the
+    broadcast is bounded at any corpus scale; the only
+    SinglePartition point is the 1-row totals aggregate."""
+    plan = _plan(spark, "dsir_weights", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_part_match_candidates_no_single_partition(spark, sf_dir):
