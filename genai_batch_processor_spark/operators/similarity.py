@@ -271,6 +271,7 @@ def embedding_near_dup_pairs(
     threshold: float = NEAR_DUP_COSINE,
     sign_bits: int = LSH_SIGN_BITS,
     max_cell: int = MAX_CELL,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup (id_a < id_b) pairs within sign-bit
     cells — the §2.D 'embedding-cosine near-dup' op. Bucketed self-join,
@@ -281,8 +282,17 @@ def embedding_near_dup_pairs(
     corpus and the in-cell self-join quadratically — a hot cell at 100×
     scale would dominate the whole job. The allowed-cell set is ≤ 2^bits
     rows and broadcasts; at real scale raise ``sign_bits`` so cells stay
-    under the cap instead of relying on the drop."""
-    bucket = V.sign_bits_bucket(F.col(vec_col), sign_bits)
+    under the cap instead of relying on the drop.
+
+    ``bucket_col`` swaps the sign-bit cells for an existing partition
+    column — e.g. a trained k-means cell for SemDeDup
+    (queries.q_semdedup_survivors) — keeping the same cap and verify
+    semantics over learned cells."""
+    bucket = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else V.sign_bits_bucket(F.col(vec_col), sign_bits)
+    )
     b = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         bucket.alias("bucket"),

@@ -2497,3 +2497,50 @@ ORACLES["dsir_weights"] = f"""
     FROM feats f JOIN ratios r ON f.b = r.b
     GROUP BY f.doc_id
 """
+
+from genai_batch_processor_spark.operators import clustering as _clu4  # noqa: E402
+
+# SemDeDup: the unrolled k-means training (bit-identical centroids, as
+# proven by the kmeans_cells oracle) + a final Euclidean-argmin
+# assignment pass, within-cell cosine pairs under the SemDeDup cap,
+# recursive-CTE transitive closure, survivors = everyone not a loser.
+ORACLES["semdedup_survivors"] = f"""
+    WITH RECURSIVE cent_long AS (
+      SELECT * FROM ({_clu4.sql_kmeans_cells()})
+    ), cent AS (
+      SELECT cell, list(c_val ORDER BY dim) AS cv
+      FROM cent_long GROUP BY cell
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM cent c
+              ORDER BY list_dot_product(c.cv, c.cv)
+                       - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv),
+                       c.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ), ok AS (
+      SELECT cell FROM assigned GROUP BY cell
+      HAVING count(*) BETWEEN 2 AND {_q4.SEMDEDUP_MAX_CELL}
+    ), verified AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM assigned x
+      JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN ok ON ok.cell = x.cell
+      WHERE round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
+            >= {similarity.NEAR_DUP_COSINE}
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS vid, min(v) AS cid FROM reach GROUP BY u
+    ), losers AS (
+      SELECT vid FROM comp WHERE vid <> cid
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vid FROM losers)
+"""

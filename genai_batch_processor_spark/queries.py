@@ -3305,6 +3305,43 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- round-4 additions: curation-pipeline primitives -------------------------
 
+SEMDEDUP_MAX_CELL = 512  # k-means cells are k-bounded, not 2^bits
+
+
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside TRAINED k-means cells — cluster the embedding
+    corpus, find cosine near-dup pairs only within each learned cell,
+    take connected components, keep one survivor per semantic cluster.
+    Distinct from embedding_dedup_survivors (sign-LSH cells): the cell
+    structure is learned, so paraphrase neighborhoods that straddle
+    hash buckets land in one cell and get deduplicated together.
+
+    The in-cell cap is SEMDEDUP_MAX_CELL (not the LSH MAX_CELL):
+    population per cell is corpus/k, so at real scale you raise k to
+    keep cells under the cap — the published run used 50k clusters on
+    LAION — rather than relying on the drop guard.
+
+    Scale: training collects k x dim scaled-integer sums per Lloyd
+    iteration (bounded driver state); assignment is shuffle-free
+    (literal centroids, struct-min argmin); the only corpus shuffle is
+    the in-cell self-join on the cell key, quadratic per cell but
+    capped. Oracle: the same unrolled training (bit-identical
+    centroids) + assignment + pair SQL + recursive-CTE closure."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    assigned = clustering.assign_cells(emb, cents)
+    pairs = similarity.embedding_near_dup_pairs(
+        assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL
+    )
+    comps = dedup.connected_components_star(pairs)
+    return dedup.dedup_survivors(emb, comps, "vec_id").select(
+        "vec_id", "label"
+    )
+
+
 # Aliases of the operator defaults (operators/curation.py) — ONE copy
 # of each tuning constant, shared by query, oracle, and operator.
 RRF_K = curation.RRF_K_DEFAULT
@@ -3465,6 +3502,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, callable] = {
+    "semdedup_survivors": q_semdedup_survivors,
     "rrf_fusion": q_rrf_fusion,
     "span_dedup_stats": q_span_dedup_stats,
     "quality_filter_funnel": q_quality_filter_funnel,
