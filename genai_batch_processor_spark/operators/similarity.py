@@ -293,9 +293,13 @@ def embedding_near_dup_pairs(
         if bucket_col is not None
         else V.sign_bits_bucket(F.col(vec_col), sign_bits)
     )
+    # Per-row norms BEFORE the self-join: the pair cosine is then one
+    # dot product instead of three array aggregates. dot/(n_a*n_b) is
+    # the same expression tree cosine() builds, just with the norm
+    # factors evaluated once per row — bit-identical results.
     b = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        bucket.alias("bucket"),
+        bucket.alias("bucket"), V.norm(F.col(vec_col)).alias("__nrm"),
     )
     ok = (
         b.groupBy("bucket")
@@ -315,7 +319,11 @@ def embedding_near_dup_pairs(
             F.col("x.__id").alias("id_a"),
             F.col("y.__id").alias("id_b"),
             F.round(
-                V.cosine(F.col("x.__v"), F.col("y.__v")), 6
+                F.try_divide(
+                    V.dot(F.col("x.__v"), F.col("y.__v")),
+                    F.col("x.__nrm") * F.col("y.__nrm"),
+                ),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -3326,12 +3326,15 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration (bounded driver state); assignment is shuffle-free
     (literal centroids, struct-min argmin); the only corpus shuffle is
     the in-cell self-join on the cell key, quadratic per cell but
-    capped. Oracle: the same unrolled training (bit-identical
-    centroids) + assignment + pair SQL + recursive-CTE closure."""
+    capped. Training rides the per-session trainer cache shared with
+    the IVF family — deterministic, so one training serves all
+    centroid consumers. Oracle: the same unrolled training
+    (bit-identical centroids) + assignment + pair SQL + recursive-CTE
+    closure."""
     from genai_batch_processor_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    cents = _trained_centroids_shared(spark, sf_dir)
     assigned = clustering.assign_cells(emb, cents)
     pairs = similarity.embedding_near_dup_pairs(
         assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL

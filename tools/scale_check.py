@@ -76,6 +76,7 @@ TOP = [
     "dsir_weights",
     "rrf_fusion",
     "quality_filter_funnel",
+    "semdedup_survivors",
 ]
 
 
