@@ -1868,19 +1868,13 @@ ORACLES["embedding_topk_int8"] = f"""
     QUALIFY "rank" <= {similarity.TOPK_DEFAULT}
 """
 
-# Embedding-side dedup closure: recursive transitive closure over the
-# SAME pair SQL as embedding_near_dup, survivors = everyone not a loser.
-_EMB_PAIRS = ORACLES["embedding_near_dup"].replace(
-    "WITH b AS", "WITH RECURSIVE b AS", 1
-)
-_EMB_SELECT_IDX = _EMB_PAIRS.rindex("SELECT id_a")
-ORACLES["embedding_dedup_survivors"] = (
-    _EMB_PAIRS[:_EMB_SELECT_IDX].rstrip().rstrip(")")
-    + """),
-    verified AS (
-      """
-    + _EMB_PAIRS[_EMB_SELECT_IDX:].strip()
-    + """
+# Embedding-side dedup closure: recursive transitive closure over a
+# `verified(id_a, id_b)` CTE, survivors = everyone not a loser. ONE
+# copy of the closure fragment — embedding_dedup_survivors (LSH cells)
+# and semdedup_survivors (k-means cells) both append it to their own
+# pair CTEs, so a closure fix can never apply to one and miss the
+# other.
+_EMB_CLOSURE_SQL = """
     ), edges AS (
       SELECT id_a AS u, id_b AS v FROM verified
       UNION
@@ -1897,6 +1891,18 @@ ORACLES["embedding_dedup_survivors"] = (
     SELECT e.vec_id, e.label FROM embeddings e
     WHERE e.vec_id NOT IN (SELECT vid FROM losers)
 """
+
+_EMB_PAIRS = ORACLES["embedding_near_dup"].replace(
+    "WITH b AS", "WITH RECURSIVE b AS", 1
+)
+_EMB_SELECT_IDX = _EMB_PAIRS.rindex("SELECT id_a")
+ORACLES["embedding_dedup_survivors"] = (
+    _EMB_PAIRS[:_EMB_SELECT_IDX].rstrip().rstrip(")")
+    + """),
+    verified AS (
+      """
+    + _EMB_PAIRS[_EMB_SELECT_IDX:].strip()
+    + _EMB_CLOSURE_SQL
 )
 
 ORACLES["bigram_followers"] = f"""
@@ -2527,20 +2533,4 @@ ORACLES["semdedup_survivors"] = f"""
       JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
       JOIN ok ON ok.cell = x.cell
       WHERE round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
-            >= {similarity.NEAR_DUP_COSINE}
-    ), edges AS (
-      SELECT id_a AS u, id_b AS v FROM verified
-      UNION
-      SELECT id_b AS u, id_a AS v FROM verified
-    ), reach(u, v) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
-    ), comp AS (
-      SELECT u AS vid, min(v) AS cid FROM reach GROUP BY u
-    ), losers AS (
-      SELECT vid FROM comp WHERE vid <> cid
-    )
-    SELECT e.vec_id, e.label FROM embeddings e
-    WHERE e.vec_id NOT IN (SELECT vid FROM losers)
-"""
+            >= {similarity.NEAR_DUP_COSINE}""" + _EMB_CLOSURE_SQL

@@ -439,6 +439,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb)
 
 
+def _embedding_survivors(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared dedup tail: pair graph → star components → min-id
+    survivors, (vec_id, label) — ONE copy of the survivor contract for
+    both embedding-dedup families (LSH cells and SemDeDup)."""
+    comps = dedup.connected_components_star(pairs)
+    return dedup.dedup_survivors(emb, comps, "vec_id").select(
+        "vec_id", "label"
+    )
+
+
 def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end EMBEDDING dedup: cosine near-dup pairs (bucketed,
     capped) → large-star/small-star components → one survivor per
@@ -446,10 +456,8 @@ def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     modality where paraphrases collide that text shingles never catch.
     Oracle: recursive-CTE transitive closure over the same pair SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb)
-    comps = dedup.connected_components_star(pairs)
-    return dedup.dedup_survivors(emb, comps, "vec_id").select(
-        "vec_id", "label"
+    return _embedding_survivors(
+        emb, similarity.embedding_near_dup_pairs(emb)
     )
 
 
@@ -3335,14 +3343,14 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids_shared(spark, sf_dir)
-    assigned = clustering.assign_cells(emb, cents)
+    # Persisted: embedding_near_dup_pairs references its input three
+    # times (cell-count aggregate + both self-join sides); unpersisted,
+    # each reference re-runs the k-centroid argmin over the corpus.
+    assigned = clustering.assign_cells(emb, cents).persist()
     pairs = similarity.embedding_near_dup_pairs(
         assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL
     )
-    comps = dedup.connected_components_star(pairs)
-    return dedup.dedup_survivors(emb, comps, "vec_id").select(
-        "vec_id", "label"
-    )
+    return _embedding_survivors(emb, pairs)
 
 
 # Aliases of the operator defaults (operators/curation.py) — ONE copy

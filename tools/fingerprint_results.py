@@ -53,13 +53,24 @@ def main() -> None:
     spark = get_spark("fingerprint")
     manifest: dict = {"sf_dir": sf_dir, "queries": {}}
     # Carry forward evidence notes (e.g. the partition-count-invariance
-    # record) — a regeneration refreshes hashes, not the provenance
-    # annotations reviewers attached to the manifest.
+    # record) ONLY while the query set they were verified against is
+    # unchanged — notes are stamped with a hash of the sorted query
+    # names (notes_query_set), and a regeneration over a different set
+    # DROPS them rather than silently re-attaching provenance claims
+    # to hashes they never covered.
+    qset = hashlib.sha256(
+        "\x1f".join(sorted(entrymod.queries())).encode()
+    ).hexdigest()[:16]
     if os.path.exists(out):
         try:
             prior = json.load(open(out))
-            if isinstance(prior, dict) and "notes" in prior:
+            if (
+                isinstance(prior, dict)
+                and "notes" in prior
+                and prior.get("notes_query_set") == qset
+            ):
                 manifest["notes"] = prior["notes"]
+                manifest["notes_query_set"] = qset
         except (json.JSONDecodeError, OSError):
             pass
     for name, fn in sorted(entrymod.queries().items()):
