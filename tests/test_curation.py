@@ -73,6 +73,33 @@ def test_dsir_feature_accounting(spark, sf_dir):
         assert r.n_feats == r.want
 
 
+def test_span_dup_stats_containment(spark):
+    """A document fully contained in another has every span duplicated
+    (dup_ppm == 1e6) while the container is only partially duplicated —
+    the containment signal whole-doc near-dup misses."""
+    from genai_batch_processor_spark.operators import curation
+
+    inner = "one two three four five six seven"
+    outer = inner + " plus extra trailing words here beyond the copy"
+    docs = spark.createDataFrame(
+        [(1, outer), (2, inner), (3, "totally different text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.span_dup_stats(docs).collect()}
+    assert out[2].dup_ppm == 1_000_000  # contained doc: all spans shared
+    assert 0 < out[1].dup_ppm < 1_000_000  # container: partial
+    assert out[3].dup_ppm == 0  # unrelated doc: none
+
+
+def test_filter_funnel_no_rules(spark):
+    from genai_batch_processor_spark.operators import curation
+
+    df = spark.range(7)
+    rows = curation.filter_funnel(df, []).collect()
+    assert len(rows) == 1
+    assert (rows[0].stage, rows[0].rule, rows[0].n_pass) == (0, "all", 7)
+
+
 def test_dsir_weights_keeps_null_and_empty_text(spark):
     from genai_batch_processor_spark.operators import curation
 
