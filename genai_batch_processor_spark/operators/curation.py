@@ -74,6 +74,71 @@ def span_dup_stats(
     )
 
 
+def span_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS_DEFAULT,
+) -> DataFrame:
+    """Distinct span-hash relation of a corpus — the persisted
+    exact-containment index a later ingest probes (the span analog of
+    dedup.minhash_index). One row per distinct 60-bit span hash; at
+    rest this is hash-bucketed parquet, and probes join on the hash
+    key without ever re-shingling the indexed corpus."""
+    return (
+        docs.select(
+            F.explode(
+                tx.shingles(F.lower(F.col(text_col)), span_words)
+            ).alias("span")
+        )
+        .select(hashing.portable_hash60("span").alias("h"))
+        .distinct()
+    )
+
+
+def probe_span_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS_DEFAULT,
+) -> DataFrame:
+    """Corpus-containment screen for an ingest batch: per new document,
+    how many of its spans the corpus has already seen — the
+    boilerplate / plagiarism / contamination signal at ingest time,
+    BEFORE the batch is admitted. Output: (id, n_spans, n_known_spans,
+    known_ppm), integer ppm.
+
+    Scale: only the (small) batch is exploded; the probe is one join
+    on the span-hash key against the index relation — per-ingest cost
+    scales with the batch, never the corpus."""
+    spans = new_docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            tx.shingles(F.lower(F.col(text_col)), span_words)
+        ).alias("span"),
+    ).select("__id", hashing.portable_hash60("span").alias("h"))
+    marked = spans.join(
+        index.select("h", F.lit(True).alias("known")), "h", "left"
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("known"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_known_spans"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_spans",
+            "n_known_spans",
+            F.expr("n_known_spans * 1000000 div n_spans").alias(
+                "known_ppm"
+            ),
+        )
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     is_target: Column,

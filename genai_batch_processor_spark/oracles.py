@@ -2534,3 +2534,34 @@ ORACLES["semdedup_survivors"] = f"""
       JOIN ok ON ok.cell = x.cell
       WHERE round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
             >= {similarity.NEAR_DUP_COSINE}""" + _EMB_CLOSURE_SQL
+
+# Ingest-time span-containment probe: the same index/batch derivation
+# replayed — corpus span hashes distinct, batch = word-4+ tails of every
+# 10th doc re-keyed by the probe offset, LEFT JOIN on the span hash.
+ORACLES["incremental_span_dup"] = f"""
+    WITH idx AS (
+      SELECT DISTINCT {sql_hash60('s')} AS h
+      FROM (
+        SELECT unnest({tx.sql_shingles('lower(text)', _q4.SPAN_N)}) AS s
+        FROM documents
+      )
+    ), batch AS (
+      SELECT doc_id + {_q4.INC_DEDUP_OFFSET} AS doc_id,
+             array_to_string((string_split(text, ' '))[4:], ' ')
+               || ' zz' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 10 = 3
+    ), spans AS (
+      SELECT doc_id, {sql_hash60('s')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest({tx.sql_shingles('lower(text)', _q4.SPAN_N)}) AS s
+        FROM batch
+      )
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(i.h) AS BIGINT) AS n_known_spans,
+           CAST(count(i.h) * 1000000 // count(*) AS BIGINT) AS known_ppm
+    FROM spans s LEFT JOIN idx i ON s.h = i.h
+    GROUP BY s.doc_id
+"""

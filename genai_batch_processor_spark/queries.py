@@ -3315,6 +3315,51 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_MAX_CELL = 512  # k-means cells are k-bounded, not 2^bits
 
+_SPAN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _span_index_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted corpus span index per (session, sf_dir) — probes
+    must never re-shingle the indexed corpus (the same seam as the
+    MinHash band index cache)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SPAN_INDEX_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = curation.span_index(docs).persist()
+        _SPAN_INDEX_CACHE[key] = df
+    return df
+
+
+def q_incremental_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time span-containment screen: a new batch (the word-4+
+    TAIL of every 10th document with a novel per-doc token appended,
+    re-keyed into a disjoint id space — PARTIALLY contained in the
+    corpus by construction) probed against the persisted span index
+    (operators/curation.py:span_index / probe_span_index). The
+    exact-containment analog of incremental_near_dup: the tail's
+    interior spans are corpus spans (an n-gram of a suffix is an
+    n-gram of the original), the spans covering the appended novel
+    token are not, so known_ppm lands strictly between 0 and 1e6 —
+    the admit/trim decision signal at ingest.
+
+    Scale: only the batch is exploded; the probe joins on the span
+    hash; the index is built once per session (persisted) and at rest
+    is hash-bucketed parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _span_index_shared(spark, sf_dir)
+    ws = tx.words(F.col("text"))
+    tail_text = F.concat_ws(
+        " ",
+        F.slice(ws, 4, F.greatest(F.size(ws) - 3, F.lit(1))),
+        F.concat(F.lit("zz"), F.col("doc_id").cast("string")),
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"),
+        tail_text.alias("text"),
+    )
+    return curation.probe_span_index(index, new_docs)
+
 
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -3513,6 +3558,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, callable] = {
+    "incremental_span_dup": q_incremental_span_dup,
     "semdedup_survivors": q_semdedup_survivors,
     "rrf_fusion": q_rrf_fusion,
     "span_dedup_stats": q_span_dedup_stats,

@@ -91,6 +91,32 @@ def test_span_dup_stats_containment(spark):
     assert out[3].dup_ppm == 0  # unrelated doc: none
 
 
+def test_span_index_probe_containment(spark):
+    """Probing a corpus substring reports full containment; probing
+    novel text reports zero; a mix lands in between."""
+    from genai_batch_processor_spark.operators import curation
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    idx = curation.span_index(corpus)
+    probes = spark.createDataFrame(
+        [
+            (10, "beta gamma delta epsilon zeta eta"),  # substring
+            (11, "nova terra luna stella cosmo orbis"),  # novel
+            (12, "gamma delta epsilon zeta eta nova"),  # mixed tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in curation.probe_span_index(idx, probes).collect()
+    }
+    assert out[10].known_ppm == 1_000_000
+    assert out[11].known_ppm == 0
+    assert 0 < out[12].known_ppm < 1_000_000
+
+
 def test_filter_funnel_no_rules(spark):
     from genai_batch_processor_spark.operators import curation
 
