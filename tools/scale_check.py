@@ -77,6 +77,7 @@ TOP = [
     "rrf_fusion",
     "quality_filter_funnel",
     "semdedup_survivors",
+    "incremental_span_dup",
 ]
 
 
