@@ -108,28 +108,40 @@ def probe_span_index(
     BEFORE the batch is admitted. Output: (id, n_spans, n_known_spans,
     known_ppm), integer ppm.
 
-    Scale: only the (small) batch is exploded; the probe is one join
-    on the span-hash key against the index relation — per-ingest cost
-    scales with the batch, never the corpus."""
+    Scale: only the (small) batch is exploded, and the batch side
+    BROADCASTS into one scan of the index (an inner join can broadcast
+    either side; a spans-LEFT-JOIN-index shape could only broadcast
+    the index — the corpus-sized side — and would shuffle the index
+    on every ingest). The total span count comes from the batch alone,
+    so the index is scanned once and never shuffled — the same
+    batch-broadcast-into-index-scan design as the incremental MinHash
+    probe."""
     spans = new_docs.select(
         F.col(id_col).alias("__id"),
         F.explode(
             tx.shingles(F.lower(F.col(text_col)), span_words)
         ).alias("span"),
     ).select("__id", hashing.portable_hash60("span").alias("h"))
-    marked = spans.join(
-        index.select("h", F.lit(True).alias("known")), "h", "left"
+    totals = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    known = (
+        F.broadcast(spans)
+        .join(index.select("h"), "h")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_known_spans"))
     )
     return (
-        marked.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("known"), 1).otherwise(0))
+        totals.join(known, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_spans",
+            F.coalesce(F.col("n_known_spans"), F.lit(0))
             .cast("long")
             .alias("n_known_spans"),
         )
         .select(
-            F.col("__id").alias(id_col),
+            id_col,
             "n_spans",
             "n_known_spans",
             F.expr("n_known_spans * 1000000 div n_spans").alias(
