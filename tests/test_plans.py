@@ -381,6 +381,15 @@ def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_span_probe_broadcasts_batch_not_index(spark, sf_dir):
+    """The ingest probe must broadcast the (small) batch spans into one
+    scan of the corpus span index — a plan that shuffles the index per
+    ingest defeats incrementality at scale."""
+    plan = _plan(spark, "incremental_span_dup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_part_match_candidates_no_single_partition(spark, sf_dir):
     """The linkage self-join must stay block-local — no global funnel
     and no cartesian product anywhere in the plan."""
