@@ -2565,3 +2565,21 @@ ORACLES["incremental_span_dup"] = f"""
     FROM spans s LEFT JOIN idx i ON s.h = i.h
     GROUP BY s.doc_id
 """
+
+from genai_batch_processor_spark.operators import sampling as _smp4  # noqa: E402
+
+# Split-leakage audit: the verified near-dup pair SQL labeled with the
+# same pure-hash split assignment, aggregated per split pair.
+ORACLES["split_leakage"] = f"""
+    WITH p AS (
+      SELECT id_a, id_b FROM ({ORACLES["near_dup_pairs"]})
+    ), labeled AS (
+      SELECT {_smp4.sql_assign_split('id_a')} AS split_a,
+             {_smp4.sql_assign_split('id_b')} AS split_b
+      FROM p
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(split_a <> split_b AS INT) AS is_leak
+    FROM labeled GROUP BY split_a, split_b
+"""

@@ -3313,6 +3313,34 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- round-4 additions: curation-pipeline primitives -------------------------
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split-integrity audit: near-dup pairs that straddle
+    the train/val/test boundary leak evaluation content into training
+    — the go/no-go check an eval pipeline runs BEFORE trusting held-out
+    numbers. Reuses the shared persisted MinHash pair stage and the
+    pure-hash split assignment (both independently oracle-verified);
+    output is the per-(split_a, split_b) pair count with a leak flag.
+
+    Scale: the verified pair relation is aggregate-sized, and split
+    labels are row-local hash functions of the ids — no shuffle beyond
+    the pair stage itself."""
+    pairs = _near_dup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
+    labeled = pairs.select(
+        sampling.assign_split("id_a").alias("split_a"),
+        sampling.assign_split("id_b").alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).cast("int").alias(
+            "is_leak"
+        ),
+    )
+
+
 SEMDEDUP_MAX_CELL = 512  # k-means cells are k-bounded, not 2^bits
 
 _SPAN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -3558,6 +3586,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, callable] = {
+    "split_leakage": q_split_leakage,
     "incremental_span_dup": q_incremental_span_dup,
     "semdedup_survivors": q_semdedup_survivors,
     "rrf_fusion": q_rrf_fusion,
