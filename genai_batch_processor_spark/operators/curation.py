@@ -122,8 +122,14 @@ def probe_span_index(
             tx.shingles(F.lower(F.col(text_col)), span_words)
         ).alias("span"),
     ).select("__id", hashing.portable_hash60("span").alias("h"))
-    totals = spans.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans")
+    # Per-doc span totals WITHOUT a second explode+aggregate: the count
+    # of exploded spans is just the shingle-array size — one batch
+    # scan, no shuffle (second-scan shape flagged in review).
+    totals = new_docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tx.shingles(F.lower(F.col(text_col)), span_words))
+        .cast("long")
+        .alias("n_spans"),
     )
     known = (
         F.broadcast(spans)
@@ -131,8 +137,11 @@ def probe_span_index(
         .groupBy("__id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_known_spans"))
     )
+    # known is a per-doc aggregate of the (small) batch — broadcast it
+    # too, so the whole probe plan is broadcast joins with exactly one
+    # pass over the index and one over the batch.
     return (
-        totals.join(known, "__id", "left")
+        totals.join(F.broadcast(known), "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             "n_spans",

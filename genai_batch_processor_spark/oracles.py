@@ -2546,9 +2546,14 @@ ORACLES["incremental_span_dup"] = f"""
         FROM documents
       )
     ), batch AS (
+      -- list_append + array_to_string mirrors Spark concat_ws's
+      -- ARRAY-flattening exactly: an empty tail contributes nothing
+      -- (no leading separator), unlike '' || ' zz' || id which would
+      -- produce ' zzN' and hash a different fallback shingle.
       SELECT doc_id + {_q4.INC_DEDUP_OFFSET} AS doc_id,
-             array_to_string((string_split(text, ' '))[4:], ' ')
-               || ' zz' || CAST(doc_id AS VARCHAR) AS text
+             array_to_string(
+               list_append((string_split(text, ' '))[4:],
+                           'zz' || CAST(doc_id AS VARCHAR)), ' ') AS text
       FROM documents WHERE doc_id % 10 = 3
     ), spans AS (
       SELECT doc_id, {sql_hash60('s')} AS h

@@ -384,9 +384,15 @@ def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
 def test_span_probe_broadcasts_batch_not_index(spark, sf_dir):
     """The ingest probe must broadcast the (small) batch spans into one
     scan of the corpus span index — a plan that shuffles the index per
-    ingest defeats incrementality at scale."""
+    ingest defeats incrementality at scale. Asserting the ABSENCE of
+    shuffle joins (not just the presence of a broadcast one) is what
+    pins the direction: without the explicit broadcast hints the
+    planner could legally broadcast the INDEX side at fixture scale
+    and this test would still see a BroadcastHashJoin."""
     plan = _plan(spark, "incremental_span_dup", sf_dir)
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "SinglePartition" not in plan
 
 
