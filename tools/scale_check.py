@@ -78,6 +78,7 @@ TOP = [
     "quality_filter_funnel",
     "semdedup_survivors",
     "incremental_span_dup",
+    "split_leakage",
 ]
 
 
