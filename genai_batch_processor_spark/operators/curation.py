@@ -101,6 +101,7 @@ def probe_span_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_words: int = SPAN_WORDS_DEFAULT,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Corpus-containment screen for an ingest batch: per new document,
     how many of its spans the corpus has already seen — the
@@ -115,7 +116,15 @@ def probe_span_index(
     on every ingest). The total span count comes from the batch alone,
     so the index is scanned once and never shuffled — the same
     batch-broadcast-into-index-scan design as the incremental MinHash
-    probe."""
+    probe.
+
+    ``broadcast_batch`` is the guard on that 'small batch' assumption:
+    the broadcast side is the EXPLODED batch (docs × spans rows, must
+    fit in driver + executor memory, Spark hard-caps broadcasts at
+    8 GB). For an ingest batch too large for that — roughly
+    > ~10M docs×spans rows — pass False to fall back to a shuffle
+    join: the index shuffles once on the span hash, which is the
+    correct trade when the 'batch' is itself corpus-sized."""
     spans = new_docs.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -131,17 +140,18 @@ def probe_span_index(
         .cast("long")
         .alias("n_spans"),
     )
+    probe_side = F.broadcast(spans) if broadcast_batch else spans
     known = (
-        F.broadcast(spans)
-        .join(index.select("h"), "h")
+        probe_side.join(index.select("h"), "h")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_known_spans"))
     )
     # known is a per-doc aggregate of the (small) batch — broadcast it
     # too, so the whole probe plan is broadcast joins with exactly one
     # pass over the index and one over the batch.
+    known_side = F.broadcast(known) if broadcast_batch else known
     return (
-        totals.join(F.broadcast(known), "__id", "left")
+        totals.join(known_side, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             "n_spans",
@@ -247,13 +257,21 @@ def filter_funnel(
         ],
     )
     names = ["all"] + [name for name, _ in rules]
-    stack_args = ", ".join(
-        f"{i}, '{name}', n{i}" for i, name in enumerate(names)
+    # Literal Columns, not a stack() SQL string: rule names are
+    # caller-supplied, and interpolating them into an F.expr literal
+    # would break (or inject) on quotes/metacharacters in a name.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"n{i}").alias("n_pass"),
+            )
+            for i, name in enumerate(names)
+        ]
     )
-    return agg.select(
-        F.expr(
-            f"stack({len(names)}, {stack_args}) AS (stage, rule, n_pass)"
-        )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.rule", "r.n_pass"
     )
 
 

@@ -238,3 +238,43 @@ def test_rrf_fusion_consensus_bounds(spark, sf_dir):
         by_rank = sorted(rs, key=lambda x: x.fused_rank)
         scores = [x.rrf_micro for x in by_rank]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_filter_funnel_rule_names_with_sql_metacharacters(spark):
+    """Rule names are caller data, not SQL: quotes/backslashes in a
+    name must pass through verbatim (the r4 stack()-interpolation
+    shape broke on an apostrophe)."""
+    from genai_batch_processor_spark.operators import curation
+
+    df = spark.range(5)
+    rules = [
+        ("doesn't crash", F.col("id") >= 1),
+        ('has "quotes" \\ backslash', F.col("id") >= 3),
+    ]
+    rows = {r.stage: r for r in curation.filter_funnel(df, rules).collect()}
+    assert rows[0].n_pass == 5 and rows[0].rule == "all"
+    assert rows[1].n_pass == 4 and rows[1].rule == "doesn't crash"
+    assert rows[2].n_pass == 2
+    assert rows[2].rule == 'has "quotes" \\ backslash'
+
+
+def test_probe_span_index_shuffle_fallback_equals_broadcast(spark):
+    """broadcast_batch=False (the oversized-ingest escape hatch) must
+    produce the identical relation via a shuffle join, and the
+    broadcast path's plan must actually broadcast the batch side."""
+    from genai_batch_processor_spark.operators import curation
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = curation.span_index(docs)
+    probes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    bcast = curation.probe_span_index(idx, probes)
+    shuffled = curation.probe_span_index(
+        idx, probes, broadcast_batch=False
+    )
+    a = {tuple(r) for r in bcast.collect()}
+    b = {tuple(r) for r in shuffled.collect()}
+    assert a == b and len(a) > 0
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
