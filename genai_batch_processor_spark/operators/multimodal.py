@@ -393,8 +393,9 @@ def window_audio_real(
 
     def window(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             ids, idxs, fps, lvls = [], [], [], []
@@ -417,15 +418,20 @@ def window_audio_real(
                         )
                     pcm = w.readframes(w.getnframes())
                 n = len(pcm) // 2
-                samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+                # vectorized RMS: the per-sample Python loop was the
+                # decode hot path (round-4 verdict follow-up); one
+                # frombuffer + per-window mean-of-squares replaces it
+                samples = np.frombuffer(pcm, dtype="<i2", count=n)
                 step = AUDIO_WINDOW_SAMPLES
-                for i in range(0, len(samples), step):
-                    win = samples[i : i + step]
-                    chunk = pcm[2 * i : 2 * (i + step)]
-                    rms = (sum(s * s for s in win) / len(win)) ** 0.5
+                n_win = (n + step - 1) // step
+                sq = samples.astype(np.float64) ** 2
+                for k in range(n_win):
+                    win = sq[k * step : (k + 1) * step]
+                    chunk = pcm[2 * k * step : 2 * (k + 1) * step]
+                    rms = float(win.mean()) ** 0.5
                     fp = int(hashlib.md5(chunk).hexdigest()[:15], 16)
                     ids.append(int(rid))
-                    idxs.append(i // step)
+                    idxs.append(k)
                     fps.append(fp)
                     lvls.append(int(round(rms / 32768.0 * 1000)))
             yield pd.DataFrame(
