@@ -85,12 +85,25 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
     )
 
 
-def load_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+def load_minhash_index(
+    spark: SparkSession, path: str, check_bucket_counts: bool = True
+) -> DataFrame:
     """Reload a persisted MinHash band index with the same version
     guard as the centroid store. The distinct runs BEFORE the limit so
     a mixed-version directory (e.g. a partial overwrite leaving old
     files beside new) cannot hide behind two same-version sample rows;
-    the scan reads one small column, not the payload."""
+    the scan reads one small column, not the payload.
+
+    ``check_bucket_counts`` is the staleness guard: after a takedown
+    deletes rows, the denormalized ``bucket_n`` on surviving rows
+    still counts the removed members and silently over-applies the
+    probe-time bucket cap — :func:`operators.dedup.with_bucket_counts`
+    is the documented repair, but docs don't stop an operator from
+    loading a stale index. The guard spot-checks ONE band (partition-
+    pruned, two small columns, no ``hs`` payload): recorded
+    ``bucket_n`` vs actual per-key row count, and raises naming the
+    repair. Every band gets the same delete (a doc's rows span all
+    bands), so one band's counts witness the whole index."""
     idx = spark.read.parquet(path)
     versions = [
         r["format_version"]
@@ -101,7 +114,29 @@ def load_minhash_index(spark: SparkSession, path: str) -> DataFrame:
             f"minhash index at {path} has format_version {versions}, "
             f"expected [{INDEX_FORMAT_VERSION}]"
         )
-    return idx.select("band", "key", "id", "hs", "bucket_n")
+    out = idx.select("band", "key", "id", "hs", "bucket_n")
+    if check_bucket_counts:
+        first = idx.select("band").limit(1).collect()
+        if first:
+            band_val = first[0]["band"]
+            stale = (
+                out.filter(F.col("band") == band_val)
+                .groupBy("key", "bucket_n")
+                .agg(F.count(F.lit(1)).cast("long").alias("actual_n"))
+                .filter(F.col("actual_n") != F.col("bucket_n"))
+                .limit(1)
+                .collect()
+            )
+            if stale:
+                r = stale[0]
+                raise ValueError(
+                    f"minhash index at {path} is STALE: band {band_val} "
+                    f"key {r['key']} records bucket_n={r['bucket_n']} but "
+                    f"holds {r['actual_n']} rows — rows were erased "
+                    "without refreshing counts; rebuild with "
+                    "operators.dedup.with_bucket_counts and re-save"
+                )
+    return out
 
 
 def load_centroids(

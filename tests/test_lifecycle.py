@@ -753,7 +753,11 @@ def test_takedown_reaches_persisted_dedup_index(spark, sf_dir, tmp_path):
     )
     assert touched  # the id lived in every band it was hashed into
 
-    reloaded = index_store.load_minhash_index(spark, path)
+    # check_bucket_counts=False: this load is the REPAIR path — the
+    # counts are stale by construction until with_bucket_counts runs
+    reloaded = index_store.load_minhash_index(
+        spark, path, check_bucket_counts=False
+    )
     assert reloaded.filter(F.col("id") == victim.doc_id).count() == 0
     after = dedup.incremental_near_dup_pairs(
         reloaded, probe, "doc_id", "text"
@@ -778,3 +782,51 @@ def test_takedown_reaches_persisted_dedup_index(spark, sf_dir, tmp_path):
     )
     repaired = index_store.load_minhash_index(spark, repaired_path)
     assert _mismatched(repaired) == 0
+
+
+def test_stale_bucket_counts_fail_loudly_on_load(spark, tmp_path):
+    """The load-time freshness guard (round-4 verdict item 8): erasing
+    index rows without the with_bucket_counts repair must make the
+    NEXT load raise, instead of relying on operators reading the
+    repair doc. Exact duplicates share every bucket in every band, so
+    deleting one leaves a stale count in whichever band the guard
+    samples."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import index_store
+    from genai_batch_processor_spark.sources.upsert import (
+        delete_keys_partitioned,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words live in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_stale")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), path
+    )
+    delete_keys_partitioned(
+        spark, path,
+        spark.createDataFrame([(2,)], "id long"), "id", "band",
+    )
+    with pytest.raises(ValueError, match="STALE.*with_bucket_counts"):
+        index_store.load_minhash_index(spark, path)
+    # the documented repair clears the guard
+    repaired_path = str(tmp_path / "mh_repaired")
+    index_store.save_minhash_index(
+        dedup.with_bucket_counts(
+            index_store.load_minhash_index(
+                spark, path, check_bucket_counts=False
+            )
+        ),
+        repaired_path,
+    )
+    assert index_store.load_minhash_index(
+        spark, repaired_path
+    ).count() > 0
