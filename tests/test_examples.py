@@ -83,3 +83,43 @@ def test_curation_pipeline_example(spark, sf_dir):
         per_shard.setdefault(r.shard, []).append(r.pos)
     for poss in per_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_curation_pipeline_shared_stages_run_once(spark, sf_dir):
+    """The e2e chain measured as ONE job (r4 verdict item 7): drain all
+    four returned relations under a job group and bound the number of
+    stages that actually EXECUTED. The MinHash pair graph / clustering
+    / span subtrees are referenced many times across the chain (117
+    stage references at calibration) but the persisted shared stages
+    mean only ~62 run; if a persist is dropped and a shared subtree
+    starts recomputing per consumer, the completed-stage count blows
+    through the bound."""
+    import run_curation_pipeline
+
+    sc = spark.sparkContext
+    group = "curation-e2e-stagecount"
+    sc.setJobGroup(group, "curation e2e stage audit")
+    try:
+        deduped, clean, mixed, ordered = run_curation_pipeline.main(
+            spark, sf_dir
+        )
+        for rel in (deduped, clean, mixed, ordered):
+            rel.count()
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    stage_ids = set()
+    for j in st.getJobIdsForGroup(group):
+        stage_ids.update(st.getJobInfo(j).stageIds)
+    completed = sum(
+        1
+        for s in stage_ids
+        if (info := st.getStageInfo(s)) is not None
+        and info.numCompletedTasks > 0
+    )
+    assert len(stage_ids) > completed  # reuse actually happened
+    assert completed <= 80, (
+        f"{completed} stages executed (calibrated ~62): a shared stage "
+        "(pair graph / clustering / span index) is recomputing per "
+        "consumer — check the persist() seams in the example"
+    )
