@@ -223,7 +223,10 @@ def run_job(
             _fetch_results(backend, job)
         except Exception:  # noqa: BLE001 — deliberate: salvage only
             pass
-        raise RuntimeError(f"{job.job_id}: terminal states {states}")
+        raise RuntimeError(
+            f"{job.job_id}: terminal states {states}"
+            f"{_error_details(backend, job.batch_ids)}"
+        )
     # fetch BEFORE marking completed: a crash mid-download leaves the
     # manifest resumable (resume_job re-polls — instant, already
     # terminal — and re-fetches) instead of completed-but-empty.
@@ -231,6 +234,22 @@ def run_job(
     job.state = "completed"
     job.save(manifest_dir)
     return job
+
+
+def _error_details(backend: BatchBackend, batch_ids: list[str]) -> str:
+    """Best-effort WHY for a failed job: backends exposing
+    ``error_detail`` (Vertex's google.rpc.Status on the job resource —
+    the detail the reference prints at ``vtx:229-231``) contribute it
+    to the raised message; absence or a detail-fetch failure never
+    masks the failure itself."""
+    fn = getattr(backend, "error_detail", None)
+    if fn is None:
+        return ""
+    try:
+        notes = [d for b in batch_ids if (d := fn(b))]
+    except Exception:  # noqa: BLE001 — diagnostics only
+        return ""
+    return " — " + "; ".join(notes) if notes else ""
 
 
 def _fetch_results(backend: BatchBackend, job: JobManifest) -> None:
@@ -314,7 +333,10 @@ def resume_job(
             _fetch_results(backend, job)
         except Exception:  # noqa: BLE001 — deliberate: salvage only
             pass
-        raise RuntimeError(f"{job_id}: terminal states {states}")
+        raise RuntimeError(
+            f"{job_id}: terminal states {states}"
+            f"{_error_details(backend, job.batch_ids)}"
+        )
     _fetch_results(backend, job)
     job.state = "completed"
     job.save(manifest_dir)

@@ -601,6 +601,21 @@ class VertexBatchBackend:
         job = self._call("GET", batch_id)
         return _VERTEX_STATE.get(job.get("state", ""), "in_progress")
 
+    def error_detail(self, batch_id: str) -> str | None:
+        """The failed job's ``error`` payload (google.rpc.Status), the
+        detail the reference prints on a non-SUCCEEDED terminal state
+        (``vtx:229-231``) — surfaced as a string so the orchestrator
+        can put WHY into the failure it raises, not just 'failed'."""
+        job = self._call("GET", batch_id)
+        err = job.get("error")
+        if not err:
+            return None
+        code = err.get("code")
+        msg = err.get("message", "")
+        return f"{batch_id}: {code}: {msg}" if code is not None else (
+            f"{batch_id}: {msg}"
+        )
+
     def cancel(self, batch_id: str) -> None:
         """batchPredictionJobs.cancel — ``batch_id`` is the full
         resource name, the public wire appends ``:cancel``."""

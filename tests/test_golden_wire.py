@@ -54,9 +54,13 @@ def _encode_body(body: bytes | None) -> str | None:
 
 
 class GoldenTransport:
-    """Replays recorded responses; records normalized requests."""
+    """Replays recorded responses; records normalized requests.
+    A response entry is ``(status, payload)`` or, for the failure
+    wires that carry e.g. ``Retry-After``, ``(status, payload,
+    resp_headers)`` — replayed through the Transport protocol's
+    3-tuple form."""
 
-    def __init__(self, responses: list[tuple[int, object]]):
+    def __init__(self, responses: list[tuple]):
         self.responses = list(responses)
         self.observed: list[dict] = []
 
@@ -75,10 +79,12 @@ class GoldenTransport:
         )
         if not self.responses:
             raise AssertionError(f"unexpected extra call {method} {url}")
-        status, payload = self.responses.pop(0)
+        entry = self.responses.pop(0)
+        status, payload = entry[0], entry[1]
+        resp_headers = dict(entry[2]) if len(entry) > 2 else {}
         if isinstance(payload, (dict, list)):
             payload = json.dumps(payload).encode()
-        return status, payload
+        return status, payload, resp_headers
 
 
 def _shard_dir(tmp_path, n):
@@ -107,16 +113,17 @@ def _shard_dir(tmp_path, n):
 def _check(name: str, transport: GoldenTransport, responses) -> None:
     """Compare (or record) the observed transcript against the golden
     file — requests normalized, responses as replayed."""
-    transcript = {
-        "requests": transport.observed,
-        "responses": [
-            {
-                "status": s,
-                "body": p if isinstance(p, (dict, list)) else repr(p),
-            }
-            for s, p in responses
-        ],
-    }
+    recorded = []
+    for entry in responses:
+        s, p = entry[0], entry[1]
+        rec = {
+            "status": s,
+            "body": p if isinstance(p, (dict, list)) else repr(p),
+        }
+        if len(entry) > 2:
+            rec["headers"] = dict(entry[2])
+        recorded.append(rec)
+    transcript = {"requests": transport.observed, "responses": recorded}
     path = os.path.join(GOLDEN_DIR, f"{name}.json")
     if UPDATE:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
@@ -287,3 +294,106 @@ def test_golden_vertex_poll_cancel():
     b.cancel(job)
     b.delete(job)
     _check("vertex_poll_cancel", t, responses)
+
+
+# -- failure wires (round-4 verdict item 5) --------------------------------
+
+
+def test_golden_openai_submit_429_retry(tmp_path):
+    """429-with-Retry-After on BOTH submit legs: the upload retries
+    under the general policy, batches.create under its narrowed
+    {429} set. The retried upload must resend the full multipart body
+    with a fresh boundary — identical to the first attempt after
+    normalization, which the golden diff proves byte-for-byte."""
+    from genai_batch_processor_spark.inference.providers import RetryPolicy
+
+    rate_limited = {"error": {"message": "Rate limit reached", "code": 429}}
+    responses = [
+        (429, rate_limited, {"Retry-After": "0"}),
+        (200, {"id": "file-1"}),
+        (429, rate_limited, {"Retry-After": "0"}),
+        (200, {"id": "batch-1", "status": "validating"}),
+    ]
+    t = GoldenTransport(responses)
+    b = OpenAIBatchBackend(
+        "sk-test",
+        transport=t,
+        retry_policy=RetryPolicy(base_delay=0.0, rng=lambda: 0.0),
+    )
+    assert b.submit(_shard_dir(tmp_path, 1), "unused", {}) == ["batch-1"]
+    # attempt 2 of each leg is a true re-send: same normalized bytes
+    assert t.observed[0] == t.observed[1]
+    assert t.observed[2] == t.observed[3]
+    _check("openai_submit_429_retry", t, responses)
+
+
+def test_golden_openai_failed_batch_salvage(tmp_path):
+    """Failed batch with error_file_id: run_job raises, but salvages
+    the provider error file first (oai:221-224 behavior under the
+    fail-loudly contract) — the transcript pins the extra
+    /batches/<id> + /files/<err>/content fetches on the failure path."""
+    from genai_batch_processor_spark.inference import orchestrator
+
+    err_lines = (
+        '{"custom_id": "request-0", "response": null, '
+        '"error": {"message": "model_overloaded"}}\n'
+    )
+    responses = [
+        (200, {"id": "file-1"}),
+        (200, {"id": "batch-1", "status": "validating"}),
+        (200, {"id": "batch-1", "status": "failed"}),
+        (200, {"id": "batch-1", "status": "failed"}),
+        (
+            200,
+            {
+                "id": "batch-1",
+                "status": "failed",
+                "error_file_id": "f-err",
+            },
+        ),
+        (200, err_lines),
+    ]
+    t = GoldenTransport(
+        [
+            (s, p.encode() if isinstance(p, str) else p)
+            for s, p in responses
+        ]
+    )
+    b = OpenAIBatchBackend("sk-test", transport=t)
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="terminal states.*failed"):
+        orchestrator.run_job(
+            b,
+            input_path=_shard_dir(tmp_path, 1),
+            output_path=out,
+            manifest_dir=str(tmp_path / "manifests"),
+            poll_interval_seconds=0.01,
+        )
+    with open(os.path.join(out, "batch-1.errors.jsonl")) as f:
+        assert f.read() == err_lines  # salvage actually landed
+    _check("openai_failed_salvage", t, responses)
+
+
+def test_golden_vertex_failed_error_detail():
+    """Vertex terminal FAILED with a google.rpc.Status error: status
+    maps to 'failed' and error_detail surfaces the code+message the
+    reference prints (vtx:229-231)."""
+    job = "projects/p1/locations/us-central1/batchPredictionJobs/79"
+    err = {"code": 3, "message": "Invalid JSONL: bad schema in shard 0"}
+    responses = [
+        (200, {"name": job, "state": "JOB_STATE_FAILED", "error": err}),
+        (200, {"name": job, "state": "JOB_STATE_FAILED", "error": err}),
+    ]
+    t = GoldenTransport(responses)
+    b = VertexBatchBackend(
+        "p1",
+        "publishers/google/models/gemini-2.0-flash-001",
+        lambda: "golden-token",
+        transport=t,
+    )
+    assert b.status(job) == "failed"
+    assert (
+        b.error_detail(job)
+        == f"{job}: 3: Invalid JSONL: bad schema in shard 0"
+    )
+    _check("vertex_failed_error_detail", t, responses)

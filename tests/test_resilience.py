@@ -212,3 +212,44 @@ def test_delayed_backend_deadline_fires(spark, tmp_path):
     assert names
     state = orchestrator.JobManifest.load(mdir, names[0][:-5])
     assert state.state == "timeout"
+
+
+def test_failed_job_raise_carries_backend_error_detail(tmp_path):
+    """run_job's failure must say WHY when the backend can: a backend
+    exposing error_detail (Vertex, reference vtx:229-231) gets its
+    detail appended to the RuntimeError; a detail-fetch crash must not
+    mask the failure."""
+
+    class FailingBackend:
+        def submit(self, input_path, output_path, meta):
+            return ["job-a", "job-b"]
+
+        def status(self, batch_id):
+            return "failed"
+
+        def error_detail(self, batch_id):
+            if batch_id == "job-a":
+                return "job-a: 3: Invalid JSONL"
+            return None  # no detail on this one
+
+    with pytest.raises(RuntimeError, match=r"failed.*job-a: 3: Invalid JSONL"):
+        orchestrator.run_job(
+            FailingBackend(),
+            input_path=str(tmp_path),
+            output_path=str(tmp_path / "out"),
+            manifest_dir=str(tmp_path / "m"),
+            poll_interval_seconds=0.01,
+        )
+
+    class CrashingDetail(FailingBackend):
+        def error_detail(self, batch_id):
+            raise OSError("detail endpoint down")
+
+    with pytest.raises(RuntimeError, match="terminal states"):
+        orchestrator.run_job(
+            CrashingDetail(),
+            input_path=str(tmp_path),
+            output_path=str(tmp_path / "out2"),
+            manifest_dir=str(tmp_path / "m2"),
+            poll_interval_seconds=0.01,
+        )
