@@ -78,7 +78,11 @@ def require_real_codecs(kind: str = "image") -> None:
     ``window_audio``) fall back to the deterministic stubs, which
     exercise identical Spark plumbing."""
     if not codec_support().get(kind, False):
-        lib = {"image": "Pillow", "video": "PyAV"}.get(kind, kind)
+        lib = {
+            "image": "Pillow",
+            "image_full": "Pillow",
+            "video": "PyAV",
+        }.get(kind, kind)
         raise NotImplementedError(
             f"real {kind} decoding requires {lib}, absent from this "
             "environment — use the stub path (deterministic fake) which "
@@ -250,47 +254,89 @@ def _has_module(name: str) -> bool:
 
 def codec_support() -> dict[str, bool]:
     """Which real decode paths this environment can run. ``audio`` is
-    always true: uncompressed WAV decodes with stdlib ``wave``."""
+    always true (uncompressed WAV decodes with stdlib ``wave``) and
+    ``image`` is, since round 5, also always true for PNG payloads —
+    the vendored pure-stdlib decoder (``functions/png.py``) covers
+    them; non-PNG image formats still need Pillow (``image_full``)."""
     return {
-        "image": _has_module("PIL"),
+        "image": True,  # PNG always; Pillow extends to JPEG/GIF/...
+        "image_full": _has_module("PIL"),
         "audio": True,
         "video": _has_module("av"),
     }
 
 
+def _strip_features(rgb) -> list[float]:
+    """The engine-owned feature definition shared by every real image
+    decode source: integer ITU-R 601 luminance, FEATURE_DIM vertical
+    column strips, box mean per strip, /255 rounded to 6 dp. Defined
+    HERE (not borrowed from a library's resampler) so the vector is
+    bit-identical whether the pixels came from the vendored PNG
+    decoder or Pillow."""
+    import numpy as np
+
+    px = rgb.astype(np.int64)
+    lum = (
+        px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    ) // 1000
+    return [
+        round(float(s.mean()) / 255.0, 6)
+        for s in np.array_split(lum, FEATURE_DIM, axis=1)
+    ]
+
+
 def decode_image_real(
     df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
 ) -> DataFrame:
-    """Real image decode via Pillow: true width/height plus a
-    FEATURE_DIM grayscale-band feature (the image resized to a 1×N
-    strip — a stand-in for any thumbnail/embedding stage). Same
-    IMAGE_FEATURES schema and narrow mapInPandas plan as the stub;
-    fails fast on the driver when Pillow is absent, and imports
-    executor-side inside the batch loop."""
-    if not _has_module("PIL"):
+    """Real image decode: true width/height plus the FEATURE_DIM
+    luminance strip feature (:func:`_strip_features` — a stand-in for
+    any thumbnail/embedding stage). PNG payloads decode through the
+    vendored pure-stdlib decoder (``functions/png.py``) — ALWAYS,
+    even when Pillow is importable, so PNG features never depend on
+    the environment; other formats decode via Pillow when present.
+    Same IMAGE_FEATURES schema and narrow mapInPandas plan as the
+    stub; fails fast on the driver when the payloads need Pillow and
+    it is absent (one bounded probe row), and imports executor-side
+    inside the batch loop."""
+    if (
+        not _has_module("PIL")
+        and not df.isStreaming
+        and not _payload_matches(df, data_col, _is_png_magic)
+    ):
         raise NotImplementedError(
-            "decode_image_real requires Pillow; this environment ships "
-            "without it — decode_image(codec='stub') runs the same "
-            "plumbing with a deterministic fake"
+            "decode_image_real requires Pillow for non-PNG payloads; "
+            "this environment ships without it — PNG decodes via the "
+            "vendored codec, and decode_image(codec='stub') runs the "
+            "same plumbing with a deterministic fake"
         )
     id_name, data_name = id_col, data_col
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        from genai_batch_processor_spark.functions import png as _png
 
         for pdf in batches:
             ids, ws, hs, ns, feats = [], [], [], [], []
             for rid, b in zip(pdf[id_name], pdf[data_name]):
                 raw = bytes(b) if b is not None else b""
-                with Image.open(io.BytesIO(raw)) as img:
-                    ws.append(img.width)
-                    hs.append(img.height)
-                    strip = img.convert("L").resize((FEATURE_DIM, 1))
-                    feats.append(
-                        [round(p / 255.0, 6) for p in strip.getdata()]
-                    )
+                if raw[:4] == b"\x89PNG":
+                    w, h, rgb = _png.decode_png(raw)
+                else:
+                    try:
+                        from PIL import Image
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "non-PNG payload needs Pillow"
+                        ) from e
+                    import numpy as np
+
+                    with Image.open(io.BytesIO(raw)) as img:
+                        w, h = img.width, img.height
+                        rgb = np.asarray(img.convert("RGB"))
+                ws.append(w)
+                hs.append(h)
+                feats.append(_strip_features(rgb))
                 ids.append(int(rid))
                 ns.append(len(raw))
             yield pd.DataFrame(
@@ -317,6 +363,10 @@ def _is_image_magic(head: bytes) -> bool:
         (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM",
          b"II*\x00", b"MM\x00*")  # TIFF, both endiannesses
     ) or (head[:4] == b"RIFF" and head[8:12] == b"WEBP")
+
+
+def _is_png_magic(head: bytes) -> bool:
+    return head.startswith(b"\x89PNG")
 
 
 def _is_wav_magic(head: bytes) -> bool:
@@ -351,10 +401,11 @@ def decode_image(
     data_col: str = "data",
     codec: str = "auto",
 ) -> DataFrame:
-    """Image decode dispatcher: ``auto`` uses Pillow when it is
-    importable AND the payloads carry a real image magic
-    (PNG/JPEG/GIF/BMP/TIFF/WebP — fixture fake bytes would crash a
-    real decoder); otherwise the deterministic stub. ``real``/``stub``
+    """Image decode dispatcher: ``auto`` takes the real path when the
+    payloads carry a real image magic the environment can decode —
+    PNG always (vendored codec), JPEG/GIF/BMP/TIFF/WebP only when
+    Pillow is importable; fixture fake bytes (or a format with no
+    decoder here) route to the deterministic stub. ``real``/``stub``
     force a path; see _payload_matches for auto's mixed-format and
     streaming contract."""
     if codec == "auto":
@@ -363,12 +414,16 @@ def decode_image(
                 "codec='auto' probes a payload row, which a streaming "
                 "DataFrame cannot serve — pass codec='real' or 'stub'"
             )
-        codec = (
-            "real"
-            if codec_support()["image"]
-            and _payload_matches(df, data_col, _is_image_magic)
-            else "stub"
+        decodable = _payload_matches(
+            df,
+            data_col,
+            (
+                _is_image_magic
+                if codec_support()["image_full"]
+                else _is_png_magic
+            ),
         )
+        codec = "real" if decodable else "stub"
     if codec == "stub":
         return decode_image_stub(df, id_col, data_col)
     if codec == "real":

@@ -80,28 +80,63 @@ def test_decode_image_dispatcher(spark, sf_dir):
         for r in mm.decode_image(df, codec="auto").collect()
     }
     assert auto == {(r.doc_id, r.width, r.height) for r in stub.collect()}
-    if not mm.codec_support()["image"]:
+    if not mm.codec_support()["image_full"]:
+        # fake (non-PNG) payloads without Pillow: real path fails fast
+        # on the driver probe
         with pytest.raises(NotImplementedError, match="Pillow"):
             mm.decode_image(df, codec="real")
     with pytest.raises(ValueError, match="codec"):
         mm.decode_image(df, codec="bogus")
 
 
-def test_decode_image_real_with_pillow(spark, sf_dir):
-    """Real Pillow decode over the same plumbing — runs wherever the
-    library exists (importorskip elsewhere)."""
-    Image = pytest.importorskip("PIL.Image")
-    import io
+def test_decode_image_real_png_no_pillow(spark):
+    """The real decode path runs EVERYWHERE for PNG via the vendored
+    codec — no importorskip, no permanent environment skip (r4
+    verdict item 4)."""
+    import numpy as np
 
-    buf = io.BytesIO()
-    Image.new("L", (40, 30), color=128).save(buf, format="PNG")
+    from genai_batch_processor_spark.functions import png
+
+    flat = np.full((30, 40), 128, dtype=np.uint8)
     df = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()))], "doc_id long, data binary"
+        [(1, bytearray(png.encode_png(flat)))], "doc_id long, data binary"
     )
     row = mm.decode_image_real(df).collect()[0]
     assert (row.width, row.height) == (40, 30)
     assert len(row.feature) == mm.FEATURE_DIM
-    assert all(abs(x - 128 / 255.0) < 0.02 for x in row.feature)
+    assert all(abs(x - 128 / 255.0) < 0.01 for x in row.feature)
+    # auto-dispatch routes real PNG payloads to the real path even
+    # without Pillow: true dimensions, not the stub's pseudo-dims
+    auto = mm.decode_image(df, codec="auto").collect()[0]
+    assert (auto.width, auto.height) == (40, 30)
+
+
+# Golden vector for the reference's self-generated circle fixture
+# (ex-vis:50-65: 256x256 white RGB, red disc over bbox [64,64,192,192])
+# under the engine-owned feature definition (_strip_features). Pinned
+# so neither the PNG decoder nor the luminance/strip math can drift
+# silently; recompute by hand only for an INTENTIONAL definition
+# change.
+CIRCLE_GOLDEN = [
+    1.0, 1.0, 0.789549, 0.6653, 0.663758, 0.780123, 0.999914, 1.0,
+]
+
+
+def test_decode_image_real_circle_golden(spark):
+    import numpy as np
+
+    from genai_batch_processor_spark.functions import png
+
+    yy, xx = np.mgrid[0:256, 0:256]
+    disc = (xx - 128) ** 2 + (yy - 128) ** 2 <= 64 ** 2
+    img = np.full((256, 256, 3), 255, dtype=np.uint8)
+    img[disc] = (255, 0, 0)  # red fill, as the reference draws
+    df = spark.createDataFrame(
+        [(1, bytearray(png.encode_png(img)))], "doc_id long, data binary"
+    )
+    row = mm.decode_image_real(df).collect()[0]
+    assert (row.width, row.height) == (256, 256)
+    assert [round(x, 6) for x in row.feature] == CIRCLE_GOLDEN
 
 
 def _wav_bytes(samples):
