@@ -65,6 +65,49 @@ def assign_cells(
     return emb.withColumn("cell", F.array_min(scored)["cell"])
 
 
+def assign_cells_arrow(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k scale twin of :func:`assign_cells`: the literal-centroid
+    argmin compiles k × dim literals into one codegen'd expression —
+    exact and oracle-replayable, but compilation cost grows with k
+    (fine at the default k=8; minutes at k≈80+). This path broadcasts
+    the centroid matrix into an Arrow batch argmin instead: one numpy
+    ``X @ C.T`` per batch, same |c|² − 2·x·c score, same lowest-cell-id
+    tie rule (centroids sorted ascending; ``argmin`` returns the first
+    minimum). Semantics match the literal path except summation ORDER
+    inside the dot product (numpy pairwise vs positional fold) — a
+    last-ulp difference that can only matter for scores within an ulp
+    of each other, which identical vectors (the only systematic tie
+    source) never produce across DIFFERENT cells. Not oracle-paired;
+    property-tested for agreement with the literal path."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    order = sorted(centroids, key=lambda c: c[0])
+    cids = np.array([cid for cid, _ in order], dtype=np.int32)
+    C = np.array([c for _, c in order], dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+    vec_name = vec_col
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(list(pdf[vec_name]), dtype=np.float64)
+                scores = cc[None, :] - 2.0 * (X @ C.T)
+                pdf = pdf.assign(cell=cids[np.argmin(scores, axis=1)])
+            else:
+                pdf = pdf.assign(cell=np.array([], dtype=np.int32))
+            yield pdf
+
+    return emb.mapInPandas(assign, schema)
+
+
 def _updated_centroids(
     emb: DataFrame, vec_col: str
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
@@ -104,11 +147,14 @@ def kmeans_cells(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations (init: the vectors with
     ``id_col`` < k) and return the final per-(cell, dim) relation:
     cell, dim, n_vecs, c_val — i.e. the trained centroid table in the
-    long form the IVF index would load."""
+    long form the IVF index would load. ``arrow=True`` assigns via
+    :func:`assign_cells_arrow` — the large-k path (raise-k-at-scale
+    contract); the default literal path stays oracle-exact."""
     if iters < 1:
         raise ValueError(f"kmeans_cells needs iters >= 1, got {iters}")
     init_rows = (
@@ -127,9 +173,10 @@ def kmeans_cells(
             "fewer than k cells; ids must densely cover [0, k) (or pass "
             "explicit centroids via assign_cells)"
         )
+    assign_fn = assign_cells_arrow if arrow else assign_cells
     sums = None
     for _ in range(iters):
-        assigned = assign_cells(emb, centroids, vec_col)
+        assigned = assign_fn(emb, centroids, vec_col)
         centroids, sums = _updated_centroids(assigned, vec_col)
     return sums.select(
         "cell",

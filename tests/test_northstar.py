@@ -496,3 +496,44 @@ def test_minhash_index_save_refuses_string_ids(spark, tmp_path):
     index = dedup.minhash_index(df, "doc_id", "text")
     with pytest.raises(ValueError, match="integral"):
         index_store.save_minhash_index(index, str(tmp_path / "bad"))
+
+
+def test_assign_cells_arrow_agrees_with_literal_path(spark, sf_dir):
+    """The large-k Arrow argmin (raise-k scale path) must assign every
+    vector to the same cell as the oracle-exact literal-centroid path,
+    on real fixture vectors and on an exact-duplicate tie."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import clustering
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.centroids_from_cells(
+        clustering.kmeans_cells(emb, k=8)
+    )
+    lit = {
+        r.vec_id: r.cell
+        for r in clustering.assign_cells(emb, cents).collect()
+    }
+    arr = {
+        r.vec_id: r.cell
+        for r in clustering.assign_cells_arrow(emb, cents).collect()
+    }
+    assert lit == arr and len(lit) == emb.count()
+    # duplicate vectors (the one systematic tie source) land together
+    dup = emb.limit(1).unionByName(
+        emb.limit(1).withColumn("vec_id", F.lit(999_999).cast("long"))
+    )
+    cells = {
+        r.cell for r in clustering.assign_cells_arrow(dup, cents).collect()
+    }
+    assert len(cells) == 1
+
+    # arrow-trained k-means must reproduce the literal-trained cells
+    via_arrow = clustering.kmeans_cells(emb, k=8, arrow=True)
+    via_lit = clustering.kmeans_cells(emb, k=8)
+    a = {(r.cell, r.dim): (r.n_vecs, round(r.c_val, 9))
+         for r in via_arrow.collect()}
+    b = {(r.cell, r.dim): (r.n_vecs, round(r.c_val, 9))
+         for r in via_lit.collect()}
+    assert a == b
