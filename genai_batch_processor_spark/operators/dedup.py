@@ -297,6 +297,86 @@ def jaccard_pairs_from_hashes(
     )
 
 
+def minhash_calibration_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Per-candidate-pair estimator audit rows: the MinHash signature
+    ESTIMATE of Jaccard (matching components / K) next to the exact
+    shingle Jaccard, both in integer milli — the relation a calibration
+    report aggregates to decide whether K is large enough for the
+    threshold in use (the estimator's std err is ~sqrt(J(1-J)/K); with
+    K=16 a 0.8-threshold screen needs the verify step this engine
+    always runs — this query QUANTIFIES why).
+
+    Same single-scan carry design as :func:`jaccard_pairs_from_hashes`:
+    (id, hs, sig) ride together into the band buckets, so shingling
+    and signing evaluate once per row; all arithmetic is integer
+    (milli = x*1000 div y), engine-exact.
+
+    Output: (id_a, id_b, true_milli, est_milli)."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
+    )
+    sigs = hashed.select(
+        F.struct(
+            F.col("__id").alias("id"),
+            F.col("__hs").alias("hs"),
+            minhash_signature(F.col("__hs")).alias("sig"),
+        ).alias("__rec"),
+    ).select("__rec", F.col("__rec.sig").alias("__sig"))
+    buckets = sigs.select(
+        "__rec", "__sig", _band_index(LSH_BANDS).alias("band")
+    ).select(
+        "__rec",
+        "band",
+        band_key_at(F.col("__sig"), F.col("band")).alias("key"),
+    )
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
+        .filter((F.size("recs") >= 2) & (F.size("recs") <= max_bucket))
+    )
+
+    def _matches(sa, sb):
+        return F.size(
+            F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v)
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            F.col("recs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.size(F.array_intersect(x["hs"], y["hs"])).alias(
+                        "inter"
+                    ),
+                    F.size(F.array_union(x["hs"], y["hs"])).alias("un"),
+                    _matches(x["sig"], y["sig"]).alias("m"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.inter", "p.un", "p.m")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("inter * 1000 div un").cast("long").alias("true_milli"),
+            F.expr(f"m * 1000 div {MINHASH_K}")
+            .cast("long")
+            .alias("est_milli"),
+        )
+    )
+
+
 # -- incremental near-dup (persisted index, probe-only new batches) ----------
 
 

@@ -2588,3 +2588,63 @@ ORACLES["split_leakage"] = f"""
            CAST(split_a <> split_b AS INT) AS is_leak
     FROM labeled GROUP BY split_a, split_b
 """
+
+# -- round 5: estimator calibration, chunk dedup, token fertility ------------
+
+ORACLES["minhash_calibration"] = _MINHASH_BASE + f"""
+    , scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.hs, y.hs)) AS inter,
+             len(list_distinct(x.hs || y.hs)) AS un,
+             len(list_filter(range(1, {dedup.MINHASH_K} + 1),
+                             i -> sx.sig[i] = sy.sig[i])) AS m
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+      JOIN sig sx ON sx.doc_id = c.id_a
+      JOIN sig sy ON sy.doc_id = c.id_b
+    ), milli AS (
+      SELECT inter * 1000 // un AS true_milli,
+             m * 1000 // {dedup.MINHASH_K} AS est_milli
+      FROM scored
+    )
+    SELECT CAST(est_milli // 100 AS INT) AS est_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(true_milli) // count(*) AS BIGINT) AS mean_true_milli,
+           CAST(sum(est_milli) // count(*) AS BIGINT) AS mean_est_milli
+    FROM milli GROUP BY est_decile
+"""
+
+ORACLES["chunk_dedup_stats"] = f"""
+    WITH ch AS (
+      {_chk.sql_chunk_documents()}
+    ), h AS (
+      SELECT doc_id, {sql_hash60('chunk_text')} AS h FROM ch
+    ), c AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_copies FROM h
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+
+ORACLES["token_fertility"] = f"""
+    WITH per AS (
+      SELECT lang,
+             CAST({tx.sql_token_count('text')} AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS sum_tokens,
+           CAST(sum(c) AS BIGINT) AS sum_chars,
+           CAST(sum(c) * 1000 // nullif(sum(t), 0) AS BIGINT)
+             AS chars_per_token_milli
+    FROM per GROUP BY lang
+"""

