@@ -3705,6 +3705,13 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry ORDER is the driver contract: the correctness gate samples the
+# FIRST 50 entries. Policy (r4 verdict item 6): newest queries first (they
+# have never passed the driver gate), then the current round's ROTATION
+# WINDOW - 30 older queries absent from the previous round's sample, taken
+# in registry order so successive rounds cycle the whole tail through the
+# driver's own gate (tools/check_parity.py covers all of them every
+# session regardless).
 QUERIES: dict[str, callable] = {
     "minhash_calibration": q_minhash_calibration,
     "chunk_dedup_stats": q_chunk_dedup_stats,
@@ -3726,6 +3733,36 @@ QUERIES: dict[str, callable] = {
     "bm25_scores": q_bm25_scores,
     "part_match_candidates": q_part_match_candidates,
     "near_dup_method_agreement": q_near_dup_method_agreement,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "doc_stats": q_doc_stats,
+    "lang_id_confusion": q_lang_id_confusion,
+    "term_frequencies": q_term_frequencies,
+    "source_quality": q_source_quality,
+    "multimodal_requests": q_multimodal_requests,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "events_json_props": q_events_json_props,
+    "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "customer_order_setops": q_customer_order_setops,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
+    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    "embedding_ann_recall": q_embedding_ann_recall,
+    "events_asof": q_events_asof,
+    "vertex_responses": q_vertex_responses,
+    "lang_source_rollup": q_lang_source_rollup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "order_priority_returns": q_order_priority_returns,
+    "customers_without_orders": q_customers_without_orders,
+    "price_bracket_join": q_price_bracket_join,
+    "events_cube": q_events_cube,
+    "lang_vocab": q_lang_vocab,
+    "embedding_topk_pandas": q_embedding_topk_pandas,
+    "events_value_percentiles": q_events_value_percentiles,
+    "events_hourly_stream": q_events_hourly_stream,
+    "user_stats_stream": q_user_stats_stream,
     "assign_ids": q_assign_ids,
     "build_requests": q_build_requests,
     "azure_model_rewrite": q_azure_model_rewrite,
@@ -3759,36 +3796,6 @@ QUERIES: dict[str, callable] = {
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_topk": q_embedding_topk,
-    "embedding_topk_lsh": q_embedding_topk_lsh,
-    "embedding_near_dup": q_embedding_near_dup,
-    "doc_stats": q_doc_stats,
-    "lang_id_confusion": q_lang_id_confusion,
-    "term_frequencies": q_term_frequencies,
-    "source_quality": q_source_quality,
-    "multimodal_requests": q_multimodal_requests,
-    "events_hourly": q_events_hourly,
-    "user_sessions": q_user_sessions,
-    "events_json_props": q_events_json_props,
-    "pricing_summary": q_pricing_summary,
-    "regional_revenue": q_regional_revenue,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "customer_order_setops": q_customer_order_setops,
-    "embedding_topk_ivf": q_embedding_topk_ivf,
-    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
-    "embedding_ann_recall": q_embedding_ann_recall,
-    "events_asof": q_events_asof,
-    "vertex_responses": q_vertex_responses,
-    "lang_source_rollup": q_lang_source_rollup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "order_priority_returns": q_order_priority_returns,
-    "customers_without_orders": q_customers_without_orders,
-    "price_bracket_join": q_price_bracket_join,
-    "events_cube": q_events_cube,
-    "lang_vocab": q_lang_vocab,
-    "embedding_topk_pandas": q_embedding_topk_pandas,
-    "events_value_percentiles": q_events_value_percentiles,
-    "events_hourly_stream": q_events_hourly_stream,
-    "user_stats_stream": q_user_stats_stream,
     "supplier_balance": q_supplier_balance,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_components": q_dedup_components,
