@@ -264,6 +264,37 @@ def jaccard_pairs_from_hashes(
         ),
         minhash_signature(F.col("__hs")).alias("__sig"),
     )
+    exploded = _banded_rec_pairs(
+        sigs,
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.round(jaccard(x["hs"], y["hs"]), 6).alias("jaccard"),
+        ),
+        max_bucket,
+    )
+    return (
+        exploded.select("p.id_a", "p.id_b", "p.jaccard")
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _banded_rec_pairs(sigs: DataFrame, pair_fn, max_bucket: int) -> DataFrame:
+    """THE LSH candidate plan, shared by every carried-record pair
+    family (verified pairs, estimator calibration): band the signature,
+    bucket on (band, key), sorted-array in-bucket pairing under the
+    size cap, explode ``pair_fn(x, y)`` structs as column ``p``.
+    Centralized so band count, the cap predicate, and the id-ordered
+    pairing can never drift between the production pair set and an
+    audit computed over it.
+
+    ``sigs`` must provide ``__rec`` (a struct whose FIRST field is the
+    id — sort_array orders the bucket by it, which is what makes
+    ``id_a < id_b`` structural) and ``__sig`` (the MinHash signature
+    the caller computed — passed in, not recomputed here, so a caller
+    carrying the signature inside ``__rec`` pays the md5 pipeline only
+    once)."""
     buckets = sigs.select(
         "__rec", "__sig", _band_index(LSH_BANDS).alias("band")
     ).select(
@@ -281,20 +312,11 @@ def jaccard_pairs_from_hashes(
             F.col("recs"),
             lambda x, i: F.transform(
                 F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.round(jaccard(x["hs"], y["hs"]), 6).alias("jaccard"),
-                ),
+                lambda y: pair_fn(x, y),
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.jaccard")
-        .distinct()
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return grouped.select(F.explode(pairs).alias("p"))
 
 
 def minhash_calibration_pairs(
@@ -327,44 +349,25 @@ def minhash_calibration_pairs(
             minhash_signature(F.col("__hs")).alias("sig"),
         ).alias("__rec"),
     ).select("__rec", F.col("__rec.sig").alias("__sig"))
-    buckets = sigs.select(
-        "__rec", "__sig", _band_index(LSH_BANDS).alias("band")
-    ).select(
-        "__rec",
-        "band",
-        band_key_at(F.col("__sig"), F.col("band")).alias("key"),
-    )
-    grouped = (
-        buckets.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
-        .filter((F.size("recs") >= 2) & (F.size("recs") <= max_bucket))
-    )
 
     def _matches(sa, sb):
         return F.size(
             F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v)
         )
 
-    pairs = F.flatten(
-        F.transform(
-            F.col("recs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("recs"), i + 2, F.size(F.col("recs"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.size(F.array_intersect(x["hs"], y["hs"])).alias(
-                        "inter"
-                    ),
-                    F.size(F.array_union(x["hs"], y["hs"])).alias("un"),
-                    _matches(x["sig"], y["sig"]).alias("m"),
-                ),
-            ),
-        )
+    exploded = _banded_rec_pairs(
+        sigs,
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.size(F.array_intersect(x["hs"], y["hs"])).alias("inter"),
+            F.size(F.array_union(x["hs"], y["hs"])).alias("un"),
+            _matches(x["sig"], y["sig"]).alias("m"),
+        ),
+        max_bucket,
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.inter", "p.un", "p.m")
+        exploded.select("p.id_a", "p.id_b", "p.inter", "p.un", "p.m")
         .distinct()
         .select(
             "id_a",

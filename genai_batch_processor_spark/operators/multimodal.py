@@ -279,6 +279,15 @@ def _strip_features(rgb) -> list[float]:
     lum = (
         px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
     ) // 1000
+    w = lum.shape[1]
+    if w < FEATURE_DIM:
+        # narrower than the strip count: array_split would yield empty
+        # strips (NaN means) — sample the nearest column instead, so a
+        # 1-px tracker still gets a finite, deterministic vector
+        cols = (np.arange(FEATURE_DIM) * w) // FEATURE_DIM
+        return [
+            round(float(lum[:, c].mean()) / 255.0, 6) for c in cols
+        ]
     return [
         round(float(s.mean()) / 255.0, 6)
         for s in np.array_split(lum, FEATURE_DIM, axis=1)
@@ -290,10 +299,12 @@ def decode_image_real(
 ) -> DataFrame:
     """Real image decode: true width/height plus the FEATURE_DIM
     luminance strip feature (:func:`_strip_features` — a stand-in for
-    any thumbnail/embedding stage). PNG payloads decode through the
-    vendored pure-stdlib decoder (``functions/png.py``) — ALWAYS,
-    even when Pillow is importable, so PNG features never depend on
-    the environment; other formats decode via Pillow when present.
+    any thumbnail/embedding stage). In-scope PNG payloads (8-bit,
+    non-interlaced — every fixture and most real screenshots) decode
+    through the vendored pure-stdlib decoder (``functions/png.py``) —
+    even when Pillow is importable, so their features never depend on
+    the environment; out-of-scope PNGs (16-bit, Adam7) and other
+    formats decode via Pillow when present.
     Same IMAGE_FEATURES schema and narrow mapInPandas plan as the
     stub; fails fast on the driver when the payloads need Pillow and
     it is absent (one bounded probe row), and imports executor-side
@@ -320,14 +331,23 @@ def decode_image_real(
             ids, ws, hs, ns, feats = [], [], [], [], []
             for rid, b in zip(pdf[id_name], pdf[data_name]):
                 raw = bytes(b) if b is not None else b""
+                rgb = None
                 if raw[:4] == b"\x89PNG":
-                    w, h, rgb = _png.decode_png(raw)
-                else:
+                    try:
+                        w, h, rgb = _png.decode_png(raw)
+                    except _png.PngFormatError:
+                        # out of the vendored decoder's scope (16-bit,
+                        # interlaced, ...): fall through to Pillow per
+                        # png.py's documented contract
+                        rgb = None
+                if rgb is None:
                     try:
                         from PIL import Image
                     except ImportError as e:
                         raise NotImplementedError(
-                            "non-PNG payload needs Pillow"
+                            "payload needs Pillow (non-PNG format, or "
+                            "a PNG outside the vendored decoder's "
+                            "8-bit non-interlaced scope)"
                         ) from e
                     import numpy as np
 

@@ -89,22 +89,38 @@ def near_dup_probe_stream_to_parquet(
 
     Read contract: union ``{out_dir}/pairs/batch=*`` (each pair
     emitted exactly once across the run)."""
-    import os
     import re
 
     spark = index.sparkSession
+
+    def _epoch_dirs(root: str, before: int) -> list[str]:
+        """List ``batch=N`` (N < before) under ``root`` through the
+        Hadoop FileSystem API — the writes go through Spark's
+        filesystem, so the discovery must too (a driver-local
+        os.listdir would silently return nothing for hdfs:// or
+        s3a:// roots and drop every cross-micro-batch pair)."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if not fs.exists(path):
+            return []
+        out = []
+        for status in fs.listStatus(path):
+            name = status.getPath().getName()
+            if re.fullmatch(r"batch=\d+", name) and (
+                int(name.split("=")[1]) < before
+            ):
+                out.append(status.getPath().toString())
+        return sorted(out)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         probe = index
-        idx_root = os.path.join(out_dir, "index")
-        earlier = sorted(
-            os.path.join(idx_root, d)
-            for d in (os.listdir(idx_root) if os.path.isdir(idx_root) else [])
-            if re.fullmatch(r"batch=\d+", d)
-            and int(d.split("=")[1]) < epoch_id
-        )
+        idx_root = out_dir.rstrip("/") + "/index"
+        earlier = _epoch_dirs(idx_root, epoch_id)
         if earlier:
             probe = probe.unionByName(spark.read.parquet(*earlier))
         batch_index = dedup.minhash_index(
@@ -115,10 +131,10 @@ def near_dup_probe_stream_to_parquet(
                 probe, batch_df, id_col, text_col, batch_index=batch_index
             )
             pairs.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "pairs", f"batch={epoch_id}")
+                out_dir.rstrip("/") + f"/pairs/batch={epoch_id}"
             )
             batch_index.write.mode("overwrite").parquet(
-                os.path.join(idx_root, f"batch={epoch_id}")
+                idx_root + f"/batch={epoch_id}"
             )
         finally:
             batch_index.unpersist()

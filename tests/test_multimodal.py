@@ -330,3 +330,44 @@ def test_image_features_oracle_handles_empty_and_null_text():
         )
         assert rows[doc_id] == (w, h, exp_bytes, exp_feat), doc_id
     con.close()
+
+
+def test_strip_features_narrow_image_no_nan(spark):
+    """Images narrower than FEATURE_DIM must yield finite features
+    (review finding: array_split's empty strips gave NaN means)."""
+    import math
+
+    import numpy as np
+
+    from genai_batch_processor_spark.functions import png
+
+    tiny = np.full((3, 4), 100, dtype=np.uint8)  # 4 px wide
+    df = spark.createDataFrame(
+        [(1, bytearray(png.encode_png(tiny)))], "doc_id long, data binary"
+    )
+    row = mm.decode_image_real(df).collect()[0]
+    assert (row.width, row.height) == (4, 3)
+    assert len(row.feature) == mm.FEATURE_DIM
+    assert all(not math.isnan(x) for x in row.feature)
+    assert all(abs(x - 100 / 255.0) < 0.01 for x in row.feature)
+
+
+def test_out_of_scope_png_needs_pillow(spark):
+    """A PNG outside the vendored decoder's scope (16-bit depth) must
+    fall through to Pillow — and in this Pillow-less environment that
+    surfaces as a clear error naming the library, not a PngFormatError
+    crash (review finding: the vendored path used to swallow the
+    documented fallback contract)."""
+    import numpy as np
+
+    from genai_batch_processor_spark.functions import png
+
+    ok = bytearray(png.encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    ok[8 + 8 + 8] = 16  # flip IHDR bit depth to 16
+    df = spark.createDataFrame(
+        [(1, bytes(ok))], "doc_id long, data binary"
+    )
+    if mm.codec_support()["image_full"]:
+        pytest.skip("Pillow present: fallback decodes for real")
+    with pytest.raises(Exception, match="Pillow"):
+        mm.decode_image_real(df).collect()

@@ -293,12 +293,18 @@ def gen(out_dir: str) -> None:
             }
         ),
     )
-    nlines = rng.poisson(4.0, size=N_ORDERS)  # 0-line orders absent
+    # Poisson(4) lines per order; orders drawing 0 simply have no
+    # lineitem rows — sf0.1 measures exactly this shape (2,764 of its
+    # 150k orders have no lines, matching Poisson(4)'s P(0)=1.8%).
+    nlines = rng.poisson(4.0, size=N_ORDERS)
     okeys = np.repeat(np.arange(N_ORDERS, dtype=np.int64), nlines)
     n_li = len(okeys)
-    linenum = (
-        np.concatenate([np.arange(n) for n in nlines if n > 0]) % 7 + 1
-    )
+    # l_linenumber is RANDOM in [1,7], not a per-order cycle: sf0.1
+    # has 118k duplicate (orderkey, linenumber) pairs in 600k rows —
+    # (orderkey, linenumber) is NOT a key in the driver fixture, and a
+    # cycling assignment would under-produce that collision density
+    # 10x at this scale.
+    linenum = rng.integers(1, 8, size=n_li)
     qty = rng.integers(1, 51, size=n_li).astype(np.float64)
     ship = (
         np.repeat(odate, nlines)
