@@ -655,11 +655,57 @@ def sql_winnow_fingerprints(
     )
 
 
+# Edge-count gate for the driver union-find fast path shared by both
+# CC implementations: 1M (a, b) long pairs ≈ 16 MB on the driver —
+# the same bounded-collect class as the documented ANN query side.
+# Every iterative distributed round costs ~1-2 s of fixed scheduling
+# overhead at ANY data size, so a converged 1204-edge graph was paying
+# ~8 s of star rounds for microseconds of actual work; beyond the
+# bound the distributed rounds engage unchanged.
+CC_DRIVER_EDGE_BOUND = 1_000_000
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED edge relation (caller gates on edge
+    count) with union-by-min, so every root is its component's min id —
+    the exact output contract of both distributed CC paths. Collect is
+    bounded by the caller's gate; path compression keeps it linear-ish
+    in edges."""
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = int(r[0]), int(r[1])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the larger root attaches under the smaller,
+            # so roots remain component minima throughout
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return spark.createDataFrame(
+        [(n, find(n)) for n in parent],
+        "doc_id long, component_id long",
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_bound: int = CC_DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """(doc_id, component_id) for every node in a near-dup pair relation;
     component_id = min doc id reachable through pairs.
@@ -676,16 +722,23 @@ def connected_components(
 
     The pair relation is materialized once up front — iterating over a
     lazily-recomputed LSH pipeline would re-run the expensive candidate
-    generation every round.
+    generation every round. Graphs under ``driver_edge_bound`` edges
+    take the union-find fast path (:func:`_components_driver`) instead
+    of paying per-round scheduling overhead; pass 0 to force the
+    distributed rounds (the property tests do, to keep proving them).
     """
-    edges = pairs.select(
+    base = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
     # self-loops dropped: a node paired only with itself is not a
     # duplicate of anything (and the star variant agrees — property-
     # tested against union-find in tests/test_properties.py)
-    edges = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    if driver_edge_bound:
+        base = base.localCheckpoint(eager=True)
+        if base.count() <= driver_edge_bound:
+            return _components_driver(base)
+    edges = base.unionAll(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     labels = (
         edges.select("u")
@@ -745,6 +798,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_edge_bound: int = CC_DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components — same
     output contract as :func:`connected_components` (component id = min
@@ -757,7 +811,9 @@ def connected_components_star(
     primitive as label propagation; lineage is truncated per round.
     Convergence = the canonical edge set reaches a fixed point (count +
     order-independent checksum), at which point edges form stars
-    (node → component min).
+    (node → component min). Graphs under ``driver_edge_bound`` edges
+    (the initial checksum already counts them) take the union-find
+    fast path; pass 0 to force the star rounds.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"),
@@ -811,6 +867,8 @@ def connected_components_star(
 
     cur = canon(edges).localCheckpoint(eager=True)
     prev_sig = checksum(cur)
+    if driver_edge_bound and prev_sig[0] <= driver_edge_bound:
+        return _components_driver(cur)
     for _ in range(max_iter):
         cur = small_star(large_star(cur)).localCheckpoint(eager=True)
         sig = checksum(cur)

@@ -207,13 +207,20 @@ def test_star_components_match_label_propagation(spark, sf_dir):
     pairs = dedup.near_dup_pairs(docs, "doc_id", "text").select(
         "id_a", "id_b"
     ).localCheckpoint(eager=True)
+    # force the distributed rounds: the two ALGORITHMS must agree
+    # (fast-path agreement is union-find-vs-union-find, proven in
+    # tests/test_properties.py instead)
     lp = {
         r.doc_id: r.component_id
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(
+            pairs, driver_edge_bound=0
+        ).collect()
     }
     st = {
         r.doc_id: r.component_id
-        for r in dedup.connected_components_star(pairs).collect()
+        for r in dedup.connected_components_star(
+            pairs, driver_edge_bound=0
+        ).collect()
     }
     assert lp == st
 
@@ -232,7 +239,7 @@ def test_star_components_converge_on_deep_chain(spark):
         comp = {
             r.doc_id: r.component_id
             for r in dedup.connected_components_star(
-                chain, max_iter=10
+                chain, max_iter=10, driver_edge_bound=0
             ).collect()
         }
     assert comp == {i: 0 for i in range(65)}
@@ -248,7 +255,9 @@ def test_star_components_raise_when_budget_too_small(spark):
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="not converged"):
-        dedup.connected_components_star(chain, max_iter=1)
+        dedup.connected_components_star(
+            chain, max_iter=1, driver_edge_bound=0
+        )
 
 
 def test_kmeans_rejects_sparse_init_ids(spark):

@@ -53,16 +53,28 @@ def test_components_match_union_find(spark, edges):
     real_edges = [(a, b) for a, b in edges if a != b]
     expected = union_find(real_edges)
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # driver_edge_bound=0 forces the DISTRIBUTED paths — this test
+    # exists to prove them against union-find, and the default fast
+    # path IS a union-find (asserting it here would be circular)
     lp = {
         r.doc_id: r.component_id
-        for r in dedup.connected_components(pairs, max_iter=40).collect()
+        for r in dedup.connected_components(
+            pairs, max_iter=40, driver_edge_bound=0
+        ).collect()
     }
     star = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components_star(
+            pairs, driver_edge_bound=0
+        ).collect()
+    }
+    fast = {
         r.doc_id: r.component_id
         for r in dedup.connected_components_star(pairs).collect()
     }
     assert lp == expected
     assert star == expected
+    assert fast == expected
 
 
 # -- as-of join vs pandas merge_asof -----------------------------------------
