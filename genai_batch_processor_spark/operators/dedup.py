@@ -656,13 +656,18 @@ def sql_winnow_fingerprints(
 
 
 # Edge-count gate for the driver union-find fast path shared by both
-# CC implementations: 1M (a, b) long pairs ≈ 16 MB on the driver —
-# the same bounded-collect class as the documented ANN query side.
-# Every iterative distributed round costs ~1-2 s of fixed scheduling
-# overhead at ANY data size, so a converged 1204-edge graph was paying
-# ~8 s of star rounds for microseconds of actual work; beyond the
-# bound the distributed rounds engage unchanged.
-CC_DRIVER_EDGE_BOUND = 1_000_000
+# CC implementations — the same bounded-collect class as the
+# documented ANN query side. Budget math counts PYTHON heap, not raw
+# longs: collect() yields ~150-byte Row objects, the parent dict holds
+# up to 2 edges' worth of int entries, and createDataFrame pickles the
+# result back — ~200k edges ≈ 50-100 MB of transient driver memory,
+# comfortably inside a default driver and still ~200x the graph any
+# capped pair stage here produces. Every iterative distributed round
+# costs ~1-2 s of fixed scheduling overhead at ANY data size, so a
+# converged 1204-edge graph was paying ~8 s of star rounds for
+# microseconds of actual work; beyond the bound the distributed
+# rounds engage unchanged.
+CC_DRIVER_EDGE_BOUND = 200_000
 
 
 def _components_driver(edges: DataFrame) -> DataFrame:
@@ -737,9 +742,17 @@ def connected_components(
         base = base.localCheckpoint(eager=True)
         if base.count() <= driver_edge_bound:
             return _components_driver(base)
-    edges = base.unionAll(
-        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+        # over the bound: base is already materialized and the
+        # symmetrizing union is a narrow recompute over it — a second
+        # checkpoint would only add an eager job and ~double the
+        # stored edge data at exactly the largest inputs
+        edges = base.unionAll(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        edges = base.unionAll(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
     labels = (
         edges.select("u")
         .distinct()

@@ -53,9 +53,9 @@ def test_components_match_union_find(spark, edges):
     real_edges = [(a, b) for a, b in edges if a != b]
     expected = union_find(real_edges)
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    # driver_edge_bound=0 forces the DISTRIBUTED paths — this test
-    # exists to prove them against union-find, and the default fast
-    # path IS a union-find (asserting it here would be circular)
+    # driver_edge_bound=0 forces the DISTRIBUTED paths; the default
+    # fast paths of BOTH operators are asserted against this test's
+    # own (independent) union_find below
     lp = {
         r.doc_id: r.component_id
         for r in dedup.connected_components(
@@ -68,13 +68,18 @@ def test_components_match_union_find(spark, edges):
             pairs, driver_edge_bound=0
         ).collect()
     }
-    fast = {
+    fast_star = {
         r.doc_id: r.component_id
         for r in dedup.connected_components_star(pairs).collect()
     }
+    fast_lp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
     assert lp == expected
     assert star == expected
-    assert fast == expected
+    assert fast_star == expected
+    assert fast_lp == expected
 
 
 # -- as-of join vs pandas merge_asof -----------------------------------------
