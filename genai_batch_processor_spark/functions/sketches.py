@@ -35,10 +35,17 @@ def kmv_distinct(
     Groups with fewer than k distinct values report the EXACT count
     (their full hash set fits in the sketch); larger groups use the
     (k-1)/m estimator with ~1/sqrt(k) relative error."""
-    hashed = df.select(
-        F.col(group_col).alias("__g"),
-        hashing.portable_hash60(value_col).alias("__h"),
-    ).distinct()
+    # NULL values are not values: unfiltered, the NULL hash occupies a
+    # rank-1 slot in Spark (nulls sort FIRST) but ranks LAST in DuckDB,
+    # skewing the k-th minimum differently on each engine (fuzz-pinned)
+    hashed = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            hashing.portable_hash60(value_col).alias("__h"),
+        )
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("__g").orderBy("__h")
     topk = (
         hashed.withColumn("__rn", F.row_number().over(w))
@@ -68,6 +75,7 @@ def sql_kmv_distinct(
     return f"""
     WITH __hashed AS (
       SELECT DISTINCT {group_col} AS g, {h} AS h FROM ({relation_sql})
+      WHERE {h} IS NOT NULL
     ), __ranked AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
       FROM __hashed

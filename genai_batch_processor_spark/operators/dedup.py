@@ -64,9 +64,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_hashes(text: Column | str, n: int = SHINGLE_N) -> Column:
-    """Distinct word-shingle 32-bit hashes (the doc's shingle *set*)."""
-    return F.transform(
-        F.array_distinct(tx.shingles(text, n)), hashing.portable_hash32
+    """Distinct word-shingle 32-bit hashes (the doc's shingle *set*).
+
+    NULL text → NULL (not a [NULL] singleton): without the guard every
+    NULL document got the SAME degenerate signature downstream — the
+    sentinel MinHash and simhash 0 — and NULL docs paired with each
+    other as perfect duplicates. NULL-in, NULL-out matches the DuckDB
+    twins (fuzz-pinned on a NULL corpus row)."""
+    t = tx._c(text)
+    return F.when(
+        t.isNotNull(),
+        F.transform(
+            F.array_distinct(tx.shingles(t, n)), hashing.portable_hash32
+        ),
     )
 
 
@@ -1091,9 +1101,14 @@ def simhash_near_dup_pairs(
 
 
 def sql_shingle_hashes(expr: str, n: int = SHINGLE_N) -> str:
+    # NULL text → NULL, mirroring shingle_hashes: DuckDB's list chain
+    # otherwise yields [] for NULL, which (unlike NULL) gives every
+    # NULL doc the all-ones simhash — NULL docs would pair as perfect
+    # duplicates in the oracle while Spark drops them (fuzz-pinned).
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_transform(list_distinct({tx.sql_shingles(expr, n)}), "
-        f"s -> {hashing.sql_hash32('s')})"
+        f"s -> {hashing.sql_hash32('s')}) END"
     )
 
 
@@ -1137,4 +1152,9 @@ def sql_simhash_from_hashes(hs_col: str, bits: int = SIMHASH_BITS) -> str:
         f">= len({hs_col}) THEN {1 << i} ELSE 0 END)"
         for i in range(bits)
     )
-    return f"CAST({terms} AS BIGINT)"
+    # NULL hash list → NULL signature (the per-bit CASEs would quietly
+    # sum to 0 via their ELSE branches — a fake all-zeros signature)
+    return (
+        f"CASE WHEN {hs_col} IS NULL THEN NULL "
+        f"ELSE CAST({terms} AS BIGINT) END"
+    )

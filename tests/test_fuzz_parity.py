@@ -34,6 +34,9 @@ _MARKERS = [
 def _gen_strings(n: int = 300) -> list[str]:
     rng = random.Random(20260813)
     corpus: list[str] = [
+        None,  # NULL text: every twin pair must agree on NULL, not
+        # just on strings (round-4 advice: the funnel sum_chars
+        # coalesce asymmetry would only have surfaced on NULL rows)
         "",
         " ",
         "   ",
