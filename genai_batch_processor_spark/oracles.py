@@ -2648,3 +2648,29 @@ ORACLES["token_fertility"] = f"""
              AS chars_per_token_milli
     FROM per GROUP BY lang
 """
+
+ORACLES["eval_decontamination"] = f"""
+    WITH p AS (
+      SELECT id_a, id_b FROM ({ORACLES["near_dup_pairs"]})
+    ), lp AS (
+      SELECT id_a, id_b,
+             {_smp4.sql_assign_split('id_a')} AS sa,
+             {_smp4.sql_assign_split('id_b')} AS sb
+      FROM p
+    ), ev AS (
+      SELECT id_a AS doc_id FROM lp WHERE sa <> 'train' AND sb = 'train'
+      UNION
+      SELECT id_b AS doc_id FROM lp WHERE sb <> 'train' AND sa = 'train'
+    ), d AS (
+      SELECT doc_id, {_smp4.sql_assign_split('doc_id')} AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ev.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evicted,
+           CAST(count(*) - sum(CASE WHEN ev.doc_id IS NOT NULL THEN 1
+                ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d LEFT JOIN ev USING (doc_id)
+    GROUP BY split
+"""

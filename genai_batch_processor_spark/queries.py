@@ -3334,6 +3334,57 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair step after the split_leakage audit: evict from
+    val/test every document that near-dups a TRAIN document (the
+    standard eval-decontamination direction — training data stays,
+    held-out sets shrink), and report per split how many documents
+    survive. Training-side docs are never evicted; a val-test pair is
+    leak-flagged by the audit but evicts nothing here.
+
+    Scale: rides the shared persisted pair stage; split labels are
+    row-local hash functions of the ids (no label join), the evicted
+    id set is bounded by the pair relation and broadcast into one
+    corpus-scan aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
+    lp = pairs.select(
+        "id_a",
+        "id_b",
+        sampling.assign_split("id_a").alias("sa"),
+        sampling.assign_split("id_b").alias("sb"),
+    )
+    ev_a = lp.filter(
+        (F.col("sa") != "train") & (F.col("sb") == "train")
+    ).select(F.col("id_a").alias("doc_id"))
+    ev_b = lp.filter(
+        (F.col("sb") != "train") & (F.col("sa") == "train")
+    ).select(F.col("id_b").alias("doc_id"))
+    evicted = (
+        ev_a.unionByName(ev_b).distinct().withColumn("ev", F.lit(1))
+    )
+    per = docs.select(
+        "doc_id", sampling.assign_split("doc_id").alias("split")
+    ).join(F.broadcast(evicted), "doc_id", "left")
+    return (
+        per.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("ev", F.lit(0)))
+            .cast("long")
+            .alias("n_evicted"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_evicted",
+            (F.col("n_docs") - F.col("n_evicted"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 SEMDEDUP_MAX_CELL = 512  # k-means cells are k-bounded, not 2^bits
 
 _SPAN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -3713,6 +3764,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's own gate (tools/check_parity.py covers all of them every
 # session regardless).
 QUERIES: dict[str, callable] = {
+    "eval_decontamination": q_eval_decontamination,
     "minhash_calibration": q_minhash_calibration,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "token_fertility": q_token_fertility,

