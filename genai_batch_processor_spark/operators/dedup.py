@@ -348,10 +348,17 @@ def minhash_calibration_pairs(
     and signing evaluate once per row; all arithmetic is integer
     (milli = x*1000 div y), engine-exact.
 
-    Output: (id_a, id_b, true_milli, est_milli)."""
+    Output: (id_a, id_b, true_milli, est_milli).
+
+    NULL-text rows are excluded BEFORE banding: a NULL signature would
+    band to the shared ``hash60('')`` key (``concat_ws`` flattens a
+    NULL slice to ''), pairing NULL docs with each other — pairs the
+    DuckDB twin (whose ``array_to_string`` keeps NULL keys out of the
+    join) never emits. jaccard/near-dup paths are shielded by their
+    threshold filter; this unfiltered audit needs the explicit guard."""
     hashed = df.select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
-    )
+    ).filter(F.col("__hs").isNotNull())
     sigs = hashed.select(
         F.struct(
             F.col("__id").alias("id"),
@@ -379,6 +386,12 @@ def minhash_calibration_pairs(
     return (
         exploded.select("p.id_a", "p.id_b", "p.inter", "p.un", "p.m")
         .distinct()
+        # un == 0 (empty shingle union) would make true_milli NULL while
+        # est_milli reads 1000 off matching sentinel signatures, breaking
+        # the 0<=true_milli<=1000 invariant. Unreachable today only via
+        # shingles()'s whole-text fallback (>=1 shingle for any non-NULL
+        # text); make the guard explicit rather than rely on that.
+        .filter(F.col("un") > 0)
         .select(
             "id_a",
             "id_b",

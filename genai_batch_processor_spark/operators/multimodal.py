@@ -324,6 +324,8 @@ def decode_image_real(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+        import struct
+        import zlib
 
         from genai_batch_processor_spark.functions import png as _png
 
@@ -335,10 +337,16 @@ def decode_image_real(
                 if raw[:4] == b"\x89PNG":
                     try:
                         w, h, rgb = _png.decode_png(raw)
-                    except _png.PngFormatError:
+                    except (
+                        _png.PngFormatError,
+                        zlib.error,  # corrupt IDAT stream
+                        struct.error,  # truncated IHDR/chunk header
+                        IndexError,  # palette index beyond PLTE
+                    ):
                         # out of the vendored decoder's scope (16-bit,
-                        # interlaced, ...): fall through to Pillow per
-                        # png.py's documented contract
+                        # interlaced, ...) OR a malformed payload: fall
+                        # through to Pillow per png.py's contract rather
+                        # than crash the executor on a raw codec error
                         rgb = None
                 if rgb is None:
                     try:

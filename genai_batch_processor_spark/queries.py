@@ -3657,6 +3657,14 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_calibration_pairs), one shuffle on (band, key), the decile
     aggregate runs on the bounded candidate set."""
     docs = load_table(spark, sf_dir, "documents")
+    return calibration_report(docs)
+
+
+def calibration_report(docs: DataFrame) -> DataFrame:
+    """Decile aggregation over :func:`dedup.minhash_calibration_pairs`
+    — factored out of :func:`q_minhash_calibration` so tests can run
+    the full report on constructed corpora (e.g. the NULL-text parity
+    pin) without a parquet fixture."""
     audit = dedup.minhash_calibration_pairs(docs, "doc_id", "text")
     return (
         audit.select(

@@ -371,3 +371,30 @@ def test_out_of_scope_png_needs_pillow(spark):
         pytest.skip("Pillow present: fallback decodes for real")
     with pytest.raises(Exception, match="Pillow"):
         mm.decode_image_real(df).collect()
+
+
+def test_malformed_png_falls_through_not_raw_codec_error(spark):
+    """Round-5 advice: corrupt IDAT (zlib.error) or a truncated chunk
+    header (struct.error) from the vendored decoder must surface as the
+    documented Pillow fall-through — never a raw zlib/struct/Index
+    exception crashing the executor."""
+    import numpy as np
+
+    from genai_batch_processor_spark.functions import png
+
+    good = png.encode_png(np.zeros((2, 2), dtype=np.uint8))
+    corrupt_idat = bytearray(good)
+    # find IDAT and trash its payload -> zlib.error inside decode_png
+    i = bytes(corrupt_idat).index(b"IDAT")
+    corrupt_idat[i + 4 : i + 8] = b"\xff\xff\xff\xff"
+    truncated = bytes(good)[:20]  # mid-IHDR: struct.error territory
+    for payload in (bytes(corrupt_idat), truncated):
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, data binary"
+        )
+        if mm.codec_support()["image_full"]:
+            with pytest.raises(Exception):
+                mm.decode_image_real(df).collect()  # Pillow rejects too
+        else:
+            with pytest.raises(Exception, match="Pillow"):
+                mm.decode_image_real(df).collect()

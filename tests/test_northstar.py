@@ -572,6 +572,50 @@ def test_minhash_calibration_invariants(spark):
         assert 0 <= r.true_milli <= 1000 and 0 <= r.est_milli <= 1000
 
 
+def test_minhash_calibration_null_text_parity(spark):
+    """Round-5 advice pin: >=2 NULL-text docs must NOT pair with each
+    other (a NULL signature would band to the shared hash60('') key
+    while the DuckDB twin's NULL band key never joins) — the full
+    decile report must hash-match the oracle on a NULL-bearing corpus,
+    with no spurious est_decile=NULL group on the Spark side."""
+    import duckdb
+
+    from genai_batch_processor_spark import oracles, queries as q
+    from tests.util import assert_matches_oracle
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = [
+        (1, base),
+        (2, base),
+        (3, base.replace("zeta", "nu")),
+        (4, None),
+        (5, None),  # two NULL docs: the spurious-pair trigger
+        (6, None),
+        (7, "unrelated words entirely disjoint from everything else"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    report = q.calibration_report(docs)
+    assert (
+        report.filter(F.col("est_decile").isNull()).count() == 0
+    ), "NULL-text docs paired with each other"
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, {'NULL' if t is None else repr(t)})"
+                for i, t in corpus
+            )
+            + ") AS t(doc_id, text)"
+        )
+        assert_matches_oracle(
+            report, con, oracles.ORACLES["minhash_calibration"]
+        )
+    finally:
+        con.close()
+
+
 def test_chunk_dedup_stats_sees_repeated_boilerplate(spark, sf_dir):
     """A doc built from another doc's chunks must raise the global
     dup-chunk count; stats stay internally consistent."""
