@@ -3917,3 +3917,35 @@ QUERIES: dict[str, callable] = {
     "nation_trade": q_nation_trade,
     "market_share": q_market_share,
 }
+
+# Round-6 driver-sample rotation (round-5 verdict item 3): the driver
+# gates 50 queries from the FRONT of this dict each round; these 53 had
+# never been driver-sampled in rounds 1-5 (registry minus the union of
+# CORRECTNESS_r01-r05 keys). Front-load them — plus any queries new this
+# round, which by definition are also unsampled — so that after round 6
+# every registered query has passed the driver's OWN gate at least once.
+_R6_FRONT = [
+    "user_funnel", "tfidf_top_terms", "above_avg_balance",
+    "source_diversity", "source_lang_pivot", "doc_attr_map", "doc_sample",
+    "split_counts", "source_quota", "pii_redaction", "doc_repetition",
+    "decontaminate", "video_frames", "lang_distinct_sketch",
+    "runner_responses", "events_rolling", "balance_quartiles",
+    "events_dedup_stream", "events_sliding_stream", "min_cost_supplier",
+    "small_qty_revenue", "lone_return_suppliers", "price_moments",
+    "embedding_centroids", "quality_unpivot", "user_sessions_stream",
+    "embedding_quantization", "embedding_topk_int8",
+    "embedding_dedup_survivors", "doc_chunks", "chunk_packing",
+    "nation_revenue_pareto", "events_asof_forward",
+    "top_balance_percentile", "salted_event_totals",
+    "salted_nation_balance", "kmeans_cells", "daily_new_users",
+    "events_daily_rollup", "value_histogram_quantiles",
+    "daily_activity_full_outer", "image_features", "events_daily_spine",
+    "word_bigrams", "bigram_followers", "hourly_value_change",
+    "distinct_buyers_daily", "doc_word_filters", "events_sliding",
+    "user_value_share", "click_purchase_stream", "nation_trade",
+    "market_share",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R6_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R6_FRONT)},
+}
