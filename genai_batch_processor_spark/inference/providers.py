@@ -449,7 +449,12 @@ class OpenAIBatchBackend:
         """Download a completed batch's output (and error) JSONL into
         ``output_path`` — the oai:206-238 retrieve step, one file per
         batch so multi-shard jobs land as a shard set the result scan
-        already reads."""
+        already reads.
+
+        Crash-safe: each shard lands via tmp-file + atomic rename, so
+        a process that dies mid-download never publishes a partial
+        shard — a re-fetch (resume_job, or a retried executor task in
+        the distributed path) simply rewrites it whole."""
         batch = self._call("GET", f"/batches/{batch_id}")
         os.makedirs(output_path, exist_ok=True)
         for key, suffix in (
@@ -460,8 +465,10 @@ class OpenAIBatchBackend:
             if fid:
                 raw = self._raw("GET", f"/files/{fid}/content")
                 dest = os.path.join(output_path, f"{batch_id}{suffix}")
-                with open(dest, "wb") as f:
+                tmp = f"{dest}.part-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
                     f.write(raw)
+                os.replace(tmp, dest)
 
 
 # Vertex JOB_STATE_* → orchestrator terminal set (vtx:225).

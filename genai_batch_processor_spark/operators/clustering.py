@@ -38,6 +38,32 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 _SCALE = 1_000_000
 
+# -- scale-adaptive defaults (round-5 verdict item 1) ------------------------
+# SemDeDup's contract is "raise k with the corpus so cells stay under
+# the in-cell pair cap" (the published run used 50k clusters on LAION).
+# Rounds 1-5 left that to the caller, and at 10x density the default
+# k=8 silently removed ZERO documents. These defaults make the
+# contract automatic: k targets ~ADAPTIVE_CELL_DOCS vectors per cell,
+# never below KMEANS_K (so every oracle-checked fixture scale — 500 and
+# 2,000 embeddings — still resolves to exactly KMEANS_K and the static
+# DuckDB twins stay bit-valid), never above KMEANS_K_MAX (driver state
+# is k x dim doubles). Past the ceiling, pass k explicitly.
+ADAPTIVE_CELL_DOCS = 250  # target corpus vectors per trained cell
+KMEANS_K_MAX = 4096  # bounded driver state: k x dim doubles
+# Beyond this k the literal-centroid argmin's k x dim codegen expression
+# dominates runtime (measured at sf1: k=80 literal 159 s vs Arrow
+# 49.7 s) — auto-route to the Arrow batch argmin, same size-gate shape
+# as dedup.CC_DRIVER_EDGE_BOUND.
+ARROW_AUTO_K = 16
+
+
+def adaptive_k(n_vecs: int) -> int:
+    """Corpus-derived k-means k: ``clamp(n/ADAPTIVE_CELL_DOCS,
+    KMEANS_K, KMEANS_K_MAX)``. Monotone in ``n_vecs`` (property-
+    tested), equal to KMEANS_K at every fixture scale the oracles
+    run at."""
+    return max(KMEANS_K, min(KMEANS_K_MAX, int(n_vecs) // ADAPTIVE_CELL_DOCS))
+
 
 def _score_to(vec_col: str, centroid: list[float]) -> Column:
     """|c|² − 2·x·c: rank-equivalent to squared Euclidean distance."""
@@ -108,6 +134,21 @@ def assign_cells_arrow(
     return emb.mapInPandas(assign, schema)
 
 
+def assign_cells_auto(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Size-gated dispatch between the oracle-exact literal argmin and
+    the Arrow batch argmin: the literal path up to ARROW_AUTO_K
+    centroids (its codegen cost is k-proportional), Arrow beyond. The
+    same measure-then-choose gate shape as the connected-components
+    driver fast path (operators/dedup.py:CC_DRIVER_EDGE_BOUND) — here
+    the 'measurement' is just len(centroids), already on the driver."""
+    fn = assign_cells_arrow if len(centroids) > ARROW_AUTO_K else assign_cells
+    return fn(emb, centroids, vec_col)
+
+
 def _updated_centroids(
     emb: DataFrame, vec_col: str
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
@@ -143,20 +184,31 @@ def _updated_centroids(
 
 def kmeans_cells(
     emb: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations (init: the vectors with
     ``id_col`` < k) and return the final per-(cell, dim) relation:
     cell, dim, n_vecs, c_val — i.e. the trained centroid table in the
-    long form the IVF index would load. ``arrow=True`` assigns via
-    :func:`assign_cells_arrow` — the large-k path (raise-k-at-scale
-    contract); the default literal path stays oracle-exact."""
+    long form the IVF index would load.
+
+    ``k=None`` (default) derives k from the corpus via
+    :func:`adaptive_k` — one bounded count job, then the gate; at
+    every oracle-checked fixture scale this resolves to exactly
+    KMEANS_K, so the static DuckDB twin (:func:`sql_kmeans_cells`)
+    stays valid without data-dependent SQL. ``arrow=None`` (default)
+    auto-selects the Arrow argmin above ARROW_AUTO_K centroids and the
+    oracle-exact literal path below; pass an explicit bool to force
+    either (tests force both for the agreement property)."""
     if iters < 1:
         raise ValueError(f"kmeans_cells needs iters >= 1, got {iters}")
+    if k is None:
+        k = adaptive_k(emb.count())
+    if arrow is None:
+        arrow = k > ARROW_AUTO_K
     init_rows = (
         emb.filter(F.col(id_col) < k)
         .select(id_col, vec_col)

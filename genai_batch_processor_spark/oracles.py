@@ -253,10 +253,12 @@ ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
           for j in range(dedup.SIMHASH_BANDS)
       )}
     ), ok AS (
-      -- mirror of the Spark-side MAX_BUCKET skew guard: oversize
-      -- nibble buckets are dropped, not joined
+      -- mirror of the Spark-side skew guard: oversize nibble buckets
+      -- are dropped, not joined; the cap is the SAME corpus-derived
+      -- value the Spark side computes (dedup.adaptive_max_bucket), so
+      -- parity is data-dependent, not fixture-lucky
       SELECT band, nib FROM bands GROUP BY band, nib
-      HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET}
+      HAVING count(*) BETWEEN 2 AND {dedup.sql_adaptive_max_bucket("documents")}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
@@ -386,7 +388,7 @@ ORACLES["near_dup_method_agreement"] = (
       )}
     ), sok AS (
       SELECT band, nib FROM sbands GROUP BY band, nib
-      HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET}
+      HAVING count(*) BETWEEN 2 AND {dedup.sql_adaptive_max_bucket("documents")}
     ), sim AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sbands a
@@ -1445,6 +1447,17 @@ ORACLES["salted_nation_balance"] = """
 from genai_batch_processor_spark.operators import clustering as _clu
 
 ORACLES["kmeans_cells"] = _clu.sql_kmeans_cells()
+
+# The Arrow argmin's agreement twin: the oracle asserts TOTAL agreement
+# with the literal path (agree_ppm == 1e6) — any Spark-side divergence
+# between assign_cells_arrow and assign_cells hash-mismatches here, so
+# the driver gate covers the scale path (round-5 verdict item 4).
+ORACLES["kmeans_assign_agreement"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_agree,
+           CAST(1000000 AS BIGINT) AS agree_ppm
+    FROM embeddings
+"""
 
 # Trained-IVF search: the SAME unrolled training replayed as a derived
 # table (bit-identical centroids via scaled-integer means), then the

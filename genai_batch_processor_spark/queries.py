@@ -26,6 +26,9 @@ from genai_batch_processor_spark.operators import (
     similarity,
     temporal,
 )
+from genai_batch_processor_spark.operators.clustering import (
+    KMEANS_K as _KMEANS_K,
+)
 from genai_batch_processor_spark.sources import schemas
 from genai_batch_processor_spark.sources.tables import load_table
 
@@ -102,18 +105,35 @@ def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical every time (deterministic init + scaled-integer means), so
 # train once per (session, sf_dir). The cached value is k × dim floats
 # of driver state, the same footprint the trainer itself holds.
-_CENTROID_CACHE: dict[tuple[int, str], list] = {}
+_CENTROID_CACHE: dict[tuple[str, str, int], list] = {}
+_ADAPTIVE_K_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _trained_centroids_shared(spark: SparkSession, sf_dir: str) -> list:
+def _trained_centroids_shared(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> list:
+    """``k=None`` derives k from the embedding corpus
+    (clustering.adaptive_k — the SemDeDup raise-k-at-scale contract,
+    automatic since round 6); the IVF family passes an explicit
+    KMEANS_K because its recall semantics are pinned by the
+    n_probe/n_cells ratio, not by cell population. The cache keys on
+    the RESOLVED k, so at fixture scales (where adaptive k ==
+    KMEANS_K) one training still serves every consumer."""
     from genai_batch_processor_spark.operators import clustering
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    if k is None:
+        k = _ADAPTIVE_K_CACHE.get((app, sf_dir))
+        if k is None:
+            emb = load_table(spark, sf_dir, "embeddings")
+            k = clustering.adaptive_k(emb.count())
+            _ADAPTIVE_K_CACHE[(app, sf_dir)] = k
+    key = (app, sf_dir, k)
     cents = _CENTROID_CACHE.get(key)
     if cents is None:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = clustering.centroids_from_cells(
-            clustering.kmeans_cells(emb)
+            clustering.kmeans_cells(emb, k=k)
         )
         _CENTROID_CACHE[key] = cents
     return cents
@@ -746,7 +766,10 @@ def q_embedding_topk_ivf_trained(
     exact training iterations (scaled-integer means ⇒ bit-identical
     centroids), so assignment, probing and ranking all match."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _trained_centroids_shared(spark, sf_dir)
+    # explicit KMEANS_K: IVF recall semantics are pinned by the
+    # n_probe/n_cells ratio — the adaptive-k default is SemDeDup's
+    # contract, not this one's
+    cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     return similarity.topk_ivf(emb, qs, centroids=cents)
 
@@ -775,7 +798,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
-    cents = _trained_centroids_shared(spark, sf_dir)
+    cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
     methods = {
         "int8": similarity.topk_int8(emb, qs),
         "ivf": similarity.topk_ivf(emb, qs),
@@ -2556,6 +2579,58 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_cells(emb)
 
 
+def q_kmeans_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated agreement audit of the Arrow batch argmin
+    (clustering.assign_cells_arrow — the large-k scale path the
+    adaptive-k gate auto-selects) against the oracle-exact literal
+    argmin: both assign the full embedding corpus against the SAME
+    shared trained centroids, and the result is one row of
+    (n_vecs, n_agree, agree_ppm).
+
+    The DuckDB twin asserts TOTAL agreement (agree_ppm == 1e6): numpy
+    pairwise summation vs the positional fold differ only in the last
+    ulp, which can flip an argmin only for scores within an ulp of
+    each other — identical vectors (the one systematic tie source)
+    never produce that across DIFFERENT cells, so any disagreement is
+    a real defect in the scale path. This is the same pairing style as
+    embedding_ann_recall (oracle pins the exact expected quality of an
+    approximate path), promoted from a property test so the driver's
+    own gate covers the Arrow twin (round-5 verdict item 4).
+
+    Scale: two shuffle-free assignment scans + one vec_id join; the
+    aggregate is a single row."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
+    lit = clustering.assign_cells(emb, cents).select(
+        "vec_id", F.col("cell").alias("cell_lit")
+    )
+    arr = clustering.assign_cells_arrow(emb, cents).select(
+        "vec_id", F.col("cell").alias("cell_arrow")
+    )
+    return (
+        lit.join(arr, "vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(
+                    F.col("cell_lit") == F.col("cell_arrow"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "n_vecs",
+            "n_agree",
+            F.expr("n_agree * 1000000 div n_vecs")
+            .cast("long")
+            .alias("agree_ppm"),
+        )
+    )
+
+
 def q_prompt_dedup_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prompt-level exact dedup of the submit set (operators/batching.py):
     one representative per distinct prompt, with multiplicity. The cost
@@ -3446,9 +3521,17 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash buckets land in one cell and get deduplicated together.
 
     The in-cell cap is SEMDEDUP_MAX_CELL (not the LSH MAX_CELL):
-    population per cell is corpus/k, so at real scale you raise k to
+    population per cell is corpus/k, so at real scale k must rise to
     keep cells under the cap — the published run used 50k clusters on
-    LAION — rather than relying on the drop guard.
+    LAION. Since round 6 that contract is AUTOMATIC: k derives from
+    the corpus (clustering.adaptive_k — ~250 vectors per cell, floor
+    KMEANS_K, ceiling KMEANS_K_MAX) and assignment auto-routes to the
+    Arrow argmin above ARROW_AUTO_K centroids
+    (clustering.assign_cells_auto). At every oracle-checked fixture
+    scale adaptive k == KMEANS_K, so the static DuckDB twin (which
+    unrolls training at k=KMEANS_K) remains bit-valid; at sf1 (20k
+    vectors) k resolves to 80 and the report is non-empty with no
+    caller-supplied knobs (tools/sf1_check.py).
 
     Scale: training collects k x dim scaled-integer sums per Lloyd
     iteration (bounded driver state); assignment is shuffle-free
@@ -3472,7 +3555,7 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     assigned = _SEMDEDUP_ASSIGNED_CACHE.get(key)
     if assigned is None:
-        assigned = clustering.assign_cells(emb, cents).persist()
+        assigned = clustering.assign_cells_auto(emb, cents).persist()
         _SEMDEDUP_ASSIGNED_CACHE[key] = assigned
     pairs = similarity.embedding_near_dup_pairs(
         assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL
@@ -3900,6 +3983,7 @@ QUERIES: dict[str, callable] = {
     "salted_event_totals": q_salted_event_totals,
     "salted_nation_balance": q_salted_nation_balance,
     "kmeans_cells": q_kmeans_cells,
+    "kmeans_assign_agreement": q_kmeans_assign_agreement,
     "daily_new_users": q_daily_new_users,
     "events_daily_rollup": q_events_daily_rollup,
     "value_histogram_quantiles": q_value_histogram_quantiles,
@@ -3925,6 +4009,7 @@ QUERIES: dict[str, callable] = {
 # round, which by definition are also unsampled — so that after round 6
 # every registered query has passed the driver's OWN gate at least once.
 _R6_FRONT = [
+    "kmeans_assign_agreement",  # new in r6: never sampled by definition
     "user_funnel", "tfidf_top_terms", "above_avg_balance",
     "source_diversity", "source_lang_pivot", "doc_attr_map", "doc_sample",
     "split_counts", "source_quota", "pii_redaction", "doc_repetition",

@@ -308,3 +308,49 @@ def test_blocked_pairs_match_bruteforce(spark, rows, max_distance):
         if i < j and ba == bb and lev(na, nb) <= max_distance
     }
     assert got == want
+
+
+# -- scale-adaptive defaults (round-5 verdict item 1) ------------------------
+
+
+@given(n=st.integers(0, 10**9), m=st.integers(0, 10**9))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_defaults_monotone_and_bounded(n, m):
+    """Every corpus-derived default is monotone in corpus size and
+    clamped to [base, ceiling] — the heuristic can widen with the data
+    but never narrow below the oracle-fixture base or blow past the
+    bounded-quadratic ceiling."""
+    from genai_batch_processor_spark.operators import clustering, dedup, linkage
+
+    for fn, base, ceil in (
+        (clustering.adaptive_k, clustering.KMEANS_K, clustering.KMEANS_K_MAX),
+        (dedup.adaptive_max_bucket, dedup.MAX_BUCKET, dedup.MAX_BUCKET_CEIL),
+        (linkage.adaptive_max_block, linkage.MAX_BLOCK, linkage.MAX_BLOCK_CEIL),
+    ):
+        lo, hi = sorted((n, m))
+        assert fn(lo) <= fn(hi)  # monotone
+        assert base <= fn(n) <= ceil  # clamped
+
+
+def test_adaptive_defaults_fixture_scales_pinned():
+    """At every oracle-checked fixture scale the adaptive defaults
+    resolve to EXACTLY the historical constants (so recorded oracle
+    hashes and the static kmeans twin stay valid), and at the
+    generated sf1 sizes they resolve to the non-degenerate values the
+    round-5 scale run demonstrated by hand."""
+    from genai_batch_processor_spark.operators import clustering, dedup, linkage
+
+    # embeddings: 500 (sf0.001/sf0.01), 2000 (sf0.1) -> KMEANS_K; 20000 (sf1) -> 80
+    assert clustering.adaptive_k(500) == clustering.KMEANS_K
+    assert clustering.adaptive_k(2000) == clustering.KMEANS_K
+    assert clustering.adaptive_k(20000) == 80
+    # documents: 500/5000 -> MAX_BUCKET; 50000 (sf1) -> 500
+    assert dedup.adaptive_max_bucket(500) == dedup.MAX_BUCKET
+    assert dedup.adaptive_max_bucket(5000) == dedup.MAX_BUCKET
+    assert dedup.adaptive_max_bucket(50000) == 500
+    # part: 2000/20000 -> MAX_BLOCK; 200000 (sf1) -> 1000
+    assert linkage.adaptive_max_block(2000) == linkage.MAX_BLOCK
+    assert linkage.adaptive_max_block(20000) == linkage.MAX_BLOCK
+    assert linkage.adaptive_max_block(200000) == 1000
+    # arrow auto-select: literal path at fixture k, Arrow at sf1 k
+    assert clustering.KMEANS_K <= clustering.ARROW_AUTO_K < 80

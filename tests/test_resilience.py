@@ -253,3 +253,116 @@ def test_failed_job_raise_carries_backend_error_detail(tmp_path):
             manifest_dir=str(tmp_path / "m2"),
             poll_interval_seconds=0.01,
         )
+
+
+def _flaky_result_transport_cls():
+    """Fake OpenAI wire for the FETCH step only, defined in a function
+    so cloudpickle ships it BY VALUE to Python workers. First
+    files.content attempt per (instance, file) returns 503 — so every
+    executor task exercises the real RetryPolicy — then serves bytes
+    deterministically derived from the batch id."""
+
+    class FlakyResultTransport:
+        def __init__(self):
+            self.failed_once: set[str] = set()
+
+        def request(self, method, url, headers, body=None):
+            import json as _json
+
+            path = url.split("/v1", 1)[1].split("?")[0]
+            if path.startswith("/batches/"):
+                b = path.rsplit("/", 1)[1]
+                return 200, _json.dumps(
+                    {
+                        "id": b,
+                        "status": "completed",
+                        "output_file_id": f"file-{b}",
+                    }
+                ).encode()
+            if path.endswith("/content"):
+                fid = path.split("/")[2]
+                if fid not in self.failed_once:
+                    self.failed_once.add(fid)
+                    return 503, b"upstream hiccup", {}
+                b = fid.removeprefix("file-")
+                return 200, f"payload-for-{b}\n".encode() * 3
+            raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    return FlakyResultTransport
+
+
+def test_distributed_fetch_matches_driver_bytes(spark, tmp_path):
+    """Round-5 verdict item 2: result shards downloaded ON EXECUTORS
+    (fetch_results_spark) under injected transient failures must land
+    byte-identical to the sequential driver path, atomically (no
+    .part- residue), with manifest semantics unchanged."""
+    from genai_batch_processor_spark.inference import providers
+
+    transport_cls = _flaky_result_transport_cls()
+    ids = [f"batch-{i:02d}" for i in range(6)]
+
+    def make_backend():
+        return providers.OpenAIBatchBackend(
+            api_key="test-key",
+            transport=transport_cls(),
+            retry_policy=providers.RetryPolicy(
+                max_attempts=3, base_delay=0.0, max_delay=0.0
+            ),
+        )
+
+    driver_dir, exec_dir = str(tmp_path / "driver"), str(tmp_path / "exec")
+    job_d = orchestrator.JobManifest(
+        job_id="job-d", input_path="unused", output_path=driver_dir,
+        batch_ids=list(ids),
+    )
+    orchestrator._fetch_results(make_backend(), job_d)  # driver path
+
+    job_e = orchestrator.JobManifest(
+        job_id="job-e", input_path="unused", output_path=exec_dir,
+        batch_ids=list(ids),
+    )
+    orchestrator.fetch_results_spark(
+        spark, make_backend(), job_e, parallelism=3
+    )
+
+    d_files = sorted(os.listdir(driver_dir))
+    e_files = sorted(os.listdir(exec_dir))
+    assert d_files == e_files == [f"{b}.jsonl" for b in ids]
+    for f in d_files:
+        with open(os.path.join(driver_dir, f), "rb") as fa, open(
+            os.path.join(exec_dir, f), "rb"
+        ) as fb:
+            assert fa.read() == fb.read()
+    assert not any(".part-" in f for f in e_files)  # atomic publishes
+
+
+def test_run_job_spark_routes_fetch_through_executors(spark, tmp_path):
+    """run_job(spark=...) must produce the same completed manifest and
+    the same result files as the driver-side default — the distributed
+    fetch is a transport change, not a semantics change. (The local
+    mock backends expose no fetch, so this pins the no-op path too:
+    spark= on a fetchless backend must not break.)"""
+    sf001 = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = _prompted_docs(spark, sf001)
+    from genai_batch_processor_spark.operators import requests as req_ops
+    from genai_batch_processor_spark.sources import jsonl
+
+    reqs = req_ops.build_openai_requests(
+        docs, id_col="idx", user_content=F.array(
+            req_ops.text_part(F.col("prompt"))
+        ),
+    ).select(F.to_json(F.col("request")).alias("value"))
+    in_path = str(tmp_path / "in")
+    jsonl.write_jsonl(reqs, in_path)
+    job = orchestrator.run_job(
+        orchestrator.LocalMockBackend(spark),
+        input_path=in_path,
+        output_path=str(tmp_path / "out"),
+        manifest_dir=str(tmp_path / "manifests"),
+        poll_interval_seconds=0.01,
+        spark=spark,
+    )
+    assert job.state == "completed"
+    assert os.listdir(str(tmp_path / "out"))

@@ -57,56 +57,65 @@ def main() -> None:
             f"rows {times['rows_sf0.1']}->{times['rows_sf1']}",
             file=sys.stderr,
         )
-    # The raise-k-at-scale contract, demonstrated: semdedup's default
-    # k=8 cells hold ~2500 members at sf1 — past SEMDEDUP_MAX_CELL, so
-    # the drop guard zeroes the operator (the documented behavior, and
-    # what the row count above shows). The published contract says
-    # raise k with the corpus (Abbas et al. used 50k cells on LAION);
-    # k=80 restores sf0.1's ~250-member cell population at sf1.
-    from pyspark.sql import functions as F  # noqa: N812
-
-    from genai_batch_processor_spark import queries as q
-    from genai_batch_processor_spark.operators import (
-        clustering,
-        similarity,
-    )
-    from genai_batch_processor_spark.sources.tables import load_table
-
-    t1 = time.monotonic()
-    emb = load_table(spark, sf1_dir, "embeddings")
-    cents = clustering.centroids_from_cells(
-        clustering.kmeans_cells(emb, k=80, arrow=True)
-    )
-    assigned = clustering.assign_cells_arrow(emb, cents).persist()
-    pairs = similarity.embedding_near_dup_pairs(
-        assigned, bucket_col="cell", max_cell=q.SEMDEDUP_MAX_CELL
-    )
-    survivors = q._embedding_survivors(emb, pairs)
-    n_surv, n_all = survivors.count(), emb.count()
-    assigned.unpersist()
-    results["semdedup_survivors_k80_sf1"] = {
-        "sf1": round(time.monotonic() - t1, 3),
-        "rows_sf1": n_surv,
-        "note": (
-            f"raise-k contract at sf1 via the assign_cells_arrow "
-            f"large-k path: k=80 cells -> {n_all - n_surv} of {n_all} "
-            "removed (default k=8 cells exceed the 512-member cap and "
-            "drop, the guard behavior; the literal-centroid argmin "
-            "took 159 s at k=80 - codegen grows with k - hence the "
-            "Arrow twin, property-tested to agree)"
-        ),
+    # Round 6: the raise-at-scale contracts are AUTOMATIC (adaptive
+    # defaults derived from the corpus — clustering.adaptive_k with
+    # the assign_cells_auto Arrow gate, dedup.adaptive_max_bucket,
+    # linkage.adaptive_max_block). The round-5 run's zero-row cases
+    # must now be NON-EMPTY with no caller-supplied knobs; fail loudly
+    # if a default degrades back to a silently-empty report.
+    adaptive_fixed = {
+        "semdedup_survivors",
+        "simhash_near_dup",
+        "part_match_candidates",
     }
+    empties = [
+        n
+        for n in adaptive_fixed
+        if n in results and results[n]["rows_sf1"] == 0
+    ]
+    if empties:
+        print(
+            f"ADAPTIVE-DEFAULT REGRESSION: zero rows at sf1 for "
+            f"{sorted(empties)}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     print(
-        f"semdedup k=80 at sf1: {results['semdedup_survivors_k80_sf1']}",
+        "adaptive defaults non-empty at sf1: "
+        + ", ".join(
+            f"{n}={results[n]['rows_sf1']}"
+            for n in sorted(adaptive_fixed)
+            if n in results
+        ),
         file=sys.stderr,
     )
 
+    # Candidate-generation families over a FIXED key space (4x256
+    # simhash cells; ~400 (brand, noun) part blocks) have bucket
+    # population ∝ corpus, so their candidate VOLUME is quadratic in
+    # the scale factor BY DESIGN — cap-bounded, but not a linear-work
+    # query. In rounds 1-5 their fixed caps hid this by dropping every
+    # bucket (zero rows, fast); the adaptive caps restore the real
+    # work, so judge them on produced-pair throughput, not wall ratio.
+    quadratic_by_design = {"simhash_near_dup", "part_match_candidates"}
+    for n in quadratic_by_design & set(results):
+        r = results[n]
+        if r["rows_sf1"] and r["sf1"]:
+            r["pairs_per_sec_sf1"] = round(r["rows_sf1"] / r["sf1"], 1)
+        if r["rows_sf0.1"] and r["sf0.1"]:
+            r["pairs_per_sec_sf0.1"] = round(
+                r["rows_sf0.1"] / r["sf0.1"], 1
+            )
     max_ratio = max(
-        (r["ratio"] for r in results.values() if "ratio" in r),
+        (
+            r["ratio"]
+            for n, r in results.items()
+            if "ratio" in r and n not in quadratic_by_design
+        ),
         default=float("nan"),
     )
     verdict = (
-        "sublinear throughout (every ratio < 10x rows)"
+        "sublinear throughout (every linear-volume ratio < 10x rows)"
         if results and max_ratio < 10
         else "NOT sublinear - inspect queries with ratio >= 10"
     )
@@ -121,12 +130,18 @@ def main() -> None:
             "sf0.1 are expected: result cardinalities are "
             "distribution-dependent (pair counts, top-k recalls), and "
             "the timing, not the counts, is what this run pins. "
-            "Zero-row cases at sf1 (simhash_near_dup, "
-            "part_match_candidates, semdedup with default k) are the "
-            "skew/cell caps operating as documented on 10x-denser "
-            "buckets; semdedup_survivors_k80_sf1 demonstrates the "
-            "documented remedy (raise k with the corpus) restoring the "
-            "operator at scale."
+            "Round 6: semdedup_survivors, simhash_near_dup and "
+            "part_match_candidates run with CORPUS-DERIVED defaults "
+            "(clustering.adaptive_k + the assign_cells_auto Arrow "
+            "gate, dedup.adaptive_max_bucket, "
+            "linkage.adaptive_max_block) and this run asserts they are "
+            "non-empty at sf1 with no caller-supplied knobs — the "
+            "round-5 silent-zero failure mode is now a loud exit(1). "
+            "simhash_near_dup and part_match_candidates are excluded "
+            "from the sublinear wall-clock verdict: their candidate "
+            "volume over a fixed key space is quadratic in corpus "
+            "size by design (cap-bounded); their per-query entries "
+            "carry pairs_per_sec instead."
         ),
         "queries": results,
     }
