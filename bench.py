@@ -5,6 +5,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced through a full action (count on a write-free path)
 so the measured time covers scan → transform → shuffle → action. The
 session is warmed once; per-query time excludes JVM startup.
+
+Round 6 (round-5 verdict item 7): the sweep runs SPARK_GRAFT_BENCH_REPS
+times (default 3, rep-major so a load spike hits one rep, not one
+query) and the JSON carries per-query MEDIANS plus the 1/5/15-minute
+load averages at start and end — the machine drifted ~20% between
+rounds 4 and 5 and the comparison needed a hand-run A/B
+(BENCH_NOTES.md); medians-with-recorded-load make that correction part
+of the artifact. The r1-comparable headline `value` stays the REP-1
+(cold-cache) sum — the shared-stage session caches make later reps
+cheaper, and the 93.97 s r1 baseline was a single cold run, so only
+rep 1 compares like-for-like.
 """
 
 from __future__ import annotations
@@ -110,17 +121,48 @@ def main() -> None:
     # warm the JVM + parquet footers once
     qs[names[0]](spark, sf_dir).count()
 
-    times: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # wall budget for the WHOLE sweep: later reps are skipped rather
+    # than blowing a caller's timeout (a loaded box can triple rep
+    # times; medians of 2 still beat a single sample)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    sweep_t0 = time.perf_counter()
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+    times_reps: dict[str, list[float]] = {n: [] for n in names}
     plans: dict[str, dict] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        info = plan_info(df)
-        if info is not None:
-            plans[name] = info
+    reps_run = 0
+    for rep in range(reps):
+        elapsed = time.perf_counter() - sweep_t0
+        if rep > 0 and elapsed + elapsed / rep > budget_s:
+            break  # another rep would overrun the budget
+        reps_run = rep + 1
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times_reps[name].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            if rep == 0:
+                info = plan_info(df)
+                if info is not None:
+                    plans[name] = info
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
 
+    # rep 1 = the cold-cache pass every prior round measured (r1-
+    # comparable); medians smooth transient load for round-over-round
+    # reads.
+    times = {n: ts[0] for n, ts in times_reps.items()}
+    medians = {
+        n: round(sorted(ts)[len(ts) // 2], 3)
+        for n, ts in times_reps.items()
+    }
     full_total = round(sum(times.values()), 3)
     # Guard the r1-comparable headline: if a baseline query was renamed or
     # skipped, the sum silently covers less work. Flag it loudly instead.
@@ -132,7 +174,12 @@ def main() -> None:
     # Full per-query times + plan digests go to a side file (and an earlier
     # stdout line): the driver captures only the LAST ~2000 chars of stdout,
     # so the FINAL line must stay small (r2's 14 kB line was unparseable).
-    side = {"queries": times, "plans": plans}
+    side = {
+        "queries": times,
+        "query_reps": times_reps,
+        "query_medians": medians,
+        "plans": plans,
+    }
     side_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
     )
@@ -153,6 +200,15 @@ def main() -> None:
         "full_total": full_total,
         "sec_per_query": round(full_total / max(len(times), 1), 3),
         "sf": float(sf),
+        "reps": reps_run,
+        # median-based twins of the two totals (per-query medians over
+        # the same sets), plus recorded load context for drift reads
+        "value_median": round(
+            sum(m for n, m in medians.items() if n in R1_BASELINE_SET), 3
+        ),
+        "full_total_median": round(sum(medians.values()), 3),
+        "load_avg_start": load_start,
+        "load_avg_end": load_end,
     }
     if missing_baseline:
         summary["missing_baseline"] = missing_baseline

@@ -200,7 +200,14 @@ def run_job(
     deadline = time.monotonic() + timeout_seconds
     pending = set(job.batch_ids)
     while pending:
-        done = {b for b in pending if backend.status(b) in TERMINAL_STATES}
+        # poll in SUBMISSION order, not set order: the wire sequence is
+        # deterministic (golden transcripts replay positionally, and an
+        # operator tailing provider logs sees shard 1..N, every time)
+        done = {
+            b
+            for b in job.batch_ids
+            if b in pending and backend.status(b) in TERMINAL_STATES
+        }
         pending -= done
         if not pending:
             break
@@ -373,7 +380,12 @@ def resume_job(
     deadline = time.monotonic() + timeout_seconds
     pending = set(job.batch_ids)
     while pending:
-        pending = {b for b in pending if backend.status(b) not in TERMINAL_STATES}
+        # submission-order polling — same determinism contract as run_job
+        pending = {
+            b
+            for b in job.batch_ids
+            if b in pending and backend.status(b) not in TERMINAL_STATES
+        }
         if not pending:
             break
         if time.monotonic() > deadline:

@@ -84,3 +84,140 @@ def salted_join(
         big_salted.join(F.broadcast(small_rep), on=[key, "__salt"])
         .drop("__salt")
     )
+
+
+def inject_hot_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    entropy_col: str = "event_id",
+    hot_milli: int = 400,
+    hot_value: int = 0,
+) -> Column | DataFrame:
+    """Deterministically remap ``hot_milli``/1000 of the rows' key to a
+    single hot value — the skew-injection twin of the salted remedies,
+    used by the AQE demonstration (tools/aqe_skew_check.py) and its
+    pytest plan assertion. Hash of the unique ``entropy_col`` (never
+    rand()) so reruns, A/B variants and plan asserts all see the SAME
+    skew."""
+    return df.withColumn(
+        key_col,
+        F.when(
+            F.pmod(F.hash(entropy_col), F.lit(1000)) < hot_milli,
+            F.lit(hot_value).cast("long"),
+        ).otherwise(F.col(key_col)),
+    )
+
+
+# Local-fixture byte thresholds for the AQE skew-split demo: the split
+# triggers on PARTITION BYTES (cluster default 256 MB — right for real
+# executors, unreachable on a megabyte local fixture), so the demo
+# scales the knobs to the data, exactly what a real deployment does per
+# its own shuffle sizes. coalescePartitions.minPartitionSize must scale
+# DOWN with the advisory size: the split target is clamped to it, and
+# the default 1 MB floor silently vetoes any split of a sub-MB hot
+# partition (found empirically building this demo).
+AQE_DEMO_CONF = {  # sized for the generated sf1 (hot partition ~2 MB)
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "131072",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+}
+
+
+def build_skew_demo_dim(spark, events: DataFrame, path: str) -> DataFrame:
+    """Materialize the per-user profile dim as a STORED table and read
+    it back — both what a real pipeline joins against at scale and a
+    structural requirement of the demo: AQE's skew rule pattern-matches
+    a sort-merge join whose children are bare shuffle stages, and a
+    dim built as an in-plan aggregate leaves a HashAggregate between
+    the Sort and the ShuffleQueryStage, silently disqualifying the
+    join from skew handling (found empirically building this demo)."""
+    events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_skew_demo(
+    spark,
+    events: DataFrame,
+    variant: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    demo_conf: dict[str, str] | None = None,
+    dim: DataFrame | None = None,
+) -> dict:
+    """One run of the skewed fact⋈dim join under a named remedy:
+    ``plain`` (AQE skew split OFF — the straggler baseline), ``aqe``
+    (Spark's runtime skew split, thresholds from ``demo_conf``), or
+    ``salted`` (manual replicate-broadcast :func:`salted_join`).
+
+    The fact side is ``events`` with 40% of rows remapped onto one hot
+    user (:func:`inject_hot_key`); the dim side is the per-user profile
+    aggregate of the SAME relation. autoBroadcastJoinThreshold is
+    disabled for the sort-merge variants — in the 100 TB story the dim
+    does not fit a broadcast, which is precisely when skew bites.
+
+    Returns ``{"rows": n, "skew_marker": bool}`` where ``skew_marker``
+    reports whether the FINAL adaptive plan (post-execution) contains
+    Spark's ``skew=true`` join annotation. Session conf is saved and
+    restored around the run."""
+    if variant not in ("plain", "aqe", "salted"):
+        raise ValueError(f"unknown variant {variant!r}")
+    # Pre-shuffle by the high-entropy id so the join exchange has MANY
+    # map-side parents. This is not cosmetic: AQE splits a skewed
+    # reduce partition at MAP-OUTPUT boundaries, and the single-file
+    # (single-row-group) local fixture otherwise collapses to ONE map
+    # task — an unsplittable hot partition no matter the thresholds.
+    # On a real cluster the thousands of upstream tasks provide this
+    # granularity for free; the repartition stands in for them.
+    fact = inject_hot_key(events.repartition(32, "event_id"))
+    if dim is None:
+        import tempfile
+
+        dim = build_skew_demo_dim(
+            spark, events, tempfile.mkdtemp(prefix="skew_demo_dim_")
+        )
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": (
+            "false" if variant == "plain" else "true"
+        ),
+    }
+    if variant == "aqe":
+        conf.update(demo_conf or AQE_DEMO_CONF)
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        if variant == "salted":
+            joined = salted_join(fact, dim, "user_id", "event_id", buckets)
+        else:
+            joined = fact.join(dim, "user_id")
+        out = joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value") + F.col("avg_value")).alias("weighted"),
+        )
+        # collect() (tiny per-event-type aggregate), NOT count(): count
+        # compiles a SEPARATE query execution, leaving `out`'s own plan
+        # unexecuted — its explain would show the pre-AQE plan with no
+        # final-stage skew annotation regardless of what actually ran
+        rows = len(out.collect())
+        # post-action explain: with AQE the string now shows the FINAL
+        # plan (isFinalPlan=true), where a split skew join is annotated
+        final_plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        return {
+            "rows": rows,
+            "skew_marker": "skew=true" in final_plan,
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

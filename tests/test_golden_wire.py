@@ -397,3 +397,94 @@ def test_golden_vertex_failed_error_detail():
         == f"{job}: 3: Invalid JSONL: bad schema in shard 0"
     )
     _check("vertex_failed_error_detail", t, responses)
+
+
+def test_golden_openai_multishard_partial_failure(tmp_path):
+    """Round-5 verdict item 8 — the one remaining orchestration wire:
+    a 3-shard submit where shard 2's batch FAILS while shards 1 and 3
+    complete. run_job raises on the mixed terminal set, but first
+    salvages EVERYTHING the provider holds: the completed shards'
+    outputs and the failed shard's error file. resume_job then picks
+    the job up from its persisted manifest, re-polls the (terminal)
+    batches, re-salvages idempotently and raises the same mixed-state
+    error — the manifest keeps all three batch ids and state=failed
+    throughout."""
+    from genai_batch_processor_spark.inference import orchestrator
+
+    out_1 = '{"custom_id": "request-0", "response": {"ok": 1}}\n'
+    out_3 = '{"custom_id": "request-2", "response": {"ok": 3}}\n'
+    err_2 = (
+        '{"custom_id": "request-1", "response": null, '
+        '"error": {"message": "token_limit_exceeded"}}\n'
+    )
+    b1_done = {"id": "batch-1", "status": "completed",
+               "output_file_id": "f-out-1"}
+    b2_fail = {"id": "batch-2", "status": "failed",
+               "error_file_id": "f-err-2"}
+    b3_done = {"id": "batch-3", "status": "completed",
+               "output_file_id": "f-out-3"}
+    run_responses = [
+        # submit: (file upload + batch create) x 3 shards
+        (200, {"id": "f-in-1"}),
+        (200, {"id": "batch-1", "status": "validating"}),
+        (200, {"id": "f-in-2"}),
+        (200, {"id": "batch-2", "status": "validating"}),
+        (200, {"id": "f-in-3"}),
+        (200, {"id": "batch-3", "status": "validating"}),
+        # poll loop: all three reach terminal in one pass
+        (200, b1_done), (200, b2_fail), (200, b3_done),
+        # terminal-state re-check
+        (200, b1_done), (200, b2_fail), (200, b3_done),
+        # salvage fetch: every shard's server-side artifacts
+        (200, b1_done), (200, out_1),
+        (200, b2_fail), (200, err_2),
+        (200, b3_done), (200, out_3),
+    ]
+    resume_responses = [
+        # resume: re-poll (already terminal), re-check, re-salvage
+        (200, b1_done), (200, b2_fail), (200, b3_done),
+        (200, b1_done), (200, b2_fail), (200, b3_done),
+        (200, b1_done), (200, out_1),
+        (200, b2_fail), (200, err_2),
+        (200, b3_done), (200, out_3),
+    ]
+    responses = run_responses + resume_responses
+    t = GoldenTransport(
+        [
+            (s, p.encode() if isinstance(p, str) else p)
+            for s, p in responses
+        ]
+    )
+    b = OpenAIBatchBackend("sk-test", transport=t)
+    out = str(tmp_path / "out")
+    manifests = str(tmp_path / "manifests")
+    with pytest.raises(RuntimeError, match="terminal states.*failed"):
+        orchestrator.run_job(
+            b,
+            input_path=_shard_dir(tmp_path, 3),
+            output_path=out,
+            manifest_dir=manifests,
+            poll_interval_seconds=0.01,
+        )
+    (job_file,) = os.listdir(manifests)
+    job_id = job_file.removesuffix(".json")
+    job = orchestrator.JobManifest.load(manifests, job_id)
+    assert job.state == "failed"
+    assert job.batch_ids == ["batch-1", "batch-2", "batch-3"]
+    # salvage landed the completed outputs AND the failed shard's errors
+    assert sorted(os.listdir(out)) == [
+        "batch-1.jsonl", "batch-2.errors.jsonl", "batch-3.jsonl",
+    ]
+    with open(os.path.join(out, "batch-2.errors.jsonl")) as f:
+        assert f.read() == err_2
+
+    with pytest.raises(RuntimeError, match="terminal states.*failed"):
+        orchestrator.resume_job(
+            b, manifest_dir=manifests, job_id=job_id,
+            poll_interval_seconds=0.01,
+        )
+    job = orchestrator.JobManifest.load(manifests, job_id)
+    assert job.state == "failed"  # mixed-terminal manifest unchanged
+    with open(os.path.join(out, "batch-1.jsonl")) as f:
+        assert f.read() == out_1  # idempotent re-salvage, bytes stable
+    _check("openai_multishard_partial_failure", t, responses)

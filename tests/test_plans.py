@@ -434,3 +434,37 @@ def test_incremental_probe_broadcasts_the_batch(spark, sf_dir):
     plan = _plan(spark, "incremental_near_dup", sf_dir)
     assert "Cartesian" not in plan
     assert plan.count("BroadcastExchange") >= 2  # new side + old_sizes
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
+    """Round-5 verdict item 6: on a genuinely skewed join (40% of
+    events remapped to ONE user), Spark's AQE skew handling must
+    actually SPLIT the hot partition — the final adaptive plan carries
+    the skew=true join annotation — while the plain run (skew split
+    off) must not, and both must agree with the manual salted remedy
+    on the result. Thresholds are scaled to the fixture's shuffle
+    bytes, as a real deployment scales them to its own."""
+    from genai_batch_processor_spark.operators import skew
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    dim = skew.build_skew_demo_dim(
+        spark, events, str(tmp_path / "dim")
+    )
+    # sized for the sf0.001 fixture's ~KB-scale hot partition; the
+    # minPartitionSize entry matters — the split target clamps to it
+    test_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    plain = skew.run_skew_demo(spark, events, "plain", dim=dim)
+    aqe = skew.run_skew_demo(
+        spark, events, "aqe", demo_conf=test_conf, dim=dim
+    )
+    salted = skew.run_skew_demo(spark, events, "salted", dim=dim)
+    assert aqe["skew_marker"], "AQE run did not split the skewed partition"
+    assert not plain["skew_marker"]
+    assert plain["rows"] == aqe["rows"] == salted["rows"] > 0
