@@ -158,10 +158,15 @@ def main() -> None:
     # rep 1 = the cold-cache pass every prior round measured (r1-
     # comparable); medians smooth transient load for round-over-round
     # reads.
+    import statistics
+
     times = {n: ts[0] for n, ts in times_reps.items()}
+    # statistics.median averages the middle pair on an even rep count
+    # (the budget-clipped 2-rep case) — the upper-middle element would
+    # systematically report the slower sample, the exact load artifact
+    # medians exist to smooth
     medians = {
-        n: round(sorted(ts)[len(ts) // 2], 3)
-        for n, ts in times_reps.items()
+        n: round(statistics.median(ts), 3) for n, ts in times_reps.items()
     }
     full_total = round(sum(times.values()), 3)
     # Guard the r1-comparable headline: if a baseline query was renamed or

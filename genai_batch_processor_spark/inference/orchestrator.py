@@ -230,7 +230,10 @@ def run_job(
         # fail-loudly contract here was losing). Strictly best-effort:
         # a salvage failure must never mask the real error.
         try:
-            _fetch_results(backend, job)
+            # spark passes through: salvaging a 1000-shard job's 999
+            # completed outputs serially on the driver is the same
+            # bottleneck the distributed fetch exists to remove
+            _fetch_results(backend, job, spark=spark)
         except Exception:  # noqa: BLE001 — deliberate: salvage only
             pass
         raise RuntimeError(
@@ -308,7 +311,17 @@ def fetch_results_spark(
 
     At 1000 executors this turns a thousand-shard retrieve from a
     serial driver loop into one embarrassingly-parallel stage whose
-    width is ``min(n_shards, defaultParallelism)``."""
+    width is ``min(n_shards, defaultParallelism)``.
+
+    DEPLOYMENT REQUIREMENT: ``job.output_path`` must be a filesystem
+    every executor AND the driver share — a cluster mount (NFS/EFS/
+    Lustre) or, with an object-store-aware ``fetch``, a gs://-style
+    URI. The stdlib backends write with local ``open()``: on a
+    multi-node cluster with a worker-local path the shards would land
+    scattered across worker disks while the manifest still flips to
+    ``completed`` — silently partial results. local[*] (one machine,
+    one filesystem) always satisfies this; on a real cluster prefer
+    the driver path (``spark=None``) unless the mount is shared."""
     ids = list(job.batch_ids)
     if not ids:
         return
@@ -399,7 +412,7 @@ def resume_job(
         job.state = "failed"
         job.save(manifest_dir)
         try:  # salvage provider error files — see run_job
-            _fetch_results(backend, job)
+            _fetch_results(backend, job, spark=spark)
         except Exception:  # noqa: BLE001 — deliberate: salvage only
             pass
         raise RuntimeError(

@@ -465,7 +465,15 @@ class OpenAIBatchBackend:
             if fid:
                 raw = self._raw("GET", f"/files/{fid}/content")
                 dest = os.path.join(output_path, f"{batch_id}{suffix}")
-                tmp = f"{dest}.part-{uuid.uuid4().hex}"
+                # tmp name is DOT-PREFIXED: the result scan (and Spark
+                # generally) skips hidden files, so a task killed
+                # between write and rename orphans an invisible file —
+                # a non-hidden "batch-X.jsonl.part-abc" would be
+                # ingested as well-formed duplicate result lines
+                tmp = os.path.join(
+                    output_path,
+                    f".{batch_id}{suffix}.part-{uuid.uuid4().hex}",
+                )
                 with open(tmp, "wb") as f:
                     f.write(raw)
                 os.replace(tmp, dest)

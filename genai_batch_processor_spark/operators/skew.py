@@ -92,7 +92,7 @@ def inject_hot_key(
     entropy_col: str = "event_id",
     hot_milli: int = 400,
     hot_value: int = 0,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Deterministically remap ``hot_milli``/1000 of the rows' key to a
     single hot value — the skew-injection twin of the salted remedies,
     used by the AQE demonstration (tools/aqe_skew_check.py) and its

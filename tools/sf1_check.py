@@ -63,30 +63,40 @@ def main() -> None:
     # linkage.adaptive_max_block). The round-5 run's zero-row cases
     # must now be NON-EMPTY with no caller-supplied knobs; fail loudly
     # if a default degrades back to a silently-empty report.
-    adaptive_fixed = {
-        "semdedup_survivors",
-        "simhash_near_dup",
-        "part_match_candidates",
+    # Per-query degenerate-result predicate: the pair generators fail
+    # degenerate as ZERO rows, but semdedup_survivors fails degenerate
+    # as a FULL-size result (every doc survives when oversized cells
+    # drop — the operator is an anti-join, never empty), so its guard
+    # checks that it actually REMOVED something.
+    n_emb = (
+        spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+        .count()
+    )
+    degenerate = {
+        "simhash_near_dup": lambda r: r == 0,
+        "part_match_candidates": lambda r: r == 0,
+        "semdedup_survivors": lambda r: r == 0 or r >= n_emb,
     }
-    empties = [
+    broken = [
         n
-        for n in adaptive_fixed
-        if n in results and results[n]["rows_sf1"] == 0
+        for n, is_bad in degenerate.items()
+        if n in results and is_bad(results[n]["rows_sf1"])
     ]
-    if empties:
+    if broken:
         print(
-            f"ADAPTIVE-DEFAULT REGRESSION: zero rows at sf1 for "
-            f"{sorted(empties)}",
+            f"ADAPTIVE-DEFAULT REGRESSION: degenerate sf1 results for "
+            f"{sorted(broken)}",
             file=sys.stderr,
         )
         sys.exit(1)
     print(
-        "adaptive defaults non-empty at sf1: "
+        "adaptive defaults non-degenerate at sf1: "
         + ", ".join(
             f"{n}={results[n]['rows_sf1']}"
-            for n in sorted(adaptive_fixed)
+            for n in sorted(degenerate)
             if n in results
-        ),
+        )
+        + f" (embeddings={n_emb})",
         file=sys.stderr,
     )
 
