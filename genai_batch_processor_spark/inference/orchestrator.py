@@ -328,15 +328,43 @@ def fetch_results_spark(
     n = parallelism or min(len(ids), spark.sparkContext.defaultParallelism)
     out_path = job.output_path
     bk = backend
+    # round-robin repartition, NOT repartition(n, "batch_id"):
+    # hash-partitioning distinct ids leaves ~1/e of the partitions
+    # empty (balls-in-bins) and serializes 2-4 downloads inside the
+    # unlucky tasks; round-robin fills every slot exactly evenly
     df = spark.createDataFrame(
         [(b,) for b in ids], "batch_id string"
-    ).repartition(n, "batch_id")
+    ).repartition(n)
 
     def _fetch_partition(rows) -> None:
         for r in rows:
             bk.fetch(r["batch_id"], out_path)
 
     df.foreachPartition(_fetch_partition)
+    # Shared-filesystem verification: fetch() ran on executors, so on a
+    # misconfigured cluster (worker-local output_path) the shards exist
+    # on worker disks but not here. Every COMPLETED OpenAI batch has an
+    # output file (failed ones at least an error file — this path also
+    # serves salvage), so a batch with NO visible artifact from the
+    # driver means the writes didn't land on a shared mount. Raise
+    # loudly instead of letting the manifest flip to completed over
+    # invisible results.
+    missing = [
+        b
+        for b in ids
+        if not (
+            os.path.exists(os.path.join(out_path, f"{b}.jsonl"))
+            or os.path.exists(os.path.join(out_path, f"{b}.errors.jsonl"))
+        )
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{job.job_id}: {len(missing)} shard(s) fetched on executors "
+            f"are not visible from the driver ({missing[:3]}...): "
+            "output_path must be a filesystem shared by driver and all "
+            "executors (see fetch_results_spark docstring); use the "
+            "driver path (spark=None) otherwise"
+        )
 
 
 def cancel_job(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions import scaling
 from genai_batch_processor_spark.functions import vectors as vec
 
 KMEANS_K = 8
@@ -62,7 +63,9 @@ def adaptive_k(n_vecs: int) -> int:
     KMEANS_K, KMEANS_K_MAX)``. Monotone in ``n_vecs`` (property-
     tested), equal to KMEANS_K at every fixture scale the oracles
     run at."""
-    return max(KMEANS_K, min(KMEANS_K_MAX, int(n_vecs) // ADAPTIVE_CELL_DOCS))
+    return scaling.clamped_linear(
+        n_vecs, KMEANS_K, KMEANS_K_MAX, ADAPTIVE_CELL_DOCS
+    )
 
 
 def _score_to(vec_col: str, centroid: list[float]) -> Column:

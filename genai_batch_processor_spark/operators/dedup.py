@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from genai_batch_processor_spark.functions import hashing, text as tx
+from genai_batch_processor_spark.functions import hashing, scaling, text as tx
 
 SHINGLE_N = 3
 MINHASH_K = 16
@@ -57,17 +57,20 @@ MAX_BUCKET_CEIL = 4096
 def adaptive_max_bucket(n_rows: int, base: int = MAX_BUCKET) -> int:
     """Corpus-derived bucket cap: ``clamp(n/BUCKET_CAP_DOCS, base,
     MAX_BUCKET_CEIL)``. Monotone in ``n_rows`` (property-tested)."""
-    return max(base, min(MAX_BUCKET_CEIL, int(n_rows) // BUCKET_CAP_DOCS))
+    return scaling.clamped_linear(
+        n_rows, base, MAX_BUCKET_CEIL, BUCKET_CAP_DOCS
+    )
 
 
 def sql_adaptive_max_bucket(table: str = "documents", base: int = MAX_BUCKET) -> str:
     """DuckDB twin of :func:`adaptive_max_bucket` as a scalar subquery
     over ``table`` — the oracle derives the SAME cap from the SAME
     corpus, keeping parity data-dependent rather than fixture-lucky."""
-    return (
-        f"(SELECT greatest({base}, least({MAX_BUCKET_CEIL}, "
-        f"count(*) // {BUCKET_CAP_DOCS})) FROM {table})"
+    return scaling.sql_clamped_linear(
+        table, base, MAX_BUCKET_CEIL, BUCKET_CAP_DOCS
     )
+
+
 WINNOW_K = 4  # words per k-gram for winnowing
 WINNOW_W = 4  # winnowing window (guarantee: any ≥ k+w-1 word match shares a fp)
 WINNOW_MIN_SHARED = 2

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions import scaling
+
 # Max rows per block before the block is dropped as degenerate
 # (cap² / 2 pairwise comparisons per block is the worst case a single
 # task will ever run).
@@ -49,7 +51,9 @@ MAX_BLOCK_CEIL = 2048
 def adaptive_max_block(n_rows: int, base: int = MAX_BLOCK) -> int:
     """Catalog-derived block cap: ``clamp(n/BLOCK_CAP_ROWS, base,
     MAX_BLOCK_CEIL)``. Monotone in ``n_rows`` (property-tested)."""
-    return max(base, min(MAX_BLOCK_CEIL, int(n_rows) // BLOCK_CAP_ROWS))
+    return scaling.clamped_linear(
+        n_rows, base, MAX_BLOCK_CEIL, BLOCK_CAP_ROWS
+    )
 
 
 def blocked_pairs(
@@ -126,9 +130,8 @@ def sql_blocked_pairs(
     scalar subquery over ``table`` — the twin derives the SAME cap
     from the SAME catalog, so parity is data-dependent."""
     if max_block is None:
-        max_block = (
-            f"(SELECT greatest({MAX_BLOCK}, least({MAX_BLOCK_CEIL}, "
-            f"count(*) // {BLOCK_CAP_ROWS})) FROM {table})"
+        max_block = scaling.sql_clamped_linear(
+            table, MAX_BLOCK, MAX_BLOCK_CEIL, BLOCK_CAP_ROWS
         )
     block_select = ", ".join(
         f"{expr} AS {name}" for name, expr in block_exprs.items()

@@ -158,10 +158,15 @@ def run_skew_demo(
     disabled for the sort-merge variants — in the 100 TB story the dim
     does not fit a broadcast, which is precisely when skew bites.
 
-    Returns ``{"rows": n, "skew_marker": bool}`` where ``skew_marker``
-    reports whether the FINAL adaptive plan (post-execution) contains
-    Spark's ``skew=true`` join annotation. Session conf is saved and
-    restored around the run."""
+    Returns ``{"rows": n, "groups": {event_type: n}, "skew_marker":
+    bool}``: ``groups`` carries the exact per-type counts so callers
+    can assert the three remedies agree on the RESULT, not merely on
+    the group-key cardinality (the fixture always has 5 event types,
+    so a bare row count could not catch a salt-fanout duplicating rows
+    or the hot key being dropped); ``skew_marker`` reports whether the
+    FINAL adaptive plan (post-execution) contains Spark's ``skew=true``
+    join annotation. Session conf is saved and restored around the
+    run."""
     if variant not in ("plain", "aqe", "salted"):
         raise ValueError(f"unknown variant {variant!r}")
     # Pre-shuffle by the high-entropy id so the join exchange has MANY
@@ -172,12 +177,12 @@ def run_skew_demo(
     # On a real cluster the thousands of upstream tasks provide this
     # granularity for free; the repartition stands in for them.
     fact = inject_hot_key(events.repartition(32, "event_id"))
+    own_dim_dir = None
     if dim is None:
         import tempfile
 
-        dim = build_skew_demo_dim(
-            spark, events, tempfile.mkdtemp(prefix="skew_demo_dim_")
-        )
+        own_dim_dir = tempfile.mkdtemp(prefix="skew_demo_dim_")
+        dim = build_skew_demo_dim(spark, events, own_dim_dir)
     conf = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -197,13 +202,20 @@ def run_skew_demo(
             joined = fact.join(dim, "user_id")
         out = joined.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value") + F.col("avg_value")).alias("weighted"),
+            # decimal accumulation: the three variants sum in different
+            # orders (SMJ partition order vs salted-bucket order), and a
+            # double sum over ~1M rows can differ across orders by more
+            # than any fixed rounding — decimal sums are order-exact, so
+            # cross-variant equality is a strict check, not a tolerance
+            F.sum(
+                (F.col("value") + F.col("avg_value")).cast("decimal(28,6)")
+            ).alias("weighted"),
         )
         # collect() (tiny per-event-type aggregate), NOT count(): count
         # compiles a SEPARATE query execution, leaving `out`'s own plan
         # unexecuted — its explain would show the pre-AQE plan with no
         # final-stage skew annotation regardless of what actually ran
-        rows = len(out.collect())
+        collected = out.collect()
         # post-action explain: with AQE the string now shows the FINAL
         # plan (isFinalPlan=true), where a split skew join is annotated
         final_plan = out._jdf.queryExecution().explainString(
@@ -212,7 +224,11 @@ def run_skew_demo(
             )
         )
         return {
-            "rows": rows,
+            "rows": len(collected),
+            "groups": {
+                r["event_type"]: (r["n"], str(r["weighted"]))
+                for r in collected
+            },
             "skew_marker": "skew=true" in final_plan,
         }
     finally:
@@ -221,3 +237,9 @@ def run_skew_demo(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        if own_dim_dir is not None:
+            import shutil
+
+            # the collect above fully consumed the dim; drop the
+            # throwaway parquet dir rather than leaking one per call
+            shutil.rmtree(own_dim_dir, ignore_errors=True)

@@ -468,3 +468,7 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
     assert aqe["skew_marker"], "AQE run did not split the skewed partition"
     assert not plain["skew_marker"]
     assert plain["rows"] == aqe["rows"] == salted["rows"] > 0
+    # exact per-group (count, weighted-sum) agreement: catches a salt
+    # fanout duplicating rows or a dropped hot key, which the bare
+    # 5-group row count cannot
+    assert plain["groups"] == aqe["groups"] == salted["groups"]

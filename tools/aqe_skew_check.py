@@ -50,24 +50,31 @@ def main() -> None:
         gen_sf1.gen(sf1_dir)
     spark = get_spark("aqe_skew_check")
     events = load_table(spark, sf1_dir, "events")
+    import shutil
     import tempfile
 
-    dim = skew.build_skew_demo_dim(
-        spark, events, tempfile.mkdtemp(prefix="aqe_skew_dim_")
-    )
+    dim_dir = tempfile.mkdtemp(prefix="aqe_skew_dim_")
+    dim = skew.build_skew_demo_dim(spark, events, dim_dir)
     results: dict[str, dict] = {}
+    groups: dict[str, dict] = {}
     for variant in ("plain", "aqe", "salted"):
         t0 = time.monotonic()
         out = skew.run_skew_demo(spark, events, variant, dim=dim)
+        groups[variant] = out["groups"]
         results[variant] = {
             "seconds": round(time.monotonic() - t0, 3),
             "rows": out["rows"],
             "skew_marker_in_final_plan": out["skew_marker"],
         }
         print(f"{variant:8s} {results[variant]}", file=sys.stderr)
+    shutil.rmtree(dim_dir, ignore_errors=True)
 
-    assert len({r["rows"] for r in results.values()}) == 1, (
-        "variants disagree on result rows — a remedy changed semantics"
+    # exact per-group (count, weighted-sum) agreement — a remedy that
+    # duplicated or dropped rows would still produce the same 5 group
+    # keys, so a bare row-count compare could not catch it
+    assert groups["plain"] == groups["aqe"] == groups["salted"], (
+        "variants disagree on per-group results — a remedy changed "
+        "semantics"
     )
     assert results["aqe"]["skew_marker_in_final_plan"], (
         "AQE run's final adaptive plan has no skew-split marker — "

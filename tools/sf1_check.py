@@ -77,10 +77,13 @@ def main() -> None:
         "part_match_candidates": lambda r: r == 0,
         "semdedup_survivors": lambda r: r == 0 or r >= n_emb,
     }
+    # a guarded name MISSING from results is itself a regression (a
+    # rename or a TOP-list edit silently disabling the gate), not a
+    # skip — fail loudly either way
     broken = [
         n
         for n, is_bad in degenerate.items()
-        if n in results and is_bad(results[n]["rows_sf1"])
+        if n not in results or is_bad(results[n]["rows_sf1"])
     ]
     if broken:
         print(
