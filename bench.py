@@ -124,8 +124,10 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # wall budget for the WHOLE sweep: later reps are skipped rather
     # than blowing a caller's timeout (a loaded box can triple rep
-    # times; medians of 2 still beat a single sample)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # times; medians of 2 still beat a single sample). 600 s fits 3
+    # idle reps (~470 s) and degrades to 1-2 reps under heavy load —
+    # a clipped median beats a killed bench with no artifact at all.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
     sweep_t0 = time.perf_counter()
     try:
         load_start = [round(x, 2) for x in os.getloadavg()]

@@ -385,3 +385,149 @@ def topk_int8(
         V.cosine("cv", "qv").alias("cosine"),
     )
     return _ranked_topk(scored, k)
+
+
+# -- incremental embedding near-dup (persisted cell index, probe batches) ----
+
+
+def embedding_cell_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable ANN-ingest index of an embedding corpus: one row
+    per vector carrying ``(cell, vec_id, embedding, nrm, cell_n)`` —
+    the trained-cell assignment WITH the verification payload (vector +
+    precomputed norm) AND its cell's member count, the embedding-space
+    twin of :func:`operators.dedup.minhash_index`. A later batch probes
+    cells, cosine-verifies, and applies the combined cell-size cap
+    without re-scanning the indexed corpus or re-counting its cells. At
+    rest, partition by ``cell``.
+
+    At 100 TB this is the ANN analog of the incremental MinHash
+    contract: per-ingest cost scales with the batch, not the corpus —
+    the corpus embeddings are assigned/normed ONCE at index build
+    (shuffle-free: assign_cells_auto), and every probe is one join
+    against the batch's (broadcast-sized) cell set."""
+    from genai_batch_processor_spark.operators import clustering
+
+    assigned = clustering.assign_cells_auto(df, centroids, vec_col)
+    base = assigned.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    # window count, not groupBy+join-back: one shuffle on cell, single
+    # evaluation of the assignment pipeline (same reasoning as
+    # dedup.with_bucket_counts)
+    return base.withColumn(
+        "cell_n",
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long"),
+    )
+
+
+def incremental_embedding_pairs(
+    index: DataFrame,
+    new_vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = NEAR_DUP_COSINE,
+    max_cell: int = 512,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs INVOLVING AT LEAST ONE NEW
+    vector, probing a prebuilt :func:`embedding_cell_index` — old-old
+    pairs are never generated (the indexed corpus is presumed already
+    deduplicated) and the corpus embeddings are never re-scanned. The
+    cell cap applies to the COMBINED (index + batch) cell population,
+    so results match a from-scratch run over the union restricted to
+    new-sided pairs — the DuckDB twin replays exactly that.
+
+    Plan shape: the batch is assigned cells shuffle-free with the SAME
+    centroids the index was built with, its per-cell counts (≤ k rows)
+    and the batch itself are broadcast into ONE scan of the index
+    (which is never shuffled), and the new-new side is a self-join of
+    the (small) batch. Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from genai_batch_processor_spark.operators import clustering
+
+    b = clustering.assign_cells_auto(new_vecs, centroids, vec_col).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    batch_counts = b.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("batch_n")
+    )
+    # combined (index + batch) cap, mirroring incremental_near_dup's
+    # combined-bucket contract: the index stores cell_n at build time,
+    # so no probe-time aggregation ever touches the corpus
+    idx_ok = (
+        index.join(F.broadcast(batch_counts), "cell", "left")
+        .withColumn(
+            "__tot",
+            F.col("cell_n") + F.coalesce(F.col("batch_n"), F.lit(0)),
+        )
+        .filter(F.col("__tot") <= max_cell)
+    )
+    cosine = lambda xv, yv, xn, yn: F.round(  # noqa: E731
+        F.try_divide(V.dot(xv, yv), xn * yn), 6
+    )
+    old_new = (
+        idx_ok.alias("ix")
+        .join(
+            F.broadcast(b.alias("nb")),
+            F.col("ix.cell") == F.col("nb.cell"),
+        )
+        .select(
+            F.least(
+                F.col("ix.vec_id"), F.col("nb.vec_id")
+            ).alias("id_a"),
+            F.greatest(
+                F.col("ix.vec_id"), F.col("nb.vec_id")
+            ).alias("id_b"),
+            cosine(
+                F.col("ix.embedding"),
+                F.col("nb.embedding"),
+                F.col("ix.nrm"),
+                F.col("nb.nrm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # new-new pairs within the batch, same combined cap on the cell
+    ok_cells = (
+        batch_counts.join(
+            index.select("cell", "cell_n").distinct(), "cell", "left"
+        )
+        .withColumn(
+            "__tot",
+            F.col("batch_n") + F.coalesce(F.col("cell_n"), F.lit(0)),
+        )
+        .filter(F.col("__tot") <= max_cell)
+        .select("cell")
+    )
+    nb = b.join(F.broadcast(ok_cells), "cell")
+    x, y = nb.alias("x"), nb.alias("y")
+    new_new = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            cosine(
+                F.col("x.embedding"),
+                F.col("y.embedding"),
+                F.col("x.nrm"),
+                F.col("y.nrm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return old_new.unionByName(new_new)

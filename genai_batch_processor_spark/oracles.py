@@ -2548,6 +2548,57 @@ ORACLES["semdedup_survivors"] = f"""
       WHERE round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
             >= {similarity.NEAR_DUP_COSINE}""" + _EMB_CLOSURE_SQL
 
+# ANN-ingest probe twin: the SAME deterministic training (bit-identical
+# centroids via the unrolled kmeans SQL), one argmin assignment of the
+# full table, corpus/batch split + offset re-key, combined cell cap,
+# old-new probe UNION new-new in-batch pairs — exactly the from-scratch
+# union restricted to new-sided pairs the Spark operator produces.
+ORACLES["incremental_embedding_near_dup"] = f"""
+    WITH cent_long AS (
+      SELECT * FROM ({_clu4.sql_kmeans_cells()})
+    ), cent AS (
+      SELECT cell, list(c_val ORDER BY dim) AS cv
+      FROM cent_long GROUP BY cell
+    ), allv AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM cent c
+              ORDER BY list_dot_product(c.cv, c.cv)
+                       - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv),
+                       c.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ), corpus AS (
+      SELECT vec_id, embedding, cell FROM allv
+    ), batch AS (
+      SELECT vec_id + {_q4.INC_DEDUP_OFFSET} AS vec_id, embedding, cell
+      FROM allv WHERE vec_id % 10 = 3
+    ), counts AS (
+      SELECT cell, count(*) AS n FROM (
+        SELECT cell FROM corpus UNION ALL SELECT cell FROM batch
+      ) GROUP BY cell
+    ), ok AS (
+      SELECT cell FROM counts WHERE n <= {_q4.SEMDEDUP_MAX_CELL}
+    )
+    SELECT least(o.vec_id, b.vec_id) AS id_a,
+           greatest(o.vec_id, b.vec_id) AS id_b,
+           round({vec.sql_cosine('o.embedding', 'b.embedding')}, 6)
+             AS cosine
+    FROM corpus o
+    JOIN batch b ON o.cell = b.cell
+    JOIN ok ON ok.cell = o.cell
+    WHERE round({vec.sql_cosine('o.embedding', 'b.embedding')}, 6)
+          >= {similarity.NEAR_DUP_COSINE}
+    UNION ALL
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
+             AS cosine
+    FROM batch x
+    JOIN batch y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    JOIN ok ON ok.cell = x.cell
+    WHERE round({vec.sql_cosine('x.embedding', 'y.embedding')}, 6)
+          >= {similarity.NEAR_DUP_COSINE}
+"""
+
 # Ingest-time span-containment probe: the same index/batch derivation
 # replayed — corpus span hashes distinct, batch = word-4+ tails of every
 # 10th doc re-keyed by the probe offset, LEFT JOIN on the span hash.

@@ -3217,6 +3217,54 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def q_incremental_embedding_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup — the ANN-ingest twin of
+    incremental_near_dup: a new vector batch (every 10th embedding,
+    re-keyed into a disjoint id space) probed against the prebuilt
+    trained-cell index of the existing corpus
+    (operators/similarity.py:embedding_cell_index /
+    incremental_embedding_pairs). Only new-sided pairs are generated,
+    the corpus embeddings are never re-scanned or re-assigned, and the
+    combined (index + batch) cell cap makes results match a
+    from-scratch run over the union restricted to new-sided pairs —
+    which is exactly what the oracle replays (the shared deterministic
+    trainer means the DuckDB twin reproduces the SAME centroids
+    bit-for-bit via the unrolled kmeans SQL).
+
+    The batch is a RE-INGEST: verbatim copies of every 10th corpus
+    vector under fresh ids, so each new vector has at least its exact
+    twin (cosine 1.0) in the index — the duplicate-delivery shape an
+    ingest idempotence screen exists to catch, and a structurally
+    non-degenerate result at any scale.
+
+    Scale: index built once per session (persisted, cell-partitioned
+    at rest); per-ingest cost scales with the batch — batch assignment
+    is shuffle-free, batch and its per-cell counts broadcast into ONE
+    index scan. Adaptive k (clustering.adaptive_k) keeps cells ~250
+    vectors at any corpus size; at oracle scales it equals KMEANS_K so
+    the static SQL twin stays valid."""
+    from genai_batch_processor_spark.operators import clustering  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids_shared(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _EMB_INDEX_CACHE.get(key)
+    if index is None:
+        index = similarity.embedding_cell_index(emb, cents).persist()
+        _EMB_INDEX_CACHE[key] = index
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    return similarity.incremental_embedding_pairs(
+        index, batch, cents, max_cell=SEMDEDUP_MAX_CELL
+    )
+
+
 def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest twin of incremental_near_dup: the new batch
     arrives as a file STREAM (1 file per trigger → multiple
@@ -3867,6 +3915,7 @@ QUERIES: dict[str, callable] = {
     "quality_filter_funnel": q_quality_filter_funnel,
     "dsir_weights": q_dsir_weights,
     "incremental_near_dup": q_incremental_near_dup,
+    "incremental_embedding_near_dup": q_incremental_embedding_near_dup,
     "incremental_near_dup_stream": q_incremental_near_dup_stream,
     "length_buckets": q_length_buckets,
     "vocab_oov_rate": q_vocab_oov_rate,
@@ -4010,6 +4059,7 @@ QUERIES: dict[str, callable] = {
 # every registered query has passed the driver's OWN gate at least once.
 _R6_FRONT = [
     "kmeans_assign_agreement",  # new in r6: never sampled by definition
+    "incremental_embedding_near_dup",  # new in r6
     "user_funnel", "tfidf_top_terms", "above_avg_balance",
     "source_diversity", "source_lang_pivot", "doc_attr_map", "doc_sample",
     "split_counts", "source_quota", "pii_redaction", "doc_repetition",

@@ -649,3 +649,54 @@ def test_eval_decontamination_invariants(spark, sf_dir):
         assert r.n_docs == per_split[s]
         assert r.n_kept == r.n_docs - r.n_evicted
         assert 0 <= r.n_evicted <= r.n_docs
+
+
+def test_incremental_embedding_probe_invariants(spark):
+    """ANN-ingest probe invariants on a constructed corpus: every
+    re-ingested vector pairs with its exact twin at cosine 1.0, pairs
+    always involve >= 1 new id, old-old pairs never appear, and the
+    combined (index + batch) cell cap drops an overfull cell's pairs
+    entirely (matching a from-scratch run under the same cap)."""
+    from genai_batch_processor_spark.operators import clustering, similarity
+
+    # two well-separated directions -> two stable cells
+    base = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.01]),
+    ]
+    emb = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>"
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    index = similarity.embedding_cell_index(emb, cents)
+    batch = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.incremental_embedding_pairs(
+        index, batch, cents, threshold=0.9
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in rows}
+    assert pairs[(0, 100)] == 1.0 and pairs[(2, 101)] == 1.0
+    assert all(b >= 100 for _, b in pairs)  # new-sided, id_a < id_b
+    # the two batch vectors land in different cells, so no new-new
+    # pair can exist in this construction (id_a >= 100 would mean one)
+    assert not any(a >= 100 for a, _ in pairs)
+    # near-twin also caught within the cell
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 0.9
+
+    # combined cap: cell 0 holds 2 old + 1 new = 3 > max_cell=2 -> all
+    # its pairs drop; cell 1 (2 old + 1 new) with max_cell=3 survives
+    capped = similarity.incremental_embedding_pairs(
+        index, batch, cents, threshold=0.9, max_cell=2
+    ).collect()
+    assert capped == []
+    part = {
+        (r.id_a, r.id_b)
+        for r in similarity.incremental_embedding_pairs(
+            index, batch, cents, threshold=0.9, max_cell=3
+        ).collect()
+    }
+    assert (0, 100) in part and (2, 101) in part
