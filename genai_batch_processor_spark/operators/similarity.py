@@ -436,6 +436,7 @@ def incremental_embedding_pairs(
     vec_col: str = "embedding",
     threshold: float = NEAR_DUP_COSINE,
     max_cell: int = 512,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs INVOLVING AT LEAST ONE NEW
     vector, probing a prebuilt :func:`embedding_cell_index` — old-old
@@ -450,15 +451,27 @@ def incremental_embedding_pairs(
     and the batch itself are broadcast into ONE scan of the index
     (which is never shuffled), and the new-new side is a self-join of
     the (small) batch. Output: (id_a, id_b, cosine) with id_a < id_b.
-    """
+    A replayed id (same id in index AND batch) matches only OTHER
+    vectors — the probe-join self-match is filtered, mirroring
+    dedup.incremental_near_dup_pairs.
+
+    Pass ``batch_index`` (a prebuilt, caller-persisted
+    :func:`embedding_cell_index` of the batch) when the caller manages
+    lifecycles — e.g. the streaming ingest loop, which sinks the batch
+    index anyway; else the batch is assigned internally per call."""
     from genai_batch_processor_spark.operators import clustering
 
-    b = clustering.assign_cells_auto(new_vecs, centroids, vec_col).select(
-        F.col("cell").cast("int").alias("cell"),
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        V.norm(F.col(vec_col)).alias("nrm"),
-    )
+    if batch_index is not None:
+        b = batch_index.select("cell", "vec_id", "embedding", "nrm")
+    else:
+        b = clustering.assign_cells_auto(
+            new_vecs, centroids, vec_col
+        ).select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            V.norm(F.col(vec_col)).alias("nrm"),
+        )
     batch_counts = b.groupBy("cell").agg(
         F.count(F.lit(1)).alias("batch_n")
     )
@@ -482,6 +495,7 @@ def incremental_embedding_pairs(
             F.broadcast(b.alias("nb")),
             F.col("ix.cell") == F.col("nb.cell"),
         )
+        .filter(F.col("ix.vec_id") != F.col("nb.vec_id"))  # replay self-match
         .select(
             F.least(
                 F.col("ix.vec_id"), F.col("nb.vec_id")
@@ -509,6 +523,9 @@ def incremental_embedding_pairs(
         )
         .filter(F.col("__tot") <= max_cell)
         .select("cell")
+        .distinct()  # a unioned probe index (streaming: corpus + earlier
+        # epochs) carries one cell_n per SOURCE; without the distinct the
+        # join above fans the batch out once per source row
     )
     nb = b.join(F.broadcast(ok_cells), "cell")
     x, y = nb.alias("x"), nb.alias("y")
@@ -530,4 +547,6 @@ def incremental_embedding_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    return old_new.unionByName(new_new)
+    # distinct mirrors the MinHash twin: with a unioned (streaming)
+    # probe index, per-source cell_n rows can duplicate pair rows
+    return old_new.unionByName(new_new).distinct()

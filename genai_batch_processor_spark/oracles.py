@@ -2599,6 +2599,12 @@ ORACLES["incremental_embedding_near_dup"] = f"""
           >= {similarity.NEAR_DUP_COSINE}
 """
 
+# Streamed union of the ANN-ingest probe == the one-shot probe (the
+# micro-batching is an execution detail, not a semantics change).
+ORACLES["incremental_embedding_stream"] = ORACLES[
+    "incremental_embedding_near_dup"
+]
+
 # Ingest-time span-containment probe: the same index/batch derivation
 # replayed — corpus span hashes distinct, batch = word-4+ tails of every
 # 10th doc re-keyed by the probe offset, LEFT JOIN on the span hash.

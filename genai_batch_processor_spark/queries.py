@@ -3265,6 +3265,66 @@ def q_incremental_embedding_near_dup(
     )
 
 
+def q_incremental_embedding_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-ingest twin of incremental_embedding_near_dup: the
+    re-ingest batch arrives as a file STREAM (1 file per trigger →
+    multiple micro-batches); each micro-batch probes the trained-cell
+    corpus index PLUS the sunk cell-index rows of earlier micro-batches
+    (probe-then-extend, each pair exactly once), sinking pairs and
+    index rows to idempotent per-epoch parquet
+    (streaming/ingest.embedding_probe_stream_to_parquet) — no driver
+    accumulation. The streamed union must equal the one-shot probe:
+    SAME ORACLE as incremental_embedding_near_dup. Cap nuance mirrors
+    the MinHash stream (per-source cell_n; exact under the cap, which
+    the oracle gate checks)."""
+    import os
+    import shutil
+    import tempfile
+
+    from genai_batch_processor_spark.operators import clustering
+    from genai_batch_processor_spark.streaming import ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids_shared(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _EMB_INDEX_CACHE.get(key)
+    if index is None:
+        index = similarity.embedding_cell_index(emb, cents).persist()
+        _EMB_INDEX_CACHE[key] = index
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    shards = tempfile.mkdtemp(prefix="inc_emb_shards_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_inc_emb_")
+    out = tempfile.mkdtemp(prefix="inc_emb_out_")
+    try:
+        batch.repartition(2).write.mode("overwrite").parquet(shards)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.embedding_probe_stream_to_parquet(
+            stream, index, cents, out, ckpt, max_cell=SEMDEDUP_MAX_CELL
+        )
+        pairs_root = os.path.join(out, "pairs")
+        if not os.path.isdir(pairs_root):
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        return (
+            spark.read.parquet(pairs_root)
+            .select("id_a", "id_b", "cosine")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(shards, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest twin of incremental_near_dup: the new batch
     arrives as a file STREAM (1 file per trigger → multiple
@@ -3916,6 +3976,7 @@ QUERIES: dict[str, callable] = {
     "dsir_weights": q_dsir_weights,
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_embedding_near_dup": q_incremental_embedding_near_dup,
+    "incremental_embedding_stream": q_incremental_embedding_stream,
     "incremental_near_dup_stream": q_incremental_near_dup_stream,
     "length_buckets": q_length_buckets,
     "vocab_oov_rate": q_vocab_oov_rate,
@@ -4060,6 +4121,7 @@ QUERIES: dict[str, callable] = {
 _R6_FRONT = [
     "kmeans_assign_agreement",  # new in r6: never sampled by definition
     "incremental_embedding_near_dup",  # new in r6
+    "incremental_embedding_stream",  # new in r6
     "user_funnel", "tfidf_top_terms", "above_avg_balance",
     "source_diversity", "source_lang_pivot", "doc_attr_map", "doc_sample",
     "split_counts", "source_quota", "pii_redaction", "doc_repetition",

@@ -26,6 +26,31 @@ from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.operators import dedup, responses
 
 
+def _epoch_dirs(spark: SparkSession, root: str, before: int) -> list[str]:
+    """List ``batch=N`` (N < before) under ``root`` through the Hadoop
+    FileSystem API — the writes go through Spark's filesystem, so the
+    discovery must too (a driver-local os.listdir would silently return
+    nothing for hdfs:// or s3a:// roots and drop every
+    cross-micro-batch pair). Shared by both sink-based probe streams."""
+    import re
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if re.fullmatch(r"batch=\d+", name) and (
+            int(name.split("=")[1]) < before
+        ):
+            out.append(status.getPath().toString())
+    return sorted(out)
+
+
 def stream_response_lines(
     spark: SparkSession,
     path: str,
@@ -89,38 +114,14 @@ def near_dup_probe_stream_to_parquet(
 
     Read contract: union ``{out_dir}/pairs/batch=*`` (each pair
     emitted exactly once across the run)."""
-    import re
-
     spark = index.sparkSession
-
-    def _epoch_dirs(root: str, before: int) -> list[str]:
-        """List ``batch=N`` (N < before) under ``root`` through the
-        Hadoop FileSystem API — the writes go through Spark's
-        filesystem, so the discovery must too (a driver-local
-        os.listdir would silently return nothing for hdfs:// or
-        s3a:// roots and drop every cross-micro-batch pair)."""
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(root)
-        fs = path.getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        )
-        if not fs.exists(path):
-            return []
-        out = []
-        for status in fs.listStatus(path):
-            name = status.getPath().getName()
-            if re.fullmatch(r"batch=\d+", name) and (
-                int(name.split("=")[1]) < before
-            ):
-                out.append(status.getPath().toString())
-        return sorted(out)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         probe = index
         idx_root = out_dir.rstrip("/") + "/index"
-        earlier = _epoch_dirs(idx_root, epoch_id)
+        earlier = _epoch_dirs(spark, idx_root, epoch_id)
         if earlier:
             probe = probe.unionByName(spark.read.parquet(*earlier))
         batch_index = dedup.minhash_index(
@@ -129,6 +130,71 @@ def near_dup_probe_stream_to_parquet(
         try:
             pairs = dedup.incremental_near_dup_pairs(
                 probe, batch_df, id_col, text_col, batch_index=batch_index
+            )
+            pairs.write.mode("overwrite").parquet(
+                out_dir.rstrip("/") + f"/pairs/batch={epoch_id}"
+            )
+            batch_index.write.mode("overwrite").parquet(
+                idx_root + f"/batch={epoch_id}"
+            )
+        finally:
+            batch_index.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def embedding_probe_stream_to_parquet(
+    stream_df: DataFrame,
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    out_dir: str,
+    checkpoint_dir: str,
+    max_cell: int = 512,
+) -> None:
+    """Sink-based incremental EMBEDDING near-dup probe — the ANN-ingest
+    twin of :func:`near_dup_probe_stream_to_parquet`: drain a vector
+    stream against a prebuilt trained-cell index
+    (operators/similarity.py:embedding_cell_index), writing each
+    micro-batch's pair set to ``{out_dir}/pairs/batch={epoch}`` and its
+    cell-index rows to ``{out_dir}/index/batch={epoch}``. Same
+    probe-then-extend contract (epoch N probes corpus index + sunk
+    index rows of epochs < N, so cross-micro-batch new-new pairs are
+    found exactly once), same idempotent overwrite-into-epoch-dir sink
+    semantics, zero driver accumulation, restart-from-checkpoint safe.
+
+    Cap nuance (mirrors the MinHash stream): the combined cell cap is
+    applied against each probe source's recorded ``cell_n``; exact
+    whenever cells are under the cap, which the oracle gate checks.
+
+    Read contract: union ``{out_dir}/pairs/batch=*``."""
+    from genai_batch_processor_spark.operators import similarity
+
+    spark = index.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = index
+        idx_root = out_dir.rstrip("/") + "/index"
+        earlier = _epoch_dirs(spark, idx_root, epoch_id)
+        if earlier:
+            probe = probe.unionByName(spark.read.parquet(*earlier))
+        batch_index = similarity.embedding_cell_index(
+            batch_df, centroids
+        ).persist()
+        try:
+            pairs = similarity.incremental_embedding_pairs(
+                probe,
+                batch_df,
+                centroids,
+                max_cell=max_cell,
+                batch_index=batch_index,
             )
             pairs.write.mode("overwrite").parquet(
                 out_dir.rstrip("/") + f"/pairs/batch={epoch_id}"

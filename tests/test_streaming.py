@@ -494,3 +494,65 @@ def test_sink_probe_restart_across_checkpoint(spark, tmp_path):
         assert epoch_dirs() == before
     finally:
         index.unpersist()
+
+
+def test_embedding_sink_probe_restart_across_checkpoint(spark, tmp_path):
+    """ANN-ingest twin of the sink-probe restart test: drain wave 1 of
+    a vector re-ingest, restart the SAME checkpoint over wave 1 +
+    wave 2, and the on-disk pair union equals the one-shot
+    incremental_embedding_pairs over both waves — probe extras live in
+    the sunk per-epoch index dirs, never in driver state. A third
+    restart with nothing new writes nothing."""
+    from genai_batch_processor_spark.operators import clustering, similarity
+    from genai_batch_processor_spark.queries import INC_DEDUP_OFFSET
+    from genai_batch_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    index = similarity.embedding_cell_index(emb, cents).persist()
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    wave1 = batch.filter(F.col("vec_id") % 2 == 0)
+    wave2 = batch.filter(F.col("vec_id") % 2 == 1)
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.embedding_probe_stream_to_parquet(
+            stream, index, cents, out, ckpt
+        )
+
+    try:
+        wave1.repartition(2).write.mode("append").parquet(shards)
+        drain()
+        wave2.repartition(2).write.mode("append").parquet(shards)
+        drain()  # restart: picks up only wave-2 files from the checkpoint
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in spark.read.parquet(os.path.join(out, "pairs")).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.incremental_embedding_pairs(
+                index, batch, cents
+            ).collect()
+        }
+        assert got == want
+        assert len(want) > 0
+
+        def epoch_dirs():
+            return sorted(os.listdir(os.path.join(out, "pairs")))
+
+        before = epoch_dirs()
+        drain()  # restart with nothing new: no new epoch directories
+        assert epoch_dirs() == before
+    finally:
+        index.unpersist()
