@@ -436,6 +436,16 @@ def test_incremental_probe_broadcasts_the_batch(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2  # new side + old_sizes
 
 
+def test_embedding_probe_broadcasts_batch_index_unshuffled(spark, sf_dir):
+    """The ANN-ingest probe must broadcast the (small) new vector batch
+    against a single scan of the cell index — never cartesian, no
+    sort-merge of the index (its only exchange is the build-time
+    window count on cell)."""
+    plan = _plan(spark, "incremental_embedding_near_dup", sf_dir)
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # batch + ok-cells
+
+
 def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
     """Round-5 verdict item 6: on a genuinely skewed join (40% of
     events remapped to ONE user), Spark's AQE skew handling must

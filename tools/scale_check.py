@@ -68,6 +68,8 @@ TOP = [
     "user_stats_stream",
     "embedding_dedup_survivors",
     "incremental_near_dup",
+    "incremental_embedding_near_dup",
+    "incremental_embedding_stream",
     "bm25_scores",
     "part_match_candidates",
     "near_dup_method_agreement",
