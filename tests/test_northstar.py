@@ -700,3 +700,26 @@ def test_incremental_embedding_probe_invariants(spark):
         ).collect()
     }
     assert (0, 100) in part and (2, 101) in part
+
+
+def test_incremental_embedding_probe_degenerate_vectors(spark):
+    """Zero-norm and NULL vectors must flow through the ANN-ingest
+    probe without aborting (ANSI: try_divide parity) and never pair —
+    NULL cosines drop at the threshold on both probe sides."""
+    from genai_batch_processor_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, None), (3, [0.99, 0.01])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    idx = similarity.embedding_cell_index(emb, cents)
+    batch = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0]), (102, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.incremental_embedding_pairs(
+        idx, batch, cents, threshold=0.9
+    ).collect()
+    got = sorted((r.id_a, r.id_b) for r in rows)
+    assert got == [(0, 100), (3, 100)]  # degenerate rows never pair
