@@ -125,11 +125,26 @@ def assign_cells_arrow(
     )
 
     def assign(batches):
+        lowest = int(cids[0])  # centroids sorted: lowest cell id first
         for pdf in batches:
             if len(pdf):
-                X = np.array(list(pdf[vec_name]), dtype=np.float64)
-                scores = cc[None, :] - 2.0 * (X @ C.T)
-                pdf = pdf.assign(cell=cids[np.argmin(scores, axis=1)])
+                # NULL vectors: the literal path scores them NULL for
+                # every centroid and the struct-min tie-break lands on
+                # the LOWEST cell id — np.array over a list containing
+                # None would instead crash the executor with a ragged-
+                # array ValueError, so mask them out and assign the
+                # same lowest-id cell the literal path produces
+                vals = list(pdf[vec_name])
+                ok = np.array([v is not None for v in vals])
+                cells = np.full(len(vals), lowest, dtype=np.int32)
+                if ok.any():
+                    X = np.array(
+                        [v for v in vals if v is not None],
+                        dtype=np.float64,
+                    )
+                    scores = cc[None, :] - 2.0 * (X @ C.T)
+                    cells[ok] = cids[np.argmin(scores, axis=1)]
+                pdf = pdf.assign(cell=cells)
             else:
                 pdf = pdf.assign(cell=np.array([], dtype=np.int32))
             yield pdf

@@ -399,11 +399,13 @@ def embedding_cell_index(
     """The persistable ANN-ingest index of an embedding corpus: one row
     per vector carrying ``(cell, vec_id, embedding, nrm, cell_n)`` —
     the trained-cell assignment WITH the verification payload (vector +
-    precomputed norm) AND its cell's member count, the embedding-space
-    twin of :func:`operators.dedup.minhash_index`. A later batch probes
-    cells, cosine-verifies, and applies the combined cell-size cap
-    without re-scanning the indexed corpus or re-counting its cells. At
-    rest, partition by ``cell``.
+    precomputed norm) AND its cell's build-time member count, the
+    embedding-space twin of :func:`operators.dedup.minhash_index`. A
+    later batch probes cells and cosine-verifies without ever
+    re-assigning or re-norming the indexed corpus; the probe's cap
+    decision counts index rows per cell (one pruned-column aggregate —
+    see :func:`incremental_embedding_pairs`), with ``cell_n`` kept as
+    at-rest metadata. At rest, partition by ``cell``.
 
     At 100 TB this is the ANN analog of the incremental MinHash
     contract: per-ingest cost scales with the batch, not the corpus —
@@ -458,34 +460,58 @@ def incremental_embedding_pairs(
     Pass ``batch_index`` (a prebuilt, caller-persisted
     :func:`embedding_cell_index` of the batch) when the caller manages
     lifecycles — e.g. the streaming ingest loop, which sinks the batch
-    index anyway; else the batch is assigned internally per call."""
+    index anyway; else the batch is assigned internally per call and
+    PERSISTED (it is referenced by the counts aggregate, the probe
+    broadcast, and both sides of the new-new self-join — same
+    materialize-once contract as dedup.incremental_near_dup_pairs;
+    long-running loops should pass ``batch_index`` and manage
+    unpersist themselves).
+
+    Cap mechanics: per-cell OLD counts come from counting index ROWS
+    per cell — one map-side-combinable aggregate over the index's
+    pruned cell column (output ≤ #cells, broadcast back) — NOT from
+    the stored ``cell_n``. Counting rows is exact for ANY probe-index
+    provenance (the streaming path unions the corpus index with
+    earlier epochs' sunk batch indexes, whose per-source cell_n values
+    cannot be summed without double-counting), and it applies ONE
+    consistent cap decision per cell to both the old-new and new-new
+    paths. ``cell_n`` remains in the index schema as build-time,
+    at-rest metadata."""
     from genai_batch_processor_spark.operators import clustering
 
     if batch_index is not None:
         b = batch_index.select("cell", "vec_id", "embedding", "nrm")
     else:
-        b = clustering.assign_cells_auto(
-            new_vecs, centroids, vec_col
-        ).select(
-            F.col("cell").cast("int").alias("cell"),
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            V.norm(F.col(vec_col)).alias("nrm"),
+        b = (
+            clustering.assign_cells_auto(new_vecs, centroids, vec_col)
+            .select(
+                F.col("cell").cast("int").alias("cell"),
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                V.norm(F.col(vec_col)).alias("nrm"),
+            )
+            .persist()
         )
     batch_counts = b.groupBy("cell").agg(
         F.count(F.lit(1)).alias("batch_n")
     )
-    # combined (index + batch) cap, mirroring incremental_near_dup's
-    # combined-bucket contract: the index stores cell_n at build time,
-    # so no probe-time aggregation ever touches the corpus
-    idx_ok = (
-        index.join(F.broadcast(batch_counts), "cell", "left")
+    # ONE consistent combined-cap decision per cell: exact old counts
+    # (row count per cell over the pruned index), batch counts joined
+    # in, cells over the cap dropped for BOTH probe paths
+    old_counts = index.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("old_n")
+    )
+    ok_cells = (
+        old_counts.join(F.broadcast(batch_counts), "cell", "full")
         .withColumn(
             "__tot",
-            F.col("cell_n") + F.coalesce(F.col("batch_n"), F.lit(0)),
+            F.coalesce(F.col("old_n"), F.lit(0))
+            + F.coalesce(F.col("batch_n"), F.lit(0)),
         )
         .filter(F.col("__tot") <= max_cell)
+        .select("cell")
     )
+    idx_ok = index.join(F.broadcast(ok_cells), "cell", "left_semi")
     cosine = lambda xv, yv, xn, yn: F.round(  # noqa: E731
         F.try_divide(V.dot(xv, yv), xn * yn), 6
     )
@@ -512,22 +538,7 @@ def incremental_embedding_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    # new-new pairs within the batch, same combined cap on the cell
-    ok_cells = (
-        batch_counts.join(
-            index.select("cell", "cell_n").distinct(), "cell", "left"
-        )
-        .withColumn(
-            "__tot",
-            F.col("batch_n") + F.coalesce(F.col("cell_n"), F.lit(0)),
-        )
-        .filter(F.col("__tot") <= max_cell)
-        .select("cell")
-        .distinct()  # a unioned probe index (streaming: corpus + earlier
-        # epochs) carries one cell_n per SOURCE; without the distinct the
-        # join above fans the batch out once per source row
-    )
-    nb = b.join(F.broadcast(ok_cells), "cell")
+    nb = b.join(F.broadcast(ok_cells), "cell", "left_semi")
     x, y = nb.alias("x"), nb.alias("y")
     new_new = (
         x.join(
@@ -547,6 +558,6 @@ def incremental_embedding_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    # distinct mirrors the MinHash twin: with a unioned (streaming)
-    # probe index, per-source cell_n rows can duplicate pair rows
+    # distinct mirrors the MinHash twin: a unioned (streaming) probe
+    # index can replay identical index rows across epochs
     return old_new.unionByName(new_new).distinct()

@@ -3220,6 +3220,20 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _emb_index_shared(spark: SparkSession, sf_dir: str, cents: list) -> DataFrame:
+    """One persisted trained-cell embedding index per (session, sf_dir)
+    — the one-shot probe and its streaming twin must probe the SAME
+    materialized index (the seam _corpus_index_shared provides for the
+    MinHash family)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _EMB_INDEX_CACHE.get(key)
+    if index is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = similarity.embedding_cell_index(emb, cents).persist()
+        _EMB_INDEX_CACHE[key] = index
+    return index
+
+
 def q_incremental_embedding_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3248,15 +3262,9 @@ def q_incremental_embedding_near_dup(
     index scan. Adaptive k (clustering.adaptive_k) keeps cells ~250
     vectors at any corpus size; at oracle scales it equals KMEANS_K so
     the static SQL twin stays valid."""
-    from genai_batch_processor_spark.operators import clustering  # noqa: F401
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids_shared(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _EMB_INDEX_CACHE.get(key)
-    if index is None:
-        index = similarity.embedding_cell_index(emb, cents).persist()
-        _EMB_INDEX_CACHE[key] = index
+    index = _emb_index_shared(spark, sf_dir, cents)
     batch = emb.filter(F.col("vec_id") % 10 == 3).select(
         (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
     )
@@ -3276,23 +3284,20 @@ def q_incremental_embedding_stream(
     index rows to idempotent per-epoch parquet
     (streaming/ingest.embedding_probe_stream_to_parquet) — no driver
     accumulation. The streamed union must equal the one-shot probe:
-    SAME ORACLE as incremental_embedding_near_dup. Cap nuance mirrors
-    the MinHash stream (per-source cell_n; exact under the cap, which
-    the oracle gate checks)."""
+    SAME ORACLE as incremental_embedding_near_dup. Cap nuance: each
+    epoch counts its own probe view's rows per cell — exact totals at
+    every epoch, but early epochs cannot see later batches, so only
+    under cap pressure can the streamed union differ from the one-shot
+    run (the oracle gate checks the fixture stays under the cap)."""
     import os
     import shutil
     import tempfile
 
-    from genai_batch_processor_spark.operators import clustering
     from genai_batch_processor_spark.streaming import ingest
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids_shared(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _EMB_INDEX_CACHE.get(key)
-    if index is None:
-        index = similarity.embedding_cell_index(emb, cents).persist()
-        _EMB_INDEX_CACHE[key] = index
+    index = _emb_index_shared(spark, sf_dir, cents)
     batch = emb.filter(F.col("vec_id") % 10 == 3).select(
         (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
     )

@@ -168,9 +168,12 @@ def embedding_probe_stream_to_parquet(
     found exactly once), same idempotent overwrite-into-epoch-dir sink
     semantics, zero driver accumulation, restart-from-checkpoint safe.
 
-    Cap nuance (mirrors the MinHash stream): the combined cell cap is
-    applied against each probe source's recorded ``cell_n``; exact
-    whenever cells are under the cap, which the oracle gate checks.
+    Cap nuance: each epoch's cap decision counts the rows of its OWN
+    probe view (corpus + epochs < N + current batch) — exact per-cell
+    totals regardless of provenance, but an early epoch cannot see
+    later batches, so under cap pressure it may admit pairs the
+    one-shot run drops. Exact whenever combined populations stay under
+    the cap, which the oracle gate checks on the fixture.
 
     Read contract: union ``{out_dir}/pairs/batch=*``."""
     from genai_batch_processor_spark.operators import similarity

@@ -657,7 +657,7 @@ def test_incremental_embedding_probe_invariants(spark):
     always involve >= 1 new id, old-old pairs never appear, and the
     combined (index + batch) cell cap drops an overfull cell's pairs
     entirely (matching a from-scratch run under the same cap)."""
-    from genai_batch_processor_spark.operators import clustering, similarity
+    from genai_batch_processor_spark.operators import similarity
 
     # two well-separated directions -> two stable cells
     base = [

@@ -452,8 +452,11 @@ def test_sink_probe_restart_across_checkpoint(spark, tmp_path):
     new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"), "text"
     )
-    wave1 = new_docs.filter(F.col("doc_id") % 2 == 0)
-    wave2 = new_docs.filter(F.col("doc_id") % 2 == 1)
+    # split on %20 of the ORIGINAL id space: batch ids are all ≡3
+    # (mod 10) plus an even offset, so a %2 split would leave wave 1
+    # EMPTY and the cross-restart probe path untested (review finding)
+    wave1 = new_docs.filter(F.col("doc_id") % 20 == 3)
+    wave2 = new_docs.filter(F.col("doc_id") % 20 == 13)
     shards = str(tmp_path / "shards")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
@@ -469,6 +472,7 @@ def test_sink_probe_restart_across_checkpoint(spark, tmp_path):
         )
 
     try:
+        assert wave1.count() > 0 and wave2.count() > 0
         wave1.repartition(2).write.mode("append").parquet(shards)
         drain()
         wave2.repartition(2).write.mode("append").parquet(shards)
@@ -514,8 +518,11 @@ def test_embedding_sink_probe_restart_across_checkpoint(spark, tmp_path):
     batch = emb.filter(F.col("vec_id") % 10 == 3).select(
         (F.col("vec_id") + INC_DEDUP_OFFSET).alias("vec_id"), "embedding"
     )
-    wave1 = batch.filter(F.col("vec_id") % 2 == 0)
-    wave2 = batch.filter(F.col("vec_id") % 2 == 1)
+    # %20 split (not %2): offset batch ids are all odd — see the
+    # MinHash twin above; both waves must be non-empty for the
+    # restart to exercise probing wave-1's sunk epoch dirs
+    wave1 = batch.filter(F.col("vec_id") % 20 == 3)
+    wave2 = batch.filter(F.col("vec_id") % 20 == 13)
     shards = str(tmp_path / "shards")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
@@ -531,6 +538,7 @@ def test_embedding_sink_probe_restart_across_checkpoint(spark, tmp_path):
         )
 
     try:
+        assert wave1.count() > 0 and wave2.count() > 0
         wave1.repartition(2).write.mode("append").parquet(shards)
         drain()
         wave2.repartition(2).write.mode("append").parquet(shards)
