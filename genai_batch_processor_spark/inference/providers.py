@@ -474,9 +474,19 @@ class OpenAIBatchBackend:
                     output_path,
                     f".{batch_id}{suffix}.part-{uuid.uuid4().hex}",
                 )
-                with open(tmp, "wb") as f:
-                    f.write(raw)
-                os.replace(tmp, dest)
+                try:
+                    with open(tmp, "wb") as f:
+                        f.write(raw)
+                    os.replace(tmp, dest)
+                except BaseException:
+                    # hidden .part files are invisible to scans but
+                    # would accumulate across retried tasks — best-
+                    # effort unlink before re-raising
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+                    raise
 
 
 # Vertex JOB_STATE_* → orchestrator terminal set (vtx:225).

@@ -109,6 +109,56 @@ def blocked_pairs(
     )
 
 
+def multi_pass_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    passes: list[list[str]],
+    max_distance: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Standard multi-pass blocking (round-6 verdict item 4): run
+    :func:`blocked_pairs` once per blocking-key set and UNION the
+    candidate relations (exact distinct — every pass emits the same
+    deterministic ``(a_key, b_key, names, distance)`` row for a pair
+    both passes find).
+
+    Why: a single blocking key over a FIXED key space (the part
+    catalog's ~400 (brand, noun) blocks) makes candidate volume
+    quadratic in catalog size — at 10x rows, 10x-bigger blocks and
+    ~100x the pairs. Finer keys shrink blocks but can split true
+    matches across blocks; multi-pass restores recall by letting each
+    pass miss pairs the other catches. The length-band pass pair used
+    by ``part_match_multikey`` is recall-EXACT for this scorer:
+    Levenshtein ≤ d implies length difference ≤ d, and two band
+    partitions of width W=2d with cut points offset by d cannot BOTH
+    split a pair closer than d+1 (two cuts from the combined set are
+    never nearer than d apart, so an integer interval of length ≤ d
+    contains at most one) — every pair the coarse (brand, noun) block
+    admits lands intact in at least one pass.
+
+    The oversized-block drop contract is applied PER PASS with one
+    shared catalog-derived cap (one count job): a sub-block is never
+    larger than its parent block, so any pair surviving the coarse
+    pass's cap survives here — the union's recall vs the single-key
+    pass is ≥ 1, measured (not assumed) by
+    ``part_match_blocking_recall``.
+
+    Plan shape: each pass is the bucket-local self-join of
+    :func:`blocked_pairs` (blocks land whole on one task); the union's
+    distinct is one shuffle over the (small) candidate relation."""
+    if max_block is None:
+        max_block = adaptive_max_block(df.count())
+    out = None
+    for block_cols in passes:
+        p = blocked_pairs(
+            df, key_col, name_col, block_cols,
+            max_distance=max_distance, max_block=max_block,
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 def sql_blocked_pairs(
     table: str,
     key_col: str,

@@ -390,6 +390,26 @@ def topk_int8(
 # -- incremental embedding near-dup (persisted cell index, probe batches) ----
 
 
+def centroid_fingerprint(centroids: list[tuple[int, list[float]]]) -> str:
+    """Stable content hash of a trained centroid set (cell ids + packed
+    float64 components, order-canonicalized by cell id). Two uses, both
+    guarding silent cell-space mismatches: (a) the session-level index
+    cache key (an index built with one centroid set must never be served
+    to a caller holding a differently-trained set), and (b) the at-rest
+    index guard — :func:`save_embedding_index` stores it and
+    :func:`load_embedding_index` refuses centroids that don't match,
+    because probing a persisted index with re-trained centroids would
+    silently assign the batch to incompatible cells."""
+    import hashlib
+    import struct
+
+    h = hashlib.sha256()
+    for cell, vec in sorted(centroids, key=lambda cv: cv[0]):
+        h.update(struct.pack("<i", int(cell)))
+        h.update(struct.pack(f"<{len(vec)}d", *[float(x) for x in vec]))
+    return h.hexdigest()
+
+
 def embedding_cell_index(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -424,7 +444,23 @@ def embedding_cell_index(
     # window count, not groupBy+join-back: one shuffle on cell, single
     # evaluation of the assignment pipeline (same reasoning as
     # dedup.with_bucket_counts)
-    return base.withColumn(
+    return with_cell_counts(base)
+
+
+def with_cell_counts(base: DataFrame) -> DataFrame:
+    """Attach/refresh ``cell_n`` on a ``(cell, vec_id, embedding,
+    nrm)`` relation via a window count (one shuffle, single
+    evaluation) — the embedding-space twin of
+    ``operators.dedup.with_bucket_counts``.
+
+    Also the REPAIR step after deleting rows from a persisted index
+    (takedowns via the cell-partitioned delete): the denormalized
+    ``cell_n`` on surviving rows still counts the removed members —
+    refresh and rewrite after erasures. (Probe-time cap decisions count
+    index ROWS, not ``cell_n``, so a stale count cannot corrupt a
+    probe; the loader still refuses stale indexes so the at-rest
+    metadata stays truthful.)"""
+    return base.drop("cell_n").withColumn(
         "cell_n",
         F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long"),
     )
@@ -461,11 +497,14 @@ def incremental_embedding_pairs(
     :func:`embedding_cell_index` of the batch) when the caller manages
     lifecycles — e.g. the streaming ingest loop, which sinks the batch
     index anyway; else the batch is assigned internally per call and
-    PERSISTED (it is referenced by the counts aggregate, the probe
-    broadcast, and both sides of the new-new self-join — same
-    materialize-once contract as dedup.incremental_near_dup_pairs;
-    long-running loops should pass ``batch_index`` and manage
-    unpersist themselves).
+    materialized ONCE as a driver-local relation (it is referenced by
+    the counts aggregate, the probe broadcast, and both sides of the
+    new-new self-join — same materialize-once contract as
+    dedup.incremental_near_dup_pairs). Bounded: the batch is
+    broadcast-sized by contract (it is broadcast into the index scan
+    regardless), the same bound the ANN query side carries — and unlike
+    the previous persist(), a local relation leaves nothing cached for
+    the session's lifetime on the one-shot path.
 
     Cap mechanics: per-cell OLD counts come from counting index ROWS
     per cell — one map-side-combinable aggregate over the index's
@@ -482,15 +521,18 @@ def incremental_embedding_pairs(
     if batch_index is not None:
         b = batch_index.select("cell", "vec_id", "embedding", "nrm")
     else:
-        b = (
-            clustering.assign_cells_auto(new_vecs, centroids, vec_col)
-            .select(
-                F.col("cell").cast("int").alias("cell"),
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"),
-                V.norm(F.col(vec_col)).alias("nrm"),
-            )
-            .persist()
+        assigned = clustering.assign_cells_auto(
+            new_vecs, centroids, vec_col
+        ).select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            V.norm(F.col(vec_col)).alias("nrm"),
+        )
+        # materialize once driver-side (bounded: broadcast-sized batch)
+        # instead of persist() — no cache entry outlives the call
+        b = assigned.sparkSession.createDataFrame(
+            assigned.collect(), assigned.schema
         )
     batch_counts = b.groupBy("cell").agg(
         F.count(F.lit(1)).alias("batch_n")

@@ -217,12 +217,18 @@ def run_skew_demo(
         # final-stage skew annotation regardless of what actually ran
         collected = out.collect()
         # post-action explain: with AQE the string now shows the FINAL
-        # plan (isFinalPlan=true), where a split skew join is annotated
-        final_plan = out._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
-        )
+        # plan (isFinalPlan=true), where a split skew join is annotated.
+        # Captured via the PUBLIC df.explain() (stdout redirect) — the
+        # earlier private _jdf.queryExecution()/_jvm ExplainMode route
+        # breaks on Spark Connect and across version churn, and a silent
+        # API change there would flip skew_marker to False misleadingly.
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(mode="simple")
+        final_plan = buf.getvalue()
         return {
             "rows": len(collected),
             "groups": {

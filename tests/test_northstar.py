@@ -492,6 +492,153 @@ def test_incremental_probe_filters_replayed_id_self_match(spark):
     assert got == {(5, 6)}
 
 
+def _tiny_centroids(emb, k: int = 2) -> list[tuple[int, list[float]]]:
+    """Deterministic toy centroid set: the first k embedding vectors.
+    Enough to exercise cell assignment without training."""
+    rows = emb.orderBy("vec_id").limit(k).collect()
+    return [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)
+    ]
+
+
+def test_embedding_index_roundtrip_and_incremental_probe(
+    spark, sf_dir, tmp_path
+):
+    """The persisted embedding cell index round-trips through parquet
+    (cell-partitioned, version- AND centroid-fingerprint-guarded) and
+    an incremental probe against the LOADED index matches probing the
+    in-memory one — the ANN twin of the MinHash train-once /
+    ingest-many seam (round-6 verdict item 2)."""
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = _tiny_centroids(emb)
+    index = similarity.embedding_cell_index(emb, cents)
+    path = str(tmp_path / "emb_index")
+    index_store.save_embedding_index(index, cents, path)
+    loaded = index_store.load_embedding_index(spark, path, cents)
+    assert dict(loaded.dtypes)["embedding"] == dict(index.dtypes)["embedding"]
+
+    batch = emb.limit(20).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    direct = {
+        (r.id_a, r.id_b)
+        for r in similarity.incremental_embedding_pairs(
+            index, batch, cents, threshold=0.99, max_cell=1000
+        ).collect()
+    }
+    via_disk = {
+        (r.id_a, r.id_b)
+        for r in similarity.incremental_embedding_pairs(
+            loaded, batch, cents, threshold=0.99, max_cell=1000
+        ).collect()
+    }
+    assert via_disk == direct
+    assert len(direct) >= 20  # every re-keyed copy pairs its original
+    # only new-sided pairs: the larger id always lives in the new space
+    assert all(b >= 5_000_000 for _, b in direct)
+
+
+def test_embedding_index_refuses_mismatched_centroids(spark, sf_dir, tmp_path):
+    """Loading with a DIFFERENT centroid set than the index was built
+    under must raise naming the mismatch — cell ids are meaningless
+    across centroid sets, and the probe would otherwise return silently
+    wrong pairs (the exact failure the fingerprint guard exists for)."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = _tiny_centroids(emb, k=2)
+    retrained = _tiny_centroids(emb, k=3)  # a "newer" training run
+    path = str(tmp_path / "emb_fp")
+    index_store.save_embedding_index(
+        similarity.embedding_cell_index(emb, cents), cents, path
+    )
+    with pytest.raises(ValueError, match="centroid set"):
+        index_store.load_embedding_index(spark, path, retrained)
+    # the matching set still loads
+    assert index_store.load_embedding_index(spark, path, cents).count() == 50
+
+
+def test_embedding_index_stale_cell_counts_guard(spark, sf_dir, tmp_path):
+    """A takedown that erases rows without refreshing ``cell_n`` must
+    be refused at load (the stored count lies about the cell
+    population); with_cell_counts + re-save is the documented repair."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    cents = _tiny_centroids(emb)
+    path = str(tmp_path / "emb_stale")
+    index_store.save_embedding_index(
+        similarity.embedding_cell_index(emb, cents), cents, path
+    )
+    # naive takedown: keep ONE row per cell, stored cell_n untouched —
+    # whichever cell the loader witnesses is stale
+    naive = (
+        spark.read.parquet(path)
+        .dropDuplicates(["cell"])
+    )
+    stale_path = str(tmp_path / "emb_stale2")
+    naive.write.mode("overwrite").partitionBy("cell").parquet(stale_path)
+    with pytest.raises(ValueError, match="STALE"):
+        index_store.load_embedding_index(spark, stale_path, cents)
+    # repair: refresh counts, re-save, loads clean
+    repaired = similarity.with_cell_counts(
+        index_store.load_embedding_index(
+            spark, stale_path, cents, check_cell_counts=False
+        )
+    )
+    repaired_path = str(tmp_path / "emb_repaired")
+    index_store.save_embedding_index(repaired, cents, repaired_path)
+    out = index_store.load_embedding_index(spark, repaired_path, cents)
+    assert out.count() == out.select("cell").distinct().count()
+
+
+def test_embedding_index_version_guard(spark, sf_dir, tmp_path):
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    cents = _tiny_centroids(emb)
+    path = str(tmp_path / "emb_v")
+    index_store.save_embedding_index(
+        similarity.embedding_cell_index(emb, cents), cents, path
+    )
+    bad = spark.read.parquet(path).withColumn("format_version", F.lit(99))
+    bad_path = str(tmp_path / "emb_v2")
+    bad.write.mode("overwrite").partitionBy("cell").parquet(bad_path)
+    with pytest.raises(ValueError, match="format_version"):
+        index_store.load_embedding_index(spark, bad_path, cents)
+
+
+def test_embedding_index_save_refuses_string_ids(spark, sf_dir, tmp_path):
+    """cast('long') on a string vec_id would silently NULL every id —
+    the store must refuse instead (same contract as the MinHash
+    store)."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    cents = _tiny_centroids(emb)
+    index = similarity.embedding_cell_index(
+        emb.select(
+            F.concat(F.lit("v-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        ),
+        cents,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        index_store.save_embedding_index(
+            index, cents, str(tmp_path / "bad")
+        )
+
+
 def test_minhash_index_save_refuses_string_ids(spark, tmp_path):
     """cast('long') on a string id would silently NULL every id —
     the store must refuse instead."""
