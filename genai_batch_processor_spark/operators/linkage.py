@@ -77,35 +77,98 @@ def blocked_pairs(
     (:func:`adaptive_max_block` — one bounded count job, then the
     gate), so a 10x-denser catalog widens the cap instead of silently
     emptying the candidate relation.
+
+    Round 7 rewrite — score NAMES, expand to ROWS: real catalogs are
+    duplicate-heavy (the sf1 part catalog holds 256 distinct names
+    across 200k rows), so the row-level self-join burned almost all
+    its Levenshtein budget comparing IDENTICAL strings. The scorer now
+    runs once per distinct in-block NAME pair (per block: vocab²/2
+    comparisons instead of rows²/2 — ~1000x fewer at sf1) and the
+    row-pair relation is recovered by joining rows back on
+    (block, name): pure output-bound fan-out, no distance computation.
+    The result SET is bit-identical to the row-level self-join (the
+    DuckDB twin still runs row-level — parity proves the rewrite every
+    round), and the cap contract is untouched: blocks are sized on ROW
+    count, oversized blocks drop whole.
     """
     if max_block is None:
         max_block = adaptive_max_block(df.count())
+    scoped = _scoped_rows(df, key_col, name_col, block_cols, max_block)
+    name_pairs = _block_name_pairs(scoped, block_cols, max_distance)
+    return _expand_name_pairs(scoped, name_pairs, block_cols)
+
+
+def _scoped_rows(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_block: int,
+) -> DataFrame:
+    """Rows of 2..max_block blocks, normalized to (__k, __nm) — the
+    oversized-block drop applied to ROW counts, as ever."""
     ok = (
         df.groupBy(*block_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n").between(2, max_block))
         .select(*block_cols)
     )
-    scoped = df.join(ok, block_cols, "inner")
-    a = scoped.select(
+    return df.join(ok, block_cols, "inner").select(
         *block_cols,
-        F.col(key_col).alias("a_key"),
-        F.col(name_col).alias("a_name"),
+        F.col(key_col).alias("__k"),
+        F.col(name_col).alias("__nm"),
     )
-    b = scoped.select(
-        *block_cols,
-        F.col(key_col).alias("b_key"),
-        F.col(name_col).alias("b_name"),
-    )
+
+
+def _block_name_pairs(
+    scoped: DataFrame, block_cols: list[str], max_distance: int
+) -> DataFrame:
+    """Distinct unordered in-block NAME pairs (na <= nb lexicographic,
+    so the identical-name pair appears once) within the distance
+    threshold — the entire Levenshtein bill, paid per distinct pair."""
+    names = scoped.select(*block_cols, "__nm").distinct()
+    a = names.select(*block_cols, F.col("__nm").alias("__na"))
+    b = names.select(*block_cols, F.col("__nm").alias("__nb"))
     return (
         a.join(b, block_cols, "inner")
-        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(F.col("__na") <= F.col("__nb"))
         .withColumn(
             "distance",
-            F.levenshtein(F.col("a_name"), F.col("b_name")).cast("int"),
+            F.levenshtein(F.col("__na"), F.col("__nb")).cast("int"),
         )
         .filter(F.col("distance") <= max_distance)
-        .select("a_key", "b_key", "a_name", "b_name", "distance")
+    )
+
+
+def _expand_name_pairs(
+    rows: DataFrame, name_pairs: DataFrame, join_cols: list[str]
+) -> DataFrame:
+    """Name pairs → row pairs: join rows back on (block, name) for
+    each side. Identical-name pairs expand with __ka < __kb (each
+    unordered row pair once); distinct-name pairs expand to the full
+    cross product with keys reordered so a_key < b_key and each name
+    follows its key."""
+    ra = rows.select(
+        *join_cols, F.col("__k").alias("__ka"), F.col("__nm").alias("__na")
+    )
+    rb = rows.select(
+        *join_cols, F.col("__k").alias("__kb"), F.col("__nm").alias("__nb")
+    )
+    expanded = (
+        name_pairs.join(ra, join_cols + ["__na"], "inner")
+        .join(rb, join_cols + ["__nb"], "inner")
+        .filter(
+            (F.col("__na") < F.col("__nb"))
+            | (F.col("__ka") < F.col("__kb"))
+        )
+    )
+    swap = F.col("__kb") < F.col("__ka")
+    return expanded.select(
+        F.least("__ka", "__kb").alias("a_key"),
+        F.greatest("__ka", "__kb").alias("b_key"),
+        F.when(swap, F.col("__nb")).otherwise(F.col("__na")).alias("a_name"),
+        F.when(swap, F.col("__na")).otherwise(F.col("__nb")).alias("b_name"),
+        "distance",
     )
 
 
@@ -113,15 +176,14 @@ def multi_pass_pairs(
     df: DataFrame,
     key_col: str,
     name_col: str,
-    passes: list[list[str]],
+    shared_cols: list[str],
+    pass_cols: list[list[str]],
     max_distance: int = 2,
     max_block: int | None = None,
 ) -> DataFrame:
-    """Standard multi-pass blocking (round-6 verdict item 4): run
-    :func:`blocked_pairs` once per blocking-key set and UNION the
-    candidate relations (exact distinct — every pass emits the same
-    deterministic ``(a_key, b_key, names, distance)`` row for a pair
-    both passes find).
+    """Standard multi-pass blocking (round-6 verdict item 4): pass i
+    blocks on ``shared_cols + pass_cols[i]``; the per-pass NAME-pair
+    relations are unioned, deduped, and expanded to row pairs ONCE.
 
     Why: a single blocking key over a FIXED key space (the part
     catalog's ~400 (brand, noun) blocks) makes candidate volume
@@ -137,26 +199,42 @@ def multi_pass_pairs(
     contains at most one) — every pair the coarse (brand, noun) block
     admits lands intact in at least one pass.
 
+    CONTRACT: every pass-specific column must be a FUNCTION OF THE
+    NAME (length bands, phonetic keys, q-gram keys — the standard
+    multi-pass shapes). That is what lets the union dedup at the
+    name-pair level, projected to ``shared_cols``: all rows bearing a
+    given name share every pass-derived column, so expanding a deduped
+    (shared block, name_a, name_b) pair over the full row relation
+    reproduces exactly the union of the per-pass row-pair sets — the
+    dedup shuffle moves thousands of name pairs, not the millions of
+    duplicate-heavy row pairs a row-level union-distinct would.
+
     The oversized-block drop contract is applied PER PASS with one
     shared catalog-derived cap (one count job): a sub-block is never
     larger than its parent block, so any pair surviving the coarse
     pass's cap survives here — the union's recall vs the single-key
     pass is ≥ 1, measured (not assumed) by
-    ``part_match_blocking_recall``.
-
-    Plan shape: each pass is the bucket-local self-join of
-    :func:`blocked_pairs` (blocks land whole on one task); the union's
-    distinct is one shuffle over the (small) candidate relation."""
+    ``part_match_blocking_recall``."""
     if max_block is None:
         max_block = adaptive_max_block(df.count())
-    out = None
-    for block_cols in passes:
-        p = blocked_pairs(
-            df, key_col, name_col, block_cols,
-            max_distance=max_distance, max_block=max_block,
+    union = None
+    for extra in pass_cols:
+        block_cols = shared_cols + extra
+        scoped = _scoped_rows(df, key_col, name_col, block_cols, max_block)
+        np_i = _block_name_pairs(scoped, block_cols, max_distance).select(
+            *shared_cols, "__na", "__nb", "distance"
         )
-        out = p if out is None else out.unionByName(p)
-    return out.distinct()
+        union = np_i if union is None else union.unionByName(np_i)
+    name_pairs = union.distinct()
+    # expansion over the FULL row relation restricted to shared blocks:
+    # name-derived pass columns mean every row with a found name sits
+    # in the (<= cap) fine block the pair was found in
+    rows = df.select(
+        *shared_cols,
+        F.col(key_col).alias("__k"),
+        F.col(name_col).alias("__nm"),
+    )
+    return _expand_name_pairs(rows, name_pairs, shared_cols)
 
 
 def sql_blocked_pairs(
@@ -204,3 +282,30 @@ def sql_blocked_pairs(
     FROM scoped a JOIN scoped b ON {on} AND a.k < b.k
     WHERE levenshtein(a.nm, b.nm) <= {max_distance}
     """
+
+
+def sql_multi_pass_pairs(
+    table: str,
+    key_col: str,
+    name_col: str,
+    passes: list[dict[str, str]],
+    max_distance: int = 2,
+    max_block: int | str | None = None,
+) -> str:
+    """DuckDB twin of :func:`multi_pass_pairs`: one
+    :func:`sql_blocked_pairs` body per pass, UNIONed (UNION, not UNION
+    ALL — exact distinct, mirroring the Spark side). The shared
+    adaptive cap is the same scalar subquery in every pass, so both
+    engines derive ONE cap from the same catalog."""
+    if max_block is None:
+        max_block = scaling.sql_clamped_linear(
+            table, MAX_BLOCK, MAX_BLOCK_CEIL, BLOCK_CAP_ROWS
+        )
+    bodies = [
+        sql_blocked_pairs(
+            table, key_col, name_col, block_exprs,
+            max_distance=max_distance, max_block=max_block,
+        )
+        for block_exprs in passes
+    ]
+    return " UNION ".join(f"({b})" for b in bodies)

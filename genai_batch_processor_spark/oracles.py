@@ -424,6 +424,46 @@ ORACLES["part_match_candidates"] = _linkage.sql_blocked_pairs(
     {"p_brand": "p_brand", "noun": "string_split(p_name, ' ')[-1]"},
 )
 
+# Multi-pass length-band blocking (round-6 verdict item 4): band exprs
+# interpolated from the query module's constants so a one-sided width/
+# shift edit fails the parity gate, not a production run.
+from genai_batch_processor_spark import queries as _qlk
+
+_PART_PASSES_SQL = [
+    {
+        "p_brand": "p_brand",
+        "noun": "string_split(p_name, ' ')[-1]",
+        "band_a": f"length(p_name) // {_qlk._PART_BAND_W}",
+    },
+    {
+        "p_brand": "p_brand",
+        "noun": "string_split(p_name, ' ')[-1]",
+        "band_b": (
+            f"(length(p_name) + {_qlk._PART_BAND_SHIFT}) "
+            f"// {_qlk._PART_BAND_W}"
+        ),
+    },
+]
+ORACLES["part_match_multikey"] = _linkage.sql_multi_pass_pairs(
+    "part", "p_partkey", "p_name", _PART_PASSES_SQL
+)
+ORACLES["part_match_blocking_recall"] = f"""
+    WITH s AS ({ORACLES["part_match_candidates"]}),
+    m AS ({ORACLES["part_match_multikey"]}),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_single FROM s),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_multi FROM m),
+    nc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM s JOIN m USING (a_key, b_key)
+    )
+    SELECT n_single, n_multi, n_common,
+           n_multi - n_common AS multi_only,
+           CAST(CASE WHEN n_single > 0
+                     THEN n_common * 1000 // n_single END AS BIGINT)
+             AS recall_milli
+    FROM ns, nm, nc
+"""
+
 from genai_batch_processor_spark.operators import sampling as _smp2
 from genai_batch_processor_spark import queries as _q2
 

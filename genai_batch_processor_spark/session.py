@@ -63,6 +63,17 @@ def get_spark(app_name: str = "genai_batch_processor_spark") -> SparkSession:
     if not os.environ.get("SPARK_MASTER_SET"):
         # Local test/bench mode; spark-submit on a cluster sets the master.
         builder = builder.master(f"local[{cpus}]")
+        # In local mode the ONE driver JVM hosts every executor thread,
+        # and Spark's default -Xmx1g starves 32 threads into GCLocker
+        # thrash (observed: a 7M-pair linkage self-join at sf1 died on
+        # allocation retries while 123 GiB sat free). Heap is lazily
+        # committed, so a generous cap costs nothing when idle. On a
+        # real cluster spark-submit sets driver/executor memory and
+        # this branch never runs.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -310,6 +310,197 @@ def test_blocked_pairs_match_bruteforce(spark, rows, max_distance):
     assert got == want
 
 
+_varied_name = st.lists(
+    st.sampled_from(
+        ["red", "blue", "bolt", "gear", "ring", "rang", "a", "ab",
+         "carbide", "x"]
+    ),
+    min_size=1,
+    max_size=4,
+).map(" ".join)
+_varied_catalog = st.lists(
+    st.tuples(_varied_name, st.sampled_from(["B1", "B2"])),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _with_bands(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, nm, blk) for i, (nm, blk) in enumerate(rows)],
+        "k long, name string, block string",
+    ).select(
+        "k",
+        "name",
+        "block",
+        (F.length("name") / 4).cast("int").alias("band_a"),
+        ((F.length("name") + 2) / 4).cast("int").alias("band_b"),
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_varied_catalog)
+def test_multi_pass_blocking_recall_exact_without_cap(spark, rows):
+    """The length-band pass pair (width 4, offset 2) is recall-EXACT
+    for Levenshtein <= 2 (round-6 verdict item 4): with the cap
+    disabled, the union of the two band passes equals the single
+    coarse-block pass on ANY catalog — the band cut points are 2 apart
+    so no pair with |len(a)-len(b)| <= 2 is split by both passes, and
+    distance <= 2 forces exactly that length bound."""
+    from genai_batch_processor_spark.operators import linkage
+
+    df = _with_bands(spark, rows)
+    single = {
+        (r.a_key, r.b_key, r.distance)
+        for r in linkage.blocked_pairs(
+            df, "k", "name", ["block"], max_distance=2, max_block=10_000
+        ).collect()
+    }
+    multi = {
+        (r.a_key, r.b_key, r.distance)
+        for r in linkage.multi_pass_pairs(
+            df,
+            "k",
+            "name",
+            ["block"],
+            [["band_a"], ["band_b"]],
+            max_distance=2,
+            max_block=10_000,
+        ).collect()
+    }
+    assert multi == single
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_varied_catalog, cap=st.integers(2, 6))
+def test_multi_pass_blocking_superset_under_any_cap(spark, rows, cap):
+    """Under ANY shared cap, multi-pass finds every pair the single
+    pass finds (a band sub-block is never larger than its parent
+    coarse block, so anything surviving the coarse cap survives the
+    finer one) — plus possibly pairs from coarse blocks the cap
+    dropped whose sub-blocks fit."""
+    from genai_batch_processor_spark.operators import linkage
+
+    df = _with_bands(spark, rows)
+    single = {
+        (r.a_key, r.b_key)
+        for r in linkage.blocked_pairs(
+            df, "k", "name", ["block"], max_distance=2, max_block=cap
+        ).collect()
+    }
+    multi = {
+        (r.a_key, r.b_key)
+        for r in linkage.multi_pass_pairs(
+            df,
+            "k",
+            "name",
+            ["block"],
+            [["band_a"], ["band_b"]],
+            max_distance=2,
+            max_block=cap,
+        ).collect()
+    }
+    assert single <= multi
+
+
+# -- ANN-ingest combined-cap at the boundary (round-6 verdict item 8) --------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_old=st.tuples(st.integers(1, 4), st.integers(1, 4)),
+    n_dup=st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    n_new=st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    delta=st.sampled_from([-1, 0, 1]),
+)
+def test_embedding_probe_cap_one_decision_per_cell_with_epoch_dups(
+    spark, n_old, n_dup, n_new, delta
+):
+    """The adversarial case the streaming union makes possible
+    (round-6 verdict item 8): identical index rows replayed across
+    epochs land a cell exactly AT the combined cap boundary. The
+    contract is ONE decision per cell — the cap counts index ROWS
+    (replicas included; per-source cell_n CANNOT be summed without
+    double-counting) plus batch rows, and a cell over the cap drops
+    BOTH probe paths (old-new and new-new) while a cell at or under it
+    keeps both. ``delta`` pins cell 0's combined population to
+    cap-1 / cap / cap+1 every example; the expected pair set is
+    recomputed in Python from the same row-counting rule."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import similarity
+
+    axis = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    cents = [(0, axis[0]), (1, axis[1])]
+    old_rows = []
+    for c in (0, 1):
+        for i in range(n_old[c]):
+            old_rows.append((50 * c + i, axis[c]))
+    old = spark.createDataFrame(
+        old_rows, "vec_id long, embedding array<float>"
+    )
+    index = similarity.embedding_cell_index(old, cents)
+    # epoch replay: the FIRST n_dup[c] rows of each cell appear again,
+    # verbatim (same vec_id, same embedding) — the shape a unioned
+    # probe index takes when an earlier epoch's sunk batch index is
+    # read back next to the corpus index
+    dup_ids = [
+        50 * c + i for c in (0, 1) for i in range(min(n_dup[c], n_old[c]))
+    ]
+    probe_index = index.unionByName(
+        index.filter(F.col("vec_id").isin(dup_ids))
+    )
+    batch_rows = [
+        (100 + 50 * c + i, axis[c])
+        for c in (0, 1)
+        for i in range(n_new[c])
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+    rows_c = [n_old[c] + min(n_dup[c], n_old[c]) for c in (0, 1)]
+    max_cell = max(1, rows_c[0] + n_new[0] + delta)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.incremental_embedding_pairs(
+            probe_index, batch, cents, threshold=0.9, max_cell=max_cell
+        ).collect()
+    }
+
+    want = set()
+    for c in (0, 1):
+        if rows_c[c] + n_new[c] > max_cell:
+            continue  # one decision: BOTH paths drop
+        olds = [50 * c + i for i in range(n_old[c])]
+        news = [100 + 50 * c + i for i in range(n_new[c])]
+        want |= {(o, n) for o in olds for n in news}
+        want |= {(a, b) for a in news for b in news if a < b}
+    assert got == want
+    # and per cell, all-or-nothing: pairs from a cell appear iff the
+    # combined ROW population fit the cap (no half-applied cell)
+    for c in (0, 1):
+        cell_pairs = {p for p in got if (p[1] - 100) // 50 == c}
+        if rows_c[c] + n_new[c] > max_cell:
+            assert not cell_pairs
+        elif n_new[c] and n_old[c]:
+            assert cell_pairs
+
+
 # -- scale-adaptive defaults (round-5 verdict item 1) ------------------------
 
 

@@ -72,6 +72,8 @@ TOP = [
     "incremental_embedding_stream",
     "bm25_scores",
     "part_match_candidates",
+    "part_match_multikey",
+    "part_match_blocking_recall",
     "near_dup_method_agreement",
     "vocab_oov_rate",
     "span_dedup_stats",
