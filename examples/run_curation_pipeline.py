@@ -10,6 +10,14 @@ Stages, each a lazy DataFrame transformation until the final actions:
 1b. SPAN PRUNE — per-doc exact duplicated-span ppm (the boilerplate
    signal whole-doc MinHash misses); drop documents that are mostly
    spans seen elsewhere in the corpus.
+1c. SEMANTIC PRUNE — embedding-cosine near-dup eviction over the
+   document embedding table (sign-LSH cells → capped in-cell pairs →
+   star components → min-id survivor per semantic cluster): the
+   paraphrase signal BOTH text stages miss — reworded copies share no
+   shingles and no exact spans but sit on near-identical embeddings.
+   The loser set is a small fraction of the corpus and anti-joins in
+   (broadcast-sized at any scale); the component relation is one more
+   SHARED persisted stage of the one job.
 2. QUALITY GATE — native-expression text metrics; drop documents
    below a quality score or outside a length band. A funnel report of
    THESE rules (operators/curation.py:filter_funnel) prints first so
@@ -44,7 +52,7 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import text as tx
 from genai_batch_processor_spark.operators import batching, chunking, dedup
-from genai_batch_processor_spark.operators import curation, sampling
+from genai_batch_processor_spark.operators import curation, sampling, similarity
 from genai_batch_processor_spark.session import get_spark
 from genai_batch_processor_spark.sources.tables import load_table
 
@@ -82,8 +90,27 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     # whole-doc MinHash but shows up here. The stats relation is
     # per-doc-sized; the anti-join keys on doc_id.
     spans = curation.span_dup_stats(survivors, "doc_id", "text")
-    deduped = survivors.join(
+    span_pruned = survivors.join(
         spans.filter(F.col("dup_ppm") > MAX_DUP_PPM).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 1c. semantic prune: paraphrase eviction on the embedding table
+    # (vec_id aligns with doc_id in the fixture corpus; in production
+    # the embedding job carries the doc key through). Losers — cluster
+    # members that are not their cluster's min id — anti-join out.
+    # Persisted: the component relation feeds the loser set here and
+    # is the natural audit relation a production run sinks; the
+    # downstream chain references the pruned corpus many times.
+    emb = load_table(spark, sf_dir, "embeddings")
+    ecomps = dedup.connected_components_star(
+        similarity.embedding_near_dup_pairs(emb)
+    ).persist()
+    deduped = span_pruned.join(
+        ecomps.filter(F.col("doc_id") != F.col("component_id")).select(
+            "doc_id"
+        ),
         "doc_id",
         "left_anti",
     ).persist()

@@ -89,11 +89,12 @@ def test_curation_pipeline_shared_stages_run_once(spark, sf_dir):
     """The e2e chain measured as ONE job (r4 verdict item 7): drain all
     four returned relations under a job group and bound the number of
     stages that actually EXECUTED. The MinHash pair graph / clustering
-    / span subtrees are referenced many times across the chain (117
-    stage references at calibration) but the persisted shared stages
-    mean only ~62 run; if a persist is dropped and a shared subtree
-    starts recomputing per consumer, the completed-stage count blows
-    through the bound."""
+    / span / embedding-component subtrees are referenced many times
+    across the chain (106 stage references at round-7 calibration,
+    now including the semantic-prune leg) but the persisted shared
+    stages mean only ~56 run; if a persist is dropped and a shared
+    subtree starts recomputing per consumer, the completed-stage count
+    blows through the bound."""
     import run_curation_pipeline
 
     sc = spark.sparkContext

@@ -404,6 +404,23 @@ def test_part_match_candidates_no_single_partition(spark, sf_dir):
     assert "Cartesian" not in plan
 
 
+def test_part_match_multikey_plan_shape(spark, sf_dir):
+    """The multi-pass union stays block-local too, and the Levenshtein
+    bill is paid at the NAME level: the distance expression must sit
+    above the distinct-name self-join, never above a row-expanded
+    relation (one levenshtein call per pass in the plan, and no
+    cartesian/global funnel)."""
+    plan = _plan(spark, "part_match_multikey", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Cartesian" not in plan
+    # two passes, each surfacing the distance expression in its
+    # Filter+Project pair -> 4 levenshtein sites; more would mean the
+    # scorer leaked into the expansion joins (the formatted plan can't
+    # textually pin WHICH relation feeds the expression — the sf1 wall
+    # in BENCH_NOTES is the behavioral pin for name-level scoring)
+    assert 2 <= plan.lower().count("levenshtein") <= 4
+
+
 def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir):
     """The 5-term query side and the 1-row stats both ride broadcasts;
     the only corpus-wide shuffles are the tf/df hash aggregates."""
