@@ -149,6 +149,39 @@ def near_dup_probe_stream_to_parquet(
     q.awaitTermination()
 
 
+def _assert_centroid_marker(
+    spark: SparkSession, root: str, fp: str
+) -> None:
+    """Create-or-compare the centroid fingerprint marker under the
+    streamed index root. The sunk per-epoch cell-index rows are only
+    meaningful under the centroid set that assigned them; a RESTARTED
+    stream holding re-trained centroids would otherwise union earlier
+    epochs' rows into its probe view and silently mis-bucket every
+    comparison (the at-rest store got this guard in
+    sources/index_store.py — the streaming seam needs it too). Marker
+    I/O goes through Spark (underscore-prefixed dir: invisible to any
+    whole-directory scan, like _spark_metadata), so it works on any
+    Hadoop filesystem, not just file://."""
+    marker = root.rstrip("/") + "/_centroid_fp"
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        got = spark.read.text(marker).collect()[0][0]
+        if got != fp:
+            raise ValueError(
+                f"streamed embedding index at {root} was built under "
+                f"centroid set {got[:12]} but this stream holds "
+                f"{fp[:12]} — cell ids are not comparable across "
+                "centroid sets. Resume with the original centroids, or "
+                "start a fresh out_dir/checkpoint and re-probe."
+            )
+    else:
+        spark.createDataFrame([(fp,)], "value string").coalesce(
+            1
+        ).write.text(marker)
+
+
 def embedding_probe_stream_to_parquet(
     stream_df: DataFrame,
     index: DataFrame,
@@ -175,10 +208,19 @@ def embedding_probe_stream_to_parquet(
     one-shot run drops. Exact whenever combined populations stay under
     the cap, which the oracle gate checks on the fixture.
 
-    Read contract: union ``{out_dir}/pairs/batch=*``."""
+    Read contract: union ``{out_dir}/pairs/batch=*``. The index root
+    carries a ``_centroid_fp`` marker (written on first start, checked
+    on every start): a restart holding re-trained centroids fails
+    loudly instead of probing earlier epochs' rows under an
+    incompatible cell space."""
     from genai_batch_processor_spark.operators import similarity
 
     spark = index.sparkSession
+    _assert_centroid_marker(
+        spark,
+        out_dir.rstrip("/") + "/index",
+        similarity.centroid_fingerprint(centroids),
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

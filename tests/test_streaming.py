@@ -562,5 +562,21 @@ def test_embedding_sink_probe_restart_across_checkpoint(spark, tmp_path):
         before = epoch_dirs()
         drain()  # restart with nothing new: no new epoch directories
         assert epoch_dirs() == before
+
+        # restart holding RE-TRAINED centroids: the _centroid_fp
+        # marker must refuse before any probe (cell ids from earlier
+        # epochs are meaningless under another centroid set)
+        import pytest
+
+        retrained = [(c, [v + 0.5 for v in vec]) for c, vec in cents]
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        with pytest.raises(ValueError, match="centroid set"):
+            ingest.embedding_probe_stream_to_parquet(
+                stream, index, retrained, out, ckpt
+            )
     finally:
         index.unpersist()
