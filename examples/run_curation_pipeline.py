@@ -11,7 +11,7 @@ Stages, each a lazy DataFrame transformation until the final actions:
    signal whole-doc MinHash misses); drop documents that are mostly
    spans seen elsewhere in the corpus.
 1c. SEMANTIC PRUNE — embedding-cosine near-dup eviction over the
-   document embedding table (sign-LSH cells → capped in-cell pairs →
+   SURVIVING corpus's embeddings (sign-LSH cells → capped in-cell pairs →
    star components → min-id survivor per semantic cluster): the
    paraphrase signal BOTH text stages miss — reworded copies share no
    shingles and no exact spans but sit on near-identical embeddings.
@@ -98,22 +98,25 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
 
     # 1c. semantic prune: paraphrase eviction on the embedding table
     # (vec_id aligns with doc_id in the fixture corpus; in production
-    # the embedding job carries the doc key through). Losers — cluster
-    # members that are not their cluster's min id — anti-join out.
-    # Persisted: the component relation feeds the loser set here and
-    # is the natural audit relation a production run sinks; the
-    # downstream chain references the pruned corpus many times.
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the embedding job carries the doc key through). The embedding
+    # relation is FIRST restricted to the current survivors — like
+    # every stage, this one clusters what is still in the corpus: a
+    # semantic cluster whose min-id member was already removed by the
+    # text stages must still keep a representative (clustered over the
+    # full table, that cluster's survivors would all be classified
+    # losers and the content would vanish entirely). Persisted: the
+    # component relation feeds the survivor anti-join and is the
+    # natural audit relation a production run sinks; the downstream
+    # chain references the pruned corpus many times.
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        span_pruned.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
     ecomps = dedup.connected_components_star(
         similarity.embedding_near_dup_pairs(emb)
     ).persist()
-    deduped = span_pruned.join(
-        ecomps.filter(F.col("doc_id") != F.col("component_id")).select(
-            "doc_id"
-        ),
-        "doc_id",
-        "left_anti",
-    ).persist()
+    deduped = dedup.dedup_survivors(span_pruned, ecomps, "doc_id").persist()
 
     # 2. quality gate: native exprs, no Python in the plan
     gated = deduped.withColumn(

@@ -67,12 +67,16 @@ def get_spark(app_name: str = "genai_batch_processor_spark") -> SparkSession:
         # and Spark's default -Xmx1g starves 32 threads into GCLocker
         # thrash (observed: a 7M-pair linkage self-join at sf1 died on
         # allocation retries while 123 GiB sat free). Heap is lazily
-        # committed, so a generous cap costs nothing when idle. On a
+        # committed, so a generous cap costs nothing when idle. 31g,
+        # not 32g: exactly 32g crosses the JVM's ~32 GiB
+        # CompressedOops threshold and silently switches to 8-byte
+        # object pointers — ~1.5x object overhead on row-heavy runs,
+        # LESS usable capacity than 31g with compressed oops. On a
         # real cluster spark-submit sets driver/executor memory and
         # this branch never runs.
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "31g"),
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -249,21 +249,28 @@ def load_embedding_index(
         first = idx.select("cell").limit(1).collect()
         if first:
             cell_val = first[0]["cell"]
-            stale = (
+            # Compare the cell's TOTAL row count against its (single)
+            # recorded cell_n. Grouping BY cell_n would let a
+            # concatenation of index generations pass — each
+            # generation's rows internally consistent with their own
+            # cell_n while every recorded count lies about the actual
+            # cell population.
+            probe = (
                 out.filter(F.col("cell") == cell_val)
-                .groupBy("cell_n")
-                .agg(F.count(F.lit(1)).cast("long").alias("actual_n"))
-                .filter(F.col("actual_n") != F.col("cell_n"))
-                .limit(1)
-                .collect()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("actual_n"),
+                    F.collect_set("cell_n").alias("recorded"),
+                )
+                .collect()[0]
             )
-            if stale:
-                r = stale[0]
+            recorded = sorted(probe["recorded"])
+            if recorded != [probe["actual_n"]]:
                 raise ValueError(
                     f"embedding index at {path} is STALE: cell "
-                    f"{cell_val} records cell_n={r['cell_n']} but holds "
-                    f"{r['actual_n']} rows — rows were erased without "
-                    "refreshing counts; rebuild with "
+                    f"{cell_val} records cell_n={recorded} but holds "
+                    f"{probe['actual_n']} rows — rows were erased or "
+                    "index generations concatenated without refreshing "
+                    "counts; rebuild with "
                     "operators.similarity.with_cell_counts and re-save"
                 )
     return out

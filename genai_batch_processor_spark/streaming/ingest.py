@@ -167,7 +167,18 @@ def _assert_centroid_marker(
     path = jvm.org.apache.hadoop.fs.Path(marker)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
-        got = spark.read.text(marker).collect()[0][0]
+        rows = spark.read.text(marker).collect()
+        if not rows:
+            # A kill between the marker dir's creation and the text
+            # task's commit leaves an empty dir: no committed
+            # fingerprint means no earlier epoch committed either
+            # (marker write precedes the first foreachBatch), so
+            # re-stamp instead of wedging every restart on IndexError.
+            spark.createDataFrame([(fp,)], "value string").coalesce(
+                1
+            ).write.mode("overwrite").text(marker)
+            return
+        got = rows[0][0]
         if got != fp:
             raise ValueError(
                 f"streamed embedding index at {root} was built under "

@@ -870,3 +870,32 @@ def test_incremental_embedding_probe_degenerate_vectors(spark):
     ).collect()
     got = sorted((r.id_a, r.id_b) for r in rows)
     assert got == [(0, 100), (3, 100)]  # degenerate rows never pair
+
+
+def test_embedding_index_mixed_generation_guard(spark, sf_dir, tmp_path):
+    """Two concatenated index GENERATIONS in one cell — each row group
+    internally consistent with its own cell_n — must still be refused
+    at load: every recorded count lies about the actual cell
+    population even though no cell_n group disagrees with its own
+    value (a guard that groups BY cell_n passes this exact
+    corruption; the total-vs-recorded compare catches it)."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import index_store
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    cents = _tiny_centroids(emb)
+    idx = similarity.embedding_cell_index(emb, cents)
+    base = idx.orderBy("vec_id").limit(5).collect()
+    cell0 = base[0]["cell"]
+    rows = []
+    for i, r in enumerate(base):
+        d = r.asDict()
+        d["cell"] = cell0
+        d["cell_n"] = 2 if i < 2 else 3  # gen A: 2 rows @2, gen B: 3 @3
+        rows.append(d)
+    mixed = spark.createDataFrame(rows, idx.schema)
+    path = str(tmp_path / "emb_mixed")
+    index_store.save_embedding_index(mixed, cents, path)
+    with pytest.raises(ValueError, match="STALE"):
+        index_store.load_embedding_index(spark, path, cents)

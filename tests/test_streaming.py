@@ -580,3 +580,45 @@ def test_embedding_sink_probe_restart_across_checkpoint(spark, tmp_path):
             )
     finally:
         index.unpersist()
+
+
+def test_embedding_sink_probe_empty_marker_recovery(spark, tmp_path):
+    """A kill between the _centroid_fp marker dir's creation and the
+    text task's commit leaves an EMPTY marker directory. No fingerprint
+    committed means no epoch committed either (the marker write
+    precedes the first foreachBatch), so the next start must re-stamp
+    and run — not wedge every restart on an IndexError until someone
+    hand-deletes the marker."""
+    from genai_batch_processor_spark.operators import clustering, similarity
+    from genai_batch_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").limit(50)
+    cents = clustering.centroids_from_cells(clustering.kmeans_cells(emb))
+    index = similarity.embedding_cell_index(emb, cents).persist()
+    batch = emb.select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    )
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    marker = os.path.join(out, "index", "_centroid_fp")
+    os.makedirs(marker)  # the partial first start: dir, no committed row
+    batch.coalesce(1).write.mode("append").parquet(shards)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    try:
+        ingest.embedding_probe_stream_to_parquet(
+            stream, index, cents, out, ckpt
+        )
+    finally:
+        index.unpersist()
+    # marker re-stamped with the live fingerprint; the probe ran
+    fp = [r[0] for r in spark.read.text(marker).collect()]
+    assert fp == [similarity.centroid_fingerprint(cents)]
+    assert (
+        spark.read.parquet(os.path.join(out, "pairs")).count() >= 50
+    )  # every re-keyed copy pairs its original

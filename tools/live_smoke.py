@@ -83,13 +83,19 @@ def request_shape(req: dict) -> dict:
     body keys. Values (keys, ids, prompts) differ per run; the SHAPE
     is what the goldens pin."""
     path = urlparse(req["url"]).path
-    # normalize provider-assigned ids so live paths match recorded ones
+    # Normalize provider-assigned ids POSITIONALLY (the segment after a
+    # collection segment) so live paths match recorded ones. Prefix
+    # matching ("file-", "batch_") would miss the goldens' own ids
+    # ("f-out", "batch-1"), and request_shape runs on BOTH transcripts.
+    raw = path.split("/")
+    collections = {"batches", "files", "batchPredictionJobs",
+                   "projects", "locations"}
     parts = [
         "{id}"
-        if any(p.startswith(pfx) for pfx in ("file-", "batch_", "chatcmpl"))
-        or p.isdigit()
+        if p.isdigit() or (i > 0 and raw[i - 1] in collections
+                           and p not in ("cancel", "content"))
         else p
-        for p in path.split("/")
+        for i, p in enumerate(raw)
     ]
     ctype = next(
         (v for k, v in req["headers"].items()
@@ -143,7 +149,11 @@ def run_openai() -> bool:
     model = os.environ.get("LIVE_SMOKE_MODEL", "gpt-4o-mini")
     poll_cap = float(os.environ.get("LIVE_SMOKE_POLL_S", "120"))
     rec = RecordingTransport()
-    backend = providers.OpenAIBatchBackend(preflight=True, transport=rec)
+    # preflight=False: the probe is issued EXPLICITLY below so the
+    # observed sequence matches the golden's [chat, files, batches];
+    # preflight=True would have submit() validate a second time — an
+    # extra paid completion and a guaranteed positional shape diff.
+    backend = providers.OpenAIBatchBackend(preflight=False, transport=rec)
 
     print("== OpenAI live smoke ==")
     # 1. preflight: one real sync completion (oai:92-125 analog)
@@ -206,7 +216,7 @@ def run_openai() -> bool:
             break
         time.sleep(5)
     else:
-        backend._call("POST", f"/batches/{batch_ids[0]}/cancel")
+        backend.cancel(batch_ids[0])
         print(
             f"  poll cap {poll_cap}s hit — batch cancelled; fetch shape "
             "NOT REACHED (submit/status shapes validated)"

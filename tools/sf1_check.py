@@ -42,11 +42,21 @@ def main() -> None:
     spark = get_spark("sf1_check")
     qs = entrymod.queries()
     results = {}
+    recall_row = None
     for name in TOP:
         times = {}
         for label, d in (("sf0.1", SRC), ("sf1", sf1_dir)):
             t1 = time.monotonic()
-            n = qs[name](spark, d).count()
+            if name == "part_match_blocking_recall":
+                # 1-row audit: collect it here so the recall gate below
+                # reads the row this timed execution already produced
+                # instead of re-running the quadratic pair-set count.
+                rows = qs[name](spark, d).collect()
+                n = len(rows)
+                if label == "sf1" and rows:
+                    recall_row = rows[0]
+            else:
+                n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times["sf1"] / times["sf0.1"], 2)
@@ -116,7 +126,14 @@ def main() -> None:
     # verdict item 4): the band-pass union must not lose a single pair
     # the coarse block finds — recall_milli is exactly 1000 by the
     # band-partition proof, so anything less is a blocking regression.
-    recall = qs["part_match_blocking_recall"](spark, sf1_dir).collect()[0]
+    recall = recall_row
+    if recall is None:
+        print(
+            "MULTI-PASS RECALL GATE DID NOT RUN: "
+            "part_match_blocking_recall missing from TOP or empty",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     if recall["recall_milli"] != 1000:
         print(
             f"MULTI-PASS RECALL REGRESSION at sf1: {recall.asDict()}",
@@ -136,12 +153,18 @@ def main() -> None:
     # query. In rounds 1-5 their fixed caps hid this by dropping every
     # bucket (zero rows, fast); the adaptive caps restore the real
     # work, so judge them on produced-pair throughput, not wall ratio.
-    quadratic_by_design = {
+    # part_match_blocking_recall COUNTS two quadratic-by-design pair
+    # relations (its wall time scales with pair volume even though its
+    # output is one row), so it is excluded from the sublinear verdict
+    # with the generators it audits — but gets no pairs/sec annotation
+    # (its row count is 1, not a pair volume).
+    pair_generators = {
         "simhash_near_dup",
         "part_match_candidates",
         "part_match_multikey",
     }
-    for n in quadratic_by_design & set(results):
+    quadratic_by_design = pair_generators | {"part_match_blocking_recall"}
+    for n in pair_generators & set(results):
         r = results[n]
         if r["rows_sf1"] and r["sf1"]:
             r["pairs_per_sec_sf1"] = round(r["rows_sf1"] / r["sf1"], 1)
