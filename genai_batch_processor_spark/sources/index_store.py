@@ -119,11 +119,24 @@ def load_minhash_index(
         first = idx.select("band").limit(1).collect()
         if first:
             band_val = first[0]["band"]
+            # Per key, compare the bucket's TOTAL row count against its
+            # (single) recorded bucket_n — the same total-vs-recorded
+            # compare the embedding loader runs. Grouping BY bucket_n
+            # would let concatenated index GENERATIONS pass: each
+            # generation's rows internally consistent with their own
+            # bucket_n while every recorded count lies about the actual
+            # bucket population.
             stale = (
                 out.filter(F.col("band") == band_val)
-                .groupBy("key", "bucket_n")
-                .agg(F.count(F.lit(1)).cast("long").alias("actual_n"))
-                .filter(F.col("actual_n") != F.col("bucket_n"))
+                .groupBy("key")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("actual_n"),
+                    F.collect_set("bucket_n").alias("recorded"),
+                )
+                .filter(
+                    (F.size("recorded") != 1)
+                    | (F.element_at("recorded", 1) != F.col("actual_n"))
+                )
                 .limit(1)
                 .collect()
             )
@@ -131,10 +144,12 @@ def load_minhash_index(
                 r = stale[0]
                 raise ValueError(
                     f"minhash index at {path} is STALE: band {band_val} "
-                    f"key {r['key']} records bucket_n={r['bucket_n']} but "
-                    f"holds {r['actual_n']} rows — rows were erased "
-                    "without refreshing counts; rebuild with "
-                    "operators.dedup.with_bucket_counts and re-save"
+                    f"key {r['key']} records "
+                    f"bucket_n={sorted(r['recorded'])} but holds "
+                    f"{r['actual_n']} rows — rows were erased or index "
+                    "generations concatenated without refreshing counts; "
+                    "rebuild with operators.dedup.with_bucket_counts and "
+                    "re-save"
                 )
     return out
 

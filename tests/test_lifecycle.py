@@ -830,3 +830,41 @@ def test_stale_bucket_counts_fail_loudly_on_load(spark, tmp_path):
     assert index_store.load_minhash_index(
         spark, repaired_path
     ).count() > 0
+
+
+def test_minhash_index_mixed_generation_guard(spark, tmp_path):
+    """Two concatenated MinHash index GENERATIONS in one (band, key)
+    bucket — each row group internally consistent with its own
+    bucket_n — must be refused at load, mirroring the embedding
+    loader's total-vs-recorded compare: a guard that groups BY
+    bucket_n passes this exact corruption because no bucket_n group
+    disagrees with its own value."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import index_store
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta thetb"),
+            (4, "alpha beta gamma delta epsilon zeta eta thetc"),
+            (5, "alpha beta gamma delta epsilon zeta eta thetd"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.minhash_index(docs, "doc_id", "text")
+    base = idx.orderBy("band", "key", "id").limit(5).collect()
+    band0, key0 = base[0]["band"], base[0]["key"]
+    rows = []
+    for i, r in enumerate(base):
+        d = r.asDict()
+        d["band"], d["key"] = band0, key0
+        d["bucket_n"] = 2 if i < 2 else 3  # gen A: 2 rows @2, gen B: 3 @3
+        rows.append(d)
+    mixed = spark.createDataFrame(rows, idx.schema)
+    path = str(tmp_path / "mh_mixed")
+    index_store.save_minhash_index(mixed, path)
+    with pytest.raises(ValueError, match="STALE"):
+        index_store.load_minhash_index(spark, path)
