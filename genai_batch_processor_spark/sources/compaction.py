@@ -1,32 +1,92 @@
-"""Small-files compaction: rewrite a fragmented parquet dataset into
-size-targeted files.
+"""Small-files compaction: rewrite fragmented parquet into
+size-targeted files, and fold streamed epoch sinks without changing
+what readers see.
 
 A 24/7 ingest (streaming micro-batches, per-job shards like the
 reference's one-JSONL-per-batch layout) accumulates thousands of tiny
 files; at 100 TB that murders the scan path — every file costs a
-driver-side listing entry, a task, an open, and a footer read. The fix
-is periodic compaction: read, repartition to ceil(bytes / target), and
-rewrite. Sizing comes from the actual on-disk byte count via the Hadoop
-FileSystem API (works for file://, hdfs://, gs://, s3a:// alike), not a
-row-count guess, so compacted files land near the target regardless of
-schema width or compression ratio.
+driver-side listing entry, a task, an open, and a footer read. Two
+seams:
+
+**Generic rewrite** (:func:`compact_parquet`): read, repartition to
+ceil(bytes / target), rewrite to a NEW directory. Sizing comes from
+the actual on-disk byte count via the Hadoop FileSystem API (works for
+file://, hdfs://, gs://, s3a:// alike), not a row-count guess, so
+compacted files land near the target regardless of schema width or
+compression ratio.
+
+**Epoch-sink fold** (:func:`compact_epoch_sink` and friends): the
+in-place maintenance path for the probe streams' per-micro-batch
+directory layout, below.
+
+The sink-based probe streams (streaming/ingest.py) write one
+``batch=N`` parquet directory per micro-batch — idempotent under
+replay, zero driver state, but a stream that runs for months leaves
+one directory (and several small files) per epoch: at 100 TB scale the
+metadata listing, not the data, becomes the read bottleneck (the
+classic small-files problem). This module is the maintenance seam:
+
+- :func:`compact_epoch_sink` — fold committed epochs into ONE
+  ``_compacted/upto=M`` directory, coalesced toward
+  ``TARGET_BYTES_PER_FILE`` per output file. ``keep_last`` epochs
+  (default 1) are never compacted: with ``availableNow`` +
+  ``foreachBatch``, every epoch directory EXCEPT the newest is
+  guaranteed checkpoint-committed (epoch N-1 commits before N starts),
+  so skipping the newest makes compaction safe to run between stream
+  runs without reading the checkpoint — a replayed max epoch rewrites
+  its own directory, never a compacted one.
+- :func:`gc_epoch_sink` — delete epoch directories covered by the
+  newest committed compaction, plus superseded older compactions.
+  Pure garbage collection: :func:`epoch_sink_paths` already ignores
+  covered epochs, so a crash anywhere in GC changes nothing a reader
+  sees.
+- :func:`epoch_sink_paths` / :func:`read_epoch_sink` — the read
+  contract once compaction is in play: newest COMMITTED compaction
+  (``_SUCCESS`` present — a killed compactor's partial directory is
+  invisible) plus the epoch directories it doesn't cover. Every sunk
+  row is covered exactly once.
+
+Crash matrix: compactor killed mid-write → partial ``upto=M`` dir has
+no ``_SUCCESS``, readers and GC ignore it, the next run overwrites it.
+Killed between compact and GC → epochs ≤ M exist twice on disk but
+readers take the compacted copy only. GC killed mid-delete → same.
+
+The directory name is underscore-prefixed (like ``_spark_metadata``)
+so a naive whole-root ``spark.read.parquet(root)`` keeps working while
+no compaction has ever run — the layout upgrade is opt-in and
+backward-compatible. After a compact+GC, reads MUST go through
+:func:`read_epoch_sink` (the naive root read would miss the
+underscore-prefixed compacted data).
+
+Run the compactor only while no stream is writing the root (between
+``availableNow`` drains, or from the maintenance job a production
+deployment schedules anyway) — the same quiescence contract every
+file-layout maintenance tool (e.g. table-format compaction) carries.
 """
 
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+TARGET_BYTES_PER_FILE = DEFAULT_TARGET_BYTES
+
+_COMPACTED = "_compacted"
+
+
+def _fs(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    return jvm, path, path.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
 def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under ``path``, recursively, via the
     Hadoop FS API — filesystem-agnostic and driver-side only."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _, hpath, fs = _fs(spark, path)
     n = 0
     total = 0
     it = fs.listFiles(hpath, True)
@@ -56,3 +116,153 @@ def compact_parquet(
     df: DataFrame = spark.read.parquet(src_dir)
     df.repartition(n).write.mode("overwrite").parquet(dst_dir)
     return n
+
+
+def _epoch_entries(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """(epoch, path) for every ``batch=N`` directory under ``root``."""
+    jvm, path, fs = _fs(spark, root)
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if re.fullmatch(r"batch=\d+", name):
+            out.append((int(name.split("=")[1]), status.getPath().toString()))
+    return sorted(out)
+
+
+def _committed_compactions(
+    spark: SparkSession, root: str
+) -> list[tuple[int, str]]:
+    """(upto, path) for every COMMITTED ``_compacted/upto=K`` directory
+    (``_SUCCESS`` present — a killed compactor's partial output must
+    stay invisible to readers and to GC), ascending."""
+    jvm, _, fs = _fs(spark, root)
+    base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _COMPACTED)
+    if not fs.exists(base):
+        return []
+    out = []
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if not re.fullmatch(r"upto=\d+", name):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            status.getPath().toString() + "/_SUCCESS"
+        )
+        if fs.exists(marker):
+            out.append((int(name.split("=")[1]), status.getPath().toString()))
+    return sorted(out)
+
+
+def epoch_sink_paths(
+    spark: SparkSession, root: str, before: int | None = None
+) -> list[str]:
+    """Directories covering each sunk epoch exactly once: the newest
+    committed compaction plus every ``batch=N`` it doesn't cover —
+    restricted to epochs ``< before`` when given (the probe streams'
+    strictly-earlier contract). A compaction covering an epoch ≥
+    ``before`` means the quiescence contract was broken (someone
+    compacted the epoch a live stream is replaying) — that is
+    unrecoverable mixing, so refuse loudly."""
+    compactions = _committed_compactions(spark, root)
+    covered = -1
+    paths: list[str] = []
+    if compactions:
+        covered, cpath = compactions[-1]
+        if before is not None and covered >= before:
+            raise ValueError(
+                f"epoch sink at {root} has a compaction through epoch "
+                f"{covered} but the caller needs epochs < {before} only "
+                "— an epoch was compacted while a stream could still "
+                "replay it (quiescence contract broken); restart from a "
+                "fresh out_dir/checkpoint"
+            )
+        paths.append(cpath)
+    for epoch, epath in _epoch_entries(spark, root):
+        if epoch > covered and (before is None or epoch < before):
+            paths.append(epath)
+    return paths
+
+
+def read_epoch_sink(spark: SparkSession, root: str) -> DataFrame | None:
+    """The sink's full relation under the compaction-aware read
+    contract; None when nothing has been sunk."""
+    paths = epoch_sink_paths(spark, root)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _total_bytes(spark: SparkSession, paths: list[str]) -> int:
+    return sum(dir_stats(spark, p)[1] for p in paths)
+
+
+def compact_epoch_sink(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    target_files: int | None = None,
+) -> int | None:
+    """Fold all committed epochs except the newest ``keep_last`` (and
+    any prior compaction) into ``_compacted/upto=M``; returns M, or the
+    previous compaction bound when there is nothing new to fold, or
+    None when the sink has never been compacted and holds too few
+    epochs. coalesce, not repartition: compaction is a file-layout
+    rewrite — merging read tasks preserves locality and avoids paying
+    a full shuffle of the entire sink."""
+    if keep_last < 1:
+        # keep_last=0 would compact the newest epoch, the one epoch a
+        # restarted stream may replay (its checkpoint commit can be
+        # missing after a kill) — replay would then rewrite batch=M
+        # BESIDE a compaction that already covers it: duplicate rows.
+        raise ValueError("compact_epoch_sink: keep_last must be >= 1")
+    epochs = _epoch_entries(spark, root)
+    compactions = _committed_compactions(spark, root)
+    prev = compactions[-1][0] if compactions else None
+    eligible = epochs[: len(epochs) - keep_last]
+    new_dirs = [p for e, p in eligible if prev is None or e > prev]
+    if not new_dirs:
+        return prev
+    bound = max(e for e, _ in eligible)
+    inputs = ([compactions[-1][1]] if compactions else []) + new_dirs
+    if target_files is None:
+        target_files = max(
+            1, math.ceil(_total_bytes(spark, inputs) / TARGET_BYTES_PER_FILE)
+        )
+    out = root.rstrip("/") + f"/{_COMPACTED}/upto={bound}"
+    (
+        spark.read.parquet(*inputs)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return bound
+
+
+def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
+    """Delete every ``batch=N`` directory covered by the newest
+    committed compaction, plus superseded older compactions (committed
+    or partial). Returns the deleted paths. Safe at any moment relative
+    to readers — every deleted path is already invisible to
+    :func:`epoch_sink_paths`."""
+    compactions = _committed_compactions(spark, root)
+    if not compactions:
+        return []
+    covered, keep_path = compactions[-1]
+    jvm, _, fs = _fs(spark, root)
+    deleted = []
+    for epoch, epath in _epoch_entries(spark, root):
+        if epoch <= covered:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(epath), True)
+            deleted.append(epath)
+    base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _COMPACTED)
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        spath = status.getPath().toString()
+        if re.fullmatch(r"upto=\d+", name) and spath != keep_path:
+            # older committed compactions are superseded; a partial
+            # (uncommitted) dir is a dead compactor's leftovers — a
+            # retried compaction overwrites its path anyway. Both safe.
+            fs.delete(status.getPath(), True)
+            deleted.append(spath)
+    return deleted

@@ -27,28 +27,17 @@ from genai_batch_processor_spark.operators import dedup, responses
 
 
 def _epoch_dirs(spark: SparkSession, root: str, before: int) -> list[str]:
-    """List ``batch=N`` (N < before) under ``root`` through the Hadoop
-    FileSystem API — the writes go through Spark's filesystem, so the
-    discovery must too (a driver-local os.listdir would silently return
-    nothing for hdfs:// or s3a:// roots and drop every
-    cross-micro-batch pair). Shared by both sink-based probe streams."""
-    import re
+    """Directories covering every sunk epoch < ``before`` exactly once,
+    through the Hadoop FileSystem API — the writes go through Spark's
+    filesystem, so the discovery must too (a driver-local os.listdir
+    would silently return nothing for hdfs:// or s3a:// roots and drop
+    every cross-micro-batch pair). Compaction-aware: after a
+    maintenance run folded old epochs (sources/compaction.py), the
+    probe view is the compacted directory plus the epochs it doesn't
+    cover. Shared by both sink-based probe streams."""
+    from genai_batch_processor_spark.sources import compaction
 
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(root)
-    fs = path.getFileSystem(
-        spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    )
-    if not fs.exists(path):
-        return []
-    out = []
-    for status in fs.listStatus(path):
-        name = status.getPath().getName()
-        if re.fullmatch(r"batch=\d+", name) and (
-            int(name.split("=")[1]) < before
-        ):
-            out.append(status.getPath().toString())
-    return sorted(out)
+    return compaction.epoch_sink_paths(spark, root, before=before)
 
 
 def stream_response_lines(
