@@ -155,6 +155,14 @@ def main() -> None:
     for name in TOP:
         times = {}
         for label, d in (("sf0.1", SRC), (f"{factor}x", scaled_dir)):
+            # Collect BETWEEN timings, not during: the allocation-heavy
+            # big-leg jobs (char-shingle explosions) bloat the committed
+            # heap and a deferred stop-the-world collection otherwise
+            # lands inside whichever later query runs next — observed as
+            # an intermittent ~60 s spike on dedup_components' big leg
+            # (82 s with the pause, 14-19 s without) that reads as a
+            # fake scaling cliff.
+            spark._jvm.System.gc()
             t1 = time.monotonic()
             n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)

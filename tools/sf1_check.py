@@ -46,6 +46,10 @@ def main() -> None:
     for name in TOP:
         times = {}
         for label, d in (("sf0.1", SRC), ("sf1", sf1_dir)):
+            # Collect BETWEEN timings (same rationale as scale_check):
+            # a deferred full GC from an earlier allocation-heavy leg
+            # must not land inside this one's wall clock.
+            spark._jvm.System.gc()
             t1 = time.monotonic()
             if name == "part_match_blocking_recall":
                 # 1-row audit: collect it here so the recall gate below
