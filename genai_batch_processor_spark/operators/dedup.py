@@ -78,6 +78,28 @@ WINNOW_MIN_SHARED = 2
 _FAMILY = hashing.hash_family(MINHASH_K)
 
 
+def minhash_scheme_fingerprint() -> str:
+    """Stable content hash of every constant the at-rest band-index
+    LAYOUT depends on: shingle width, signature length, band geometry,
+    and the universal-hash family's (a, b) parameters. A sunk index row
+    (band, key, hs) is only meaningful under the exact scheme that
+    produced it — a probe under retuned constants would hash the same
+    text to different band keys and silently miss every stored
+    near-duplicate. The MinHash twin of
+    ``similarity.centroid_fingerprint``: stamped at save
+    (sources/index_store.py) and under the streaming sink root
+    (streaming/ingest.py), compared at load/restart."""
+    import hashlib
+    import struct
+
+    h = hashlib.sha256()
+    for v in (SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS):
+        h.update(struct.pack("<q", v))
+    for a, b in _FAMILY[:MINHASH_K]:
+        h.update(struct.pack("<qq", a, b))
+    return h.hexdigest()
+
+
 # -- exact dedup -------------------------------------------------------------
 
 

@@ -61,7 +61,18 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
     """Persist a :func:`operators.dedup.minhash_index` relation,
     partitioned by band (probe joins shuffle on (band, key), so at-rest
     band partitioning lets a probe read only matching bands). This IS
-    data-sized (corpus × B rows) — sharded write, never coalesced."""
+    data-sized (corpus × B rows) — sharded write, never coalesced.
+
+    Every row carries the MINHASH SCHEME FINGERPRINT
+    (:func:`operators.dedup.minhash_scheme_fingerprint` — shingle
+    width, signature length, band geometry, hash family): band keys
+    are meaningless outside the scheme that hashed them, and a
+    cross-session probe under retuned constants would silently miss
+    every stored near-duplicate. The loader compares fingerprints and
+    refuses — the MinHash twin of the embedding store's
+    ``centroid_fp`` guard."""
+    from genai_batch_processor_spark.operators import dedup
+
     id_type = dict(index.dtypes).get("id")
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
         # cast('long') would silently NULL every non-numeric id and
@@ -73,6 +84,7 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
     (
         index.select(
             F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
+            F.lit(dedup.minhash_scheme_fingerprint()).alias("scheme_fp"),
             F.col("band").cast("int").alias("band"),
             F.col("key").cast("long").alias("key"),
             F.col("id").cast("long").alias("id"),
@@ -104,6 +116,8 @@ def load_minhash_index(
     ``bucket_n`` vs actual per-key row count, and raises naming the
     repair. Every band gets the same delete (a doc's rows span all
     bands), so one band's counts witness the whole index."""
+    from genai_batch_processor_spark.operators import dedup
+
     idx = spark.read.parquet(path)
     versions = [
         r["format_version"]
@@ -113,6 +127,28 @@ def load_minhash_index(
         raise ValueError(
             f"minhash index at {path} has format_version {versions}, "
             f"expected [{INDEX_FORMAT_VERSION}]"
+        )
+    want_fp = dedup.minhash_scheme_fingerprint()
+    if "scheme_fp" not in idx.columns:
+        raise ValueError(
+            f"minhash index at {path} carries no scheme_fp column — it "
+            "was written before the scheme-fingerprint guard and its "
+            "band keys cannot be verified against the current MinHash "
+            "constants; rebuild with operators.dedup.minhash_index and "
+            "re-save"
+        )
+    fps = [
+        r["scheme_fp"]
+        for r in idx.select("scheme_fp").distinct().limit(3).collect()
+    ]
+    if fps != [want_fp]:
+        raise ValueError(
+            f"minhash index at {path} was built under MinHash scheme "
+            f"{[f[:12] for f in fps]} but this build hashes with "
+            f"{want_fp[:12]} — band keys are not comparable across "
+            "schemes (shingle width / signature length / band geometry "
+            "/ hash family changed). Rebuild with "
+            "operators.dedup.minhash_index and re-save."
         )
     out = idx.select("band", "key", "id", "hs", "bucket_n")
     if check_bucket_counts:

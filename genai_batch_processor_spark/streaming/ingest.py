@@ -102,8 +102,14 @@ def near_dup_probe_stream_to_parquet(
     probe-extras list this replaces.
 
     Read contract: union ``{out_dir}/pairs/batch=*`` (each pair
-    emitted exactly once across the run)."""
+    emitted exactly once across the run). The index root carries a
+    ``_minhash_fp`` marker (written on first start, checked on every
+    start): a restart under retuned MinHash constants would hash the
+    same text to different band keys and silently miss every stored
+    near-duplicate — it fails loudly instead (the MinHash twin of the
+    embedding probe's ``_centroid_fp`` guard)."""
     spark = index.sparkSession
+    _assert_minhash_marker(spark, out_dir.rstrip("/") + "/index")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -138,20 +144,27 @@ def near_dup_probe_stream_to_parquet(
     q.awaitTermination()
 
 
-def _assert_centroid_marker(
-    spark: SparkSession, root: str, fp: str
+def _assert_scheme_marker(
+    spark: SparkSession,
+    root: str,
+    fp: str,
+    marker_name: str,
+    built_under: str,
+    holds: str,
+    remedy: str,
 ) -> None:
-    """Create-or-compare the centroid fingerprint marker under the
-    streamed index root. The sunk per-epoch cell-index rows are only
-    meaningful under the centroid set that assigned them; a RESTARTED
-    stream holding re-trained centroids would otherwise union earlier
-    epochs' rows into its probe view and silently mis-bucket every
-    comparison (the at-rest store got this guard in
-    sources/index_store.py — the streaming seam needs it too). Marker
-    I/O goes through Spark (underscore-prefixed dir: invisible to any
-    whole-directory scan, like _spark_metadata), so it works on any
-    Hadoop filesystem, not just file://."""
-    marker = root.rstrip("/") + "/_centroid_fp"
+    """Create-or-compare a scheme fingerprint marker under a streamed
+    index root. The sunk per-epoch index rows are only meaningful
+    under the scheme that produced them (trained centroids for the
+    embedding probe, the MinHash constants for the band probe); a
+    RESTARTED stream holding a different scheme would otherwise union
+    earlier epochs' rows into its probe view and silently mis-bucket
+    every comparison (the at-rest stores carry the same guards in
+    sources/index_store.py — the streaming seam needs them too).
+    Marker I/O goes through Spark (underscore-prefixed dir: invisible
+    to any whole-directory scan, like _spark_metadata), so it works on
+    any Hadoop filesystem, not just file://."""
+    marker = root.rstrip("/") + "/" + marker_name
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(marker)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -170,16 +183,44 @@ def _assert_centroid_marker(
         got = rows[0][0]
         if got != fp:
             raise ValueError(
-                f"streamed embedding index at {root} was built under "
-                f"centroid set {got[:12]} but this stream holds "
-                f"{fp[:12]} — cell ids are not comparable across "
-                "centroid sets. Resume with the original centroids, or "
-                "start a fresh out_dir/checkpoint and re-probe."
+                f"streamed index at {root} was built under "
+                f"{built_under} {got[:12]} but this stream holds "
+                f"{holds} {fp[:12]} — sunk epochs are not comparable "
+                f"across schemes. {remedy}"
             )
     else:
         spark.createDataFrame([(fp,)], "value string").coalesce(
             1
         ).write.text(marker)
+
+
+def _assert_centroid_marker(
+    spark: SparkSession, root: str, fp: str
+) -> None:
+    _assert_scheme_marker(
+        spark,
+        root,
+        fp,
+        "_centroid_fp",
+        "centroid set",
+        "centroid set",
+        "Resume with the original centroids, or start a fresh "
+        "out_dir/checkpoint and re-probe.",
+    )
+
+
+def _assert_minhash_marker(spark: SparkSession, root: str) -> None:
+    _assert_scheme_marker(
+        spark,
+        root,
+        dedup.minhash_scheme_fingerprint(),
+        "_minhash_fp",
+        "MinHash scheme",
+        "MinHash scheme",
+        "The MinHash constants (shingle width / signature length / "
+        "band geometry / hash family) changed since the sink was "
+        "started; start a fresh out_dir/checkpoint and re-probe.",
+    )
 
 
 def embedding_probe_stream_to_parquet(

@@ -868,3 +868,113 @@ def test_minhash_index_mixed_generation_guard(spark, tmp_path):
     index_store.save_minhash_index(mixed, path)
     with pytest.raises(ValueError, match="STALE"):
         index_store.load_minhash_index(spark, path)
+
+
+def test_minhash_scheme_fingerprint_guard(spark, tmp_path, monkeypatch):
+    """An at-rest band index probed under retuned MinHash constants
+    would hash the same text to different band keys and silently miss
+    every stored near-duplicate — the loader must compare the stamped
+    scheme fingerprint and refuse. A pre-guard index (no scheme_fp
+    column) is likewise refused: its band keys cannot be verified."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import index_store
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_scheme")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), path
+    )
+    assert index_store.load_minhash_index(spark, path).count() > 0
+
+    # retuned constants => different fingerprint => loud refusal
+    monkeypatch.setattr(
+        dedup, "minhash_scheme_fingerprint", lambda: "0" * 64
+    )
+    with pytest.raises(ValueError, match="MinHash scheme"):
+        index_store.load_minhash_index(spark, path)
+    monkeypatch.undo()
+
+    # legacy layout without the fingerprint column: unverifiable
+    legacy = str(tmp_path / "mh_legacy")
+    spark.read.parquet(path).drop("scheme_fp").write.partitionBy(
+        "band"
+    ).parquet(legacy)
+    with pytest.raises(ValueError, match="no scheme_fp"):
+        index_store.load_minhash_index(spark, legacy)
+
+
+def test_minhash_stream_scheme_marker(spark, tmp_path):
+    """The sink-probe stream's index root carries a _minhash_fp marker:
+    a restart under a different MinHash scheme must fail loudly before
+    any epoch runs (sunk band rows from the old scheme would silently
+    miss every probe), and a matching restart must keep working."""
+    import os
+
+    import pytest
+
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources.tables import load_table
+    from genai_batch_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(50)
+    index = dedup.minhash_index(docs, "doc_id", "text").persist()
+    batch = docs.select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    batch.coalesce(1).write.mode("append").parquet(shards)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.near_dup_probe_stream_to_parquet(
+            stream, index, "doc_id", "text", out, ckpt
+        )
+
+    try:
+        # a sink started under a DIFFERENT scheme: marker pre-stamped
+        marker = os.path.join(out, "index", "_minhash_fp")
+        spark.createDataFrame(
+            [("f" * 64,)], "value string"
+        ).coalesce(1).write.text(marker)
+        with pytest.raises(ValueError, match="MinHash scheme"):
+            drain()
+        # fresh sink under the live scheme: runs, restarts clean
+        out2 = str(tmp_path / "out2")
+        ckpt2 = str(tmp_path / "ckpt2")
+
+        def drain2():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(shards)
+            )
+            ingest.near_dup_probe_stream_to_parquet(
+                stream, index, "doc_id", "text", out2, ckpt2
+            )
+
+        drain2()
+        drain2()  # restart: marker matches, no-op
+        fp = [
+            r[0]
+            for r in spark.read.text(
+                os.path.join(out2, "index", "_minhash_fp")
+            ).collect()
+        ]
+        assert fp == [dedup.minhash_scheme_fingerprint()]
+        assert (
+            spark.read.parquet(os.path.join(out2, "pairs")).count() >= 50
+        )  # every re-keyed copy pairs its original
+    finally:
+        index.unpersist()
