@@ -336,3 +336,85 @@ def load_centroids(
     return clustering.centroids_from_cells(
         load_centroid_cells(spark, path)
     )
+
+
+def _span_scheme_fingerprint(spark: SparkSession, span_words: int) -> str:
+    """Content hash of the span-index scheme: the span width plus a
+    CANARY — the actual 60-bit hash of a fixed string computed by the
+    live hash function. Hashing a canary output (rather than naming
+    the algorithm) means ANY change to the hash implementation changes
+    the fingerprint, not just changes someone remembered to version.
+    One 1-row job; bounded like the loaders' other probes."""
+    import hashlib
+
+    from genai_batch_processor_spark.functions import hashing
+
+    canary = (
+        spark.range(1)
+        .select(
+            hashing.portable_hash60(
+                F.lower(F.lit("__Span Scheme Canary__"))
+            ).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    return hashlib.sha256(f"{span_words}:{canary}".encode()).hexdigest()
+
+
+def save_span_index(
+    index: DataFrame, path: str, span_words: int
+) -> None:
+    """Persist an :func:`operators.curation.span_index` relation — the
+    exact-containment corpus index a later ingest probes. Data-sized
+    (one row per distinct corpus span hash): sharded write, never
+    coalesced. Every row carries the SPAN SCHEME FINGERPRINT
+    (span width + a live hash canary): span hashes are meaningless
+    under a different width or hash function, and a probe against a
+    mismatched index silently under-reports containment (a known span
+    that hashes differently looks novel). ``span_words`` must be the
+    width the index was BUILT with."""
+    spark = index.sparkSession
+    fp = _span_scheme_fingerprint(spark, span_words)
+    (
+        index.select(
+            F.lit(INDEX_FORMAT_VERSION).alias("format_version"),
+            F.lit(fp).alias("scheme_fp"),
+            F.col("h").cast("long").alias("h"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_span_index(
+    spark: SparkSession, path: str, span_words: int
+) -> DataFrame:
+    """Reload a persisted span index for probing at ``span_words`` —
+    version guard (distinct BEFORE limit, as the other loaders) plus
+    the scheme-fingerprint compare: a width or hash-function mismatch
+    raises naming the repair instead of silently reporting every known
+    span as novel."""
+    idx = spark.read.parquet(path)
+    versions = [
+        r["format_version"]
+        for r in idx.select("format_version").distinct().limit(3).collect()
+    ]
+    if versions != [INDEX_FORMAT_VERSION]:
+        raise ValueError(
+            f"span index at {path} has format_version {versions}, "
+            f"expected [{INDEX_FORMAT_VERSION}]"
+        )
+    want = _span_scheme_fingerprint(spark, span_words)
+    fps = [
+        r["scheme_fp"]
+        for r in idx.select("scheme_fp").distinct().limit(3).collect()
+    ]
+    if fps != [want]:
+        raise ValueError(
+            f"span index at {path} was built under span scheme "
+            f"{[f[:12] for f in fps]} but this probe computes "
+            f"{want[:12]} — the span width or the hash function "
+            "changed; rebuild with operators.curation.span_index at "
+            "the probe's span_words and re-save"
+        )
+    return idx.select("h")

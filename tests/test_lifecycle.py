@@ -978,3 +978,43 @@ def test_minhash_stream_scheme_marker(spark, tmp_path):
         )  # every re-keyed copy pairs its original
     finally:
         index.unpersist()
+
+
+def test_span_index_store_roundtrip_and_scheme_guard(spark, sf_dir, tmp_path):
+    """The span index round-trips through its store and probes
+    identically to the in-session relation; loading at a different
+    span width must refuse (a width mismatch silently under-reports
+    containment — every known span hashes differently and looks
+    novel)."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import curation
+    from genai_batch_processor_spark.sources import index_store
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    idx = curation.span_index(docs)
+    path = str(tmp_path / "span_idx")
+    index_store.save_span_index(idx, path, curation.SPAN_WORDS_DEFAULT)
+    loaded = index_store.load_span_index(
+        spark, path, curation.SPAN_WORDS_DEFAULT
+    )
+    probe = docs.limit(10).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    want = {
+        (r.doc_id, r.n_spans, r.n_known_spans, r.known_ppm)
+        for r in curation.probe_span_index(idx, probe).collect()
+    }
+    got = {
+        (r.doc_id, r.n_spans, r.n_known_spans, r.known_ppm)
+        for r in curation.probe_span_index(loaded, probe).collect()
+    }
+    assert got == want and len(want) == 10
+    # copied docs are fully contained: the probe must see that
+    assert all(ppm == 1_000_000 for _, _, _, ppm in got)
+
+    with pytest.raises(ValueError, match="span scheme"):
+        index_store.load_span_index(
+            spark, path, curation.SPAN_WORDS_DEFAULT + 1
+        )
