@@ -124,3 +124,26 @@ def test_curation_pipeline_shared_stages_run_once(spark, sf_dir):
         "(pair graph / clustering / span index) is recomputing per "
         "consumer — check the persist() seams in the example"
     )
+
+
+def test_streaming_ingest_example(spark, sf_dir):
+    """The continuous-ingest skeleton end-to-end: persisted corpus
+    index -> probe stream across two drains with a compaction+GC
+    between them -> compaction-aware admission report. Every re-keyed
+    corpus copy must be rejected; every shuffled-token novel document
+    must be admitted."""
+    import run_streaming_ingest
+
+    report = run_streaming_ingest.main(spark, sf_dir)
+    rows = {r.doc_id: r for r in report.collect()}
+    copies = [
+        r for i, r in rows.items()
+        if i < 2 * run_streaming_ingest.NEW_ID_OFFSET
+    ]
+    novel = [
+        r for i, r in rows.items()
+        if i >= 2 * run_streaming_ingest.NEW_ID_OFFSET
+    ]
+    assert copies and novel
+    assert all(not r.admit and r.n_matches >= 1 for r in copies)
+    assert all(r.admit and r.n_matches == 0 for r in novel)
