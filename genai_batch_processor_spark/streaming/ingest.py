@@ -40,6 +40,34 @@ def _epoch_dirs(spark: SparkSession, root: str, before: int) -> list[str]:
     return compaction.epoch_sink_paths(spark, root, before=before)
 
 
+class _EpochLedger:
+    """One filesystem listing per RUN, not per micro-batch: re-listing
+    the index root inside every ``foreachBatch`` costs O(epochs) FS
+    calls per epoch — O(epochs²) over a long-running stream, a real
+    tax on object-store listings. Epochs written by EARLIER runs are
+    fixed for this run's lifetime, and every epoch THIS run writes is
+    known without asking the filesystem, so: list once lazily (with
+    ``before`` = the first processed epoch, which excludes a replayed
+    epoch's own leftover directory exactly like the per-batch listing
+    did) and append each processed epoch's directory after its writes.
+    foreachBatch epochs are strictly increasing within a run, so every
+    appended path is strictly earlier than any later epoch — the
+    probe-view contract is unchanged, only its discovery cost."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self._spark = spark
+        self._root = root.rstrip("/")
+        self._paths: list[str] | None = None
+
+    def earlier(self, epoch_id: int) -> list[str]:
+        if self._paths is None:
+            self._paths = _epoch_dirs(self._spark, self._root, epoch_id)
+        return list(self._paths)
+
+    def record(self, epoch_id: int) -> None:
+        self._paths.append(f"{self._root}/batch={epoch_id}")
+
+
 def stream_response_lines(
     spark: SparkSession,
     path: str,
@@ -109,14 +137,15 @@ def near_dup_probe_stream_to_parquet(
     near-duplicate — it fails loudly instead (the MinHash twin of the
     embedding probe's ``_centroid_fp`` guard)."""
     spark = index.sparkSession
-    _assert_minhash_marker(spark, out_dir.rstrip("/") + "/index")
+    idx_root = out_dir.rstrip("/") + "/index"
+    _assert_minhash_marker(spark, idx_root)
+    ledger = _EpochLedger(spark, idx_root)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         probe = index
-        idx_root = out_dir.rstrip("/") + "/index"
-        earlier = _epoch_dirs(spark, idx_root, epoch_id)
+        earlier = ledger.earlier(epoch_id)
         if earlier:
             probe = probe.unionByName(spark.read.parquet(*earlier))
         batch_index = dedup.minhash_index(
@@ -134,6 +163,7 @@ def near_dup_probe_stream_to_parquet(
             )
         finally:
             batch_index.unpersist()
+        ledger.record(epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -257,18 +287,17 @@ def embedding_probe_stream_to_parquet(
     from genai_batch_processor_spark.operators import similarity
 
     spark = index.sparkSession
+    idx_root = out_dir.rstrip("/") + "/index"
     _assert_centroid_marker(
-        spark,
-        out_dir.rstrip("/") + "/index",
-        similarity.centroid_fingerprint(centroids),
+        spark, idx_root, similarity.centroid_fingerprint(centroids)
     )
+    ledger = _EpochLedger(spark, idx_root)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         probe = index
-        idx_root = out_dir.rstrip("/") + "/index"
-        earlier = _epoch_dirs(spark, idx_root, epoch_id)
+        earlier = ledger.earlier(epoch_id)
         if earlier:
             probe = probe.unionByName(spark.read.parquet(*earlier))
         batch_index = similarity.embedding_cell_index(
@@ -290,6 +319,7 @@ def embedding_probe_stream_to_parquet(
             )
         finally:
             batch_index.unpersist()
+        ledger.record(epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(process)
