@@ -21,6 +21,16 @@ Round 7 (round-6 verdict item 7): `value_min`/`full_total_min` and
 per-query mins join the medians — min-of-reps is a load-robust LOWER
 bound (load inflates samples, never deflates them), closing the gap
 between driver-under-load and builder-idle readings.
+
+Round 8 (round-7 verdict items 2+3): a fixed CALIBRATION workload —
+constant-size generated shuffle+agg, zero fixture reads — runs once
+per rep; every per-query time is reported both raw and
+calibration-normalized (raw × calib_ref/calib_rep, i.e. rescaled to
+what an idle reference box would have read). Three rounds of bench
+readings swung with box load; the normalized column is the
+round-over-round comparison now. `BASELINE_QUERIES.json` freezes
+per-query normalized mins from an idle run; any query whose normalized
+min exceeds 2× its frozen baseline is flagged in `slow_vs_baseline`.
 """
 
 from __future__ import annotations
@@ -71,6 +81,57 @@ R1_BASELINE_SET = frozenset(
         "vertex_requests", "vertex_responses",
     }
 )
+
+
+# Calibration workload constants. The workload is a generated-data
+# shuffle+agg sized to a few seconds idle: big enough that JVM noise is
+# a small fraction, small enough not to eat the sweep budget. It reads
+# no fixtures, so its time moves ONLY with box conditions (CPU
+# contention, GC debt, thermal state) — exactly the signal to divide
+# out of the query times.
+CALIB_ROWS = 24_000_000
+CALIB_PARTS = 64
+CALIB_KEYS = 8192
+BASELINE_QUERIES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+)
+
+
+def calibration_workload(spark) -> float:
+    """Run the fixed shuffle+agg once; returns wall seconds. Kept as a
+    function so tools (scale/A-B harnesses) can reuse the identical
+    workload for their own normalization."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, CALIB_ROWS, 1, CALIB_PARTS)
+        .select(
+            (F.col("id") % CALIB_KEYS).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("*").alias("n"),
+            F.avg("v").alias("a"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def load_query_baseline() -> dict | None:
+    """BASELINE_QUERIES.json if present: {"calib_ref_sec": float,
+    "query_mins_norm": {name: sec}, ...}. Absent → no normalization
+    reference and no per-query flags (raw == normalized)."""
+    try:
+        with open(BASELINE_QUERIES_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def plan_info(df) -> dict | None:
@@ -138,7 +199,10 @@ def main() -> None:
         load_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_start = None
+    baseline_q = load_query_baseline()
+    calib_ref = (baseline_q or {}).get("calib_ref_sec")
     times_reps: dict[str, list[float]] = {n: [] for n in names}
+    calib_reps: list[float] = []
     plans: dict[str, dict] = {}
     reps_run = 0
     for rep in range(reps):
@@ -146,6 +210,9 @@ def main() -> None:
         if rep > 0 and elapsed + elapsed / rep > budget_s:
             break  # another rep would overrun the budget
         reps_run = rep + 1
+        # calibration leads each rep: a load spike mid-sweep lands on
+        # the rep it distorts, and that rep's factor absorbs it.
+        calib_reps.append(calibration_workload(spark))
         for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -182,6 +249,34 @@ def main() -> None:
     # min totals are comparable min-to-min across rounds, not to the
     # cold r1 baseline.
     mins = {n: round(min(ts), 3) for n, ts in times_reps.items()}
+    # Calibration-normalized twins: each rep's sample is rescaled by
+    # that rep's own factor (calib_ref / calib_rep), i.e. "what an idle
+    # reference box would have read", THEN medians/mins are taken —
+    # per-rep factors also absorb drift BETWEEN reps. Without a frozen
+    # calib_ref (no BASELINE_QUERIES.json yet) factors are 1.
+    factors = [
+        (calib_ref / c) if (calib_ref and c > 0) else 1.0
+        for c in calib_reps
+    ]
+    norm_reps = {
+        n: [round(t * factors[i], 3) for i, t in enumerate(ts)]
+        for n, ts in times_reps.items()
+    }
+    medians_norm = {
+        n: round(statistics.median(ts), 3) for n, ts in norm_reps.items()
+    }
+    mins_norm = {n: round(min(ts), 3) for n, ts in norm_reps.items()}
+    # Per-query 2x gate vs the frozen idle baseline (round-7 verdict
+    # item 3): compare load-robust normalized mins to frozen normalized
+    # mins, with a 0.3 s absolute floor so sub-second queries don't
+    # flag on scheduler jitter.
+    slow_vs_baseline = {}
+    if baseline_q:
+        frozen = baseline_q.get("query_mins_norm", {})
+        for n, t in mins_norm.items():
+            b = frozen.get(n)
+            if b is not None and t > max(2 * b, b + 0.3):
+                slow_vs_baseline[n] = {"baseline": b, "now": t}
     full_total = round(sum(times.values()), 3)
     # Guard the r1-comparable headline: if a baseline query was renamed or
     # skipped, the sum silently covers less work. Flag it loudly instead.
@@ -198,6 +293,11 @@ def main() -> None:
         "query_reps": times_reps,
         "query_medians": medians,
         "query_mins": mins,
+        "calib_reps": calib_reps,
+        "calib_ref_sec": calib_ref,
+        "query_medians_norm": medians_norm,
+        "query_mins_norm": mins_norm,
+        "slow_vs_baseline": slow_vs_baseline,
         "plans": plans,
     }
     side_path = os.path.join(
@@ -233,14 +333,37 @@ def main() -> None:
             sum(m for n, m in mins.items() if n in R1_BASELINE_SET), 3
         ),
         "full_total_min": round(sum(mins.values()), 3),
+        # calibration-normalized twins (round-7 verdict item 2): the
+        # round-over-round comparison column — box-speed divided out
+        "calib_sec": round(statistics.median(calib_reps), 3),
+        "calib_ref_sec": calib_ref,
+        "value_median_norm": round(
+            sum(m for n, m in medians_norm.items() if n in R1_BASELINE_SET),
+            3,
+        ),
+        "full_total_median_norm": round(sum(medians_norm.values()), 3),
+        "value_min_norm": round(
+            sum(m for n, m in mins_norm.items() if n in R1_BASELINE_SET), 3
+        ),
+        "full_total_min_norm": round(sum(mins_norm.values()), 3),
+        "n_slow_vs_baseline": len(slow_vs_baseline),
         "load_avg_start": load_start,
         "load_avg_end": load_end,
     }
+    if slow_vs_baseline:
+        summary["slow_vs_baseline"] = dict(
+            sorted(
+                slow_vs_baseline.items(),
+                key=lambda kv: kv[1]["now"] - kv[1]["baseline"],
+                reverse=True,
+            )[:10]
+        )
     if missing_baseline:
         summary["missing_baseline"] = missing_baseline
     line = json.dumps(summary)
     if len(line) > 1500:  # hard cap: never overflow the tail capture again
         summary["queries"] = {}
+        summary.pop("slow_vs_baseline", None)  # full map in side file
         line = json.dumps(summary)
     print(line)
 

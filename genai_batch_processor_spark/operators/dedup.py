@@ -78,26 +78,61 @@ WINNOW_MIN_SHARED = 2
 _FAMILY = hashing.hash_family(MINHASH_K)
 
 
+# Fixed sentence hashed through the LIVE shingling pipeline for the
+# scheme fingerprint's canary; long enough to yield several shingles at
+# any plausible SHINGLE_N.
+_SCHEME_CANARY_TEXT = (
+    "minhash scheme canary the quick brown fox jumps over the lazy dog"
+)
+_scheme_fp_cache: dict[tuple[int, int, int, int], str] = {}
+
+
 def minhash_scheme_fingerprint() -> str:
     """Stable content hash of every constant the at-rest band-index
     LAYOUT depends on: shingle width, signature length, band geometry,
-    and the universal-hash family's (a, b) parameters. A sunk index row
-    (band, key, hs) is only meaningful under the exact scheme that
-    produced it — a probe under retuned constants would hash the same
-    text to different band keys and silently miss every stored
-    near-duplicate. The MinHash twin of
-    ``similarity.centroid_fingerprint``: stamped at save
+    the universal-hash family's (a, b) parameters, AND a live
+    tokenization canary — the actual ``shingle_hashes`` output the
+    current implementation produces for a fixed sentence (one 1-row
+    constant-folded job, memoized per process). The canary means any
+    change to word-splitting, shingle assembly, or the 32-bit hash —
+    not just to the constants someone remembered to version — changes
+    the fingerprint: a sunk index row (band, key, hs) is only
+    meaningful under the exact scheme that produced it, and a probe
+    under a retuned scheme would hash the same text to different band
+    keys and silently miss every stored near-duplicate. The MinHash
+    twin of ``similarity.centroid_fingerprint``: stamped at save
     (sources/index_store.py) and under the streaming sink root
     (streaming/ingest.py), compared at load/restart."""
     import hashlib
     import struct
 
+    from pyspark.sql import SparkSession
+
+    key = (SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS)
+    cached = _scheme_fp_cache.get(key)
+    if cached is not None:
+        return cached
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "minhash_scheme_fingerprint needs an active SparkSession "
+            "to run its live shingling canary"
+        )
+    canary = (
+        spark.range(1)
+        .select(shingle_hashes(F.lit(_SCHEME_CANARY_TEXT)).alias("hs"))
+        .collect()[0]["hs"]
+    )
     h = hashlib.sha256()
-    for v in (SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS):
+    for v in key:
         h.update(struct.pack("<q", v))
     for a, b in _FAMILY[:MINHASH_K]:
         h.update(struct.pack("<qq", a, b))
-    return h.hexdigest()
+    for c in canary:
+        h.update(struct.pack("<q", c))
+    fp = h.hexdigest()
+    _scheme_fp_cache[key] = fp
+    return fp
 
 
 # -- exact dedup -------------------------------------------------------------

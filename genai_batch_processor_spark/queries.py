@@ -4273,3 +4273,68 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R7_FRONT},
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
 }
+
+# Round-8 front (round-7 verdict item 6) — ROTATION POLICY: each round,
+# the registry front is re-ordered OLDEST-GATED-FIRST via
+# `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the 149
+# names by the round of their newest green driver-gate row, takes 50).
+# The driver gates the first 50 dict entries, so with a 149-query
+# registry every query re-passes the driver's own oracle gate at most
+# every 3 rounds even as the code under it evolves; queries added
+# mid-round are never-gated and sort first automatically.
+_R8_FRONT = [
+    "lang_source_grouping_sets",  # last gated r1
+    "order_revenue_topk",  # last gated r1
+    "dedup_components",  # last gated r2
+    "dedup_components_star",  # last gated r2
+    "dedup_survivors",  # last gated r2
+    "embedding_label_stats",  # last gated r2
+    "supplier_balance",  # last gated r2
+    "user_stats_stream",  # last gated r2
+    "assign_ids",  # last gated r4
+    "audio_windows",  # last gated r4
+    "azure_model_rewrite",  # last gated r4
+    "batch_shards",  # last gated r4
+    "build_requests",  # last gated r4
+    "chunk_vote",  # last gated r4
+    "curriculum_mix",  # last gated r4
+    "doc_logprob",  # last gated r4
+    "embedding_topk",  # last gated r4
+    "error_split",  # last gated r4
+    "exact_dedup",  # last gated r4
+    "extract_answer",  # last gated r4
+    "incremental_inference",  # last gated r4
+    "joinback",  # last gated r4
+    "label_distribution",  # last gated r4
+    "lsh_candidates",  # last gated r4
+    "minhash_signatures",  # last gated r4
+    "mixture_plan",  # last gated r4
+    "mixture_sample",  # last gated r4
+    "mock_responses",  # last gated r4
+    "near_dup_pairs",  # last gated r4
+    "prompt_dedup_fanout",  # last gated r4
+    "prompt_dedup_requests",  # last gated r4
+    "question_preview",  # last gated r4
+    "request_cost_estimate",  # last gated r4
+    "response_joinback_stream",  # last gated r4
+    "retry_responses",  # last gated r4
+    "simhash",  # last gated r4
+    "simhash_near_dup",  # last gated r4
+    "snapshot_changes",  # last gated r4
+    "training_order",  # last gated r4
+    "vertex_requests",  # last gated r4
+    "winnow_pairs",  # last gated r4
+    "bm25_scores",  # last gated r5
+    "chunk_dedup_stats",  # last gated r5
+    "customer_order_setops",  # last gated r5
+    "customers_without_orders",  # last gated r5
+    "dedup_cluster_stats",  # last gated r5
+    "doc_stats",  # last gated r5
+    "dsir_weights",  # last gated r5
+    "embedding_ann_recall",  # last gated r5
+    "embedding_near_dup",  # last gated r5
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R8_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R8_FRONT)},
+}

@@ -75,6 +75,7 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 TARGET_BYTES_PER_FILE = DEFAULT_TARGET_BYTES
 
 _COMPACTED = "_compacted"
+_MERGED = "_merged"
 
 
 def _fs(spark: SparkSession, root: str):
@@ -219,7 +220,7 @@ def compact_epoch_sink(
     epochs = _epoch_entries(spark, root)
     compactions = _committed_compactions(spark, root)
     prev = compactions[-1][0] if compactions else None
-    eligible = epochs[: len(epochs) - keep_last]
+    eligible = epochs[: max(0, len(epochs) - keep_last)]
     new_dirs = [p for e, p in eligible if prev is None or e > prev]
     if not new_dirs:
         return prev

@@ -339,26 +339,40 @@ def load_centroids(
 
 
 def _span_scheme_fingerprint(spark: SparkSession, span_words: int) -> str:
-    """Content hash of the span-index scheme: the span width plus a
-    CANARY — the actual 60-bit hash of a fixed string computed by the
-    live hash function. Hashing a canary output (rather than naming
-    the algorithm) means ANY change to the hash implementation changes
-    the fingerprint, not just changes someone remembered to version.
-    One 1-row job; bounded like the loaders' other probes."""
+    """Content hash of the span-index scheme: the span width plus TWO
+    CANARIES — the 60-bit hash of a fixed string computed by the live
+    hash function, and the actual span array the live shingling
+    (``text.shingles`` at ``span_words``, post-lower) produces for a
+    fixed sentence. Hashing canary outputs (rather than naming the
+    algorithms) means ANY change to the hash OR the
+    word-splitting/span-assembly implementation changes the
+    fingerprint, not just changes someone remembered to version. One
+    1-row job; bounded like the loaders' other probes."""
     import hashlib
 
     from genai_batch_processor_spark.functions import hashing
+    from genai_batch_processor_spark.functions import text as tx
 
-    canary = (
+    row = (
         spark.range(1)
         .select(
             hashing.portable_hash60(
                 F.lower(F.lit("__Span Scheme Canary__"))
-            ).alias("h")
+            ).alias("h"),
+            tx.shingles(
+                F.lower(
+                    F.lit(
+                        "Span Scheme Canary the quick brown fox "
+                        "jumps over the lazy dog"
+                    )
+                ),
+                span_words,
+            ).alias("spans"),
         )
-        .collect()[0]["h"]
+        .collect()[0]
     )
-    return hashlib.sha256(f"{span_words}:{canary}".encode()).hexdigest()
+    payload = f"{span_words}:{row['h']}:" + "|".join(row["spans"])
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 def save_span_index(

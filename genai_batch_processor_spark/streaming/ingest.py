@@ -129,9 +129,12 @@ def near_dup_probe_stream_to_parquet(
     needs no driver-side state at all, unlike the in-memory
     probe-extras list this replaces.
 
-    Read contract: union ``{out_dir}/pairs/batch=*`` (each pair
-    emitted exactly once across the run). The index root carries a
-    ``_minhash_fp`` marker (written on first start, checked on every
+    Read contract: ``sources.compaction.read_epoch_sink`` on
+    ``{out_dir}/pairs`` (each pair emitted exactly once across the
+    run; a naive ``batch=*`` union would miss data folded into the
+    underscore-prefixed ``_compacted`` directory once
+    ``compact_epoch_sink``/``gc_epoch_sink`` have run). The index root
+    carries a ``_minhash_fp`` marker (written on first start, checked on every
     start): a restart under retuned MinHash constants would hash the
     same text to different band keys and silently miss every stored
     near-duplicate — it fails loudly instead (the MinHash twin of the
@@ -279,8 +282,10 @@ def embedding_probe_stream_to_parquet(
     one-shot run drops. Exact whenever combined populations stay under
     the cap, which the oracle gate checks on the fixture.
 
-    Read contract: union ``{out_dir}/pairs/batch=*``. The index root
-    carries a ``_centroid_fp`` marker (written on first start, checked
+    Read contract: ``sources.compaction.read_epoch_sink`` on
+    ``{out_dir}/pairs`` (a naive ``batch=*`` union misses compacted
+    data once ``compact_epoch_sink``/``gc_epoch_sink`` have run). The
+    index root carries a ``_centroid_fp`` marker (written on first start, checked
     on every start): a restart holding re-trained centroids fails
     loudly instead of probing earlier epochs' rows under an
     incompatible cell space."""

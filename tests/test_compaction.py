@@ -190,6 +190,29 @@ def test_keep_last_zero_refused(spark, tmp_path):
         compaction.compact_epoch_sink(spark, root, keep_last=0)
 
 
+def test_keep_last_beyond_epoch_count_compacts_nothing(spark, tmp_path):
+    """keep_last larger than the epoch count must protect EVERY epoch
+    (r7 advice): the old negative-index slice ``epochs[:len-keep]``
+    silently selected the first ``2*len - keep`` epochs, compacting
+    inside the caller's requested keep window — an operator whose
+    deployment can replay deeper would then see a replayed epoch
+    rewritten beside a compaction that already covers it."""
+    root = str(tmp_path / "sink")
+    for e in range(7):
+        spark.range(e * 10, e * 10 + 10).write.parquet(
+            f"{root}/batch={e}"
+        )
+    # old bug: keep_last=10 > 7 epochs selected epochs 0-3 for folding
+    assert compaction.compact_epoch_sink(spark, root, keep_last=10) is None
+    assert not os.path.isdir(os.path.join(root, "_compacted"))
+    assert _epoch_dir_names(root) == [f"batch={e}" for e in range(7)]
+    # boundary: keep_last == epoch count still compacts nothing
+    assert compaction.compact_epoch_sink(spark, root, keep_last=7) is None
+    # and one fewer protects exactly the newest six
+    bound = compaction.compact_epoch_sink(spark, root, keep_last=6)
+    assert bound == 0
+
+
 def test_compaction_reduces_file_count(spark, tmp_path):
     """The point of the exercise, pinned: many tiny per-epoch files
     fold into a handful (128 MB target => 1 file at fixture scale)."""

@@ -908,6 +908,37 @@ def test_minhash_scheme_fingerprint_guard(spark, tmp_path, monkeypatch):
         index_store.load_minhash_index(spark, legacy)
 
 
+def test_scheme_fingerprints_canary_shingling(spark, monkeypatch):
+    """r7 advice: the scheme fingerprints must cover the TOKENIZATION
+    implementation, not just the constants — a change to word-splitting
+    or shingle assembly invalidates every stored band/span hash, and a
+    fingerprint blind to it would silently pass the guard it exists to
+    provide. Both fingerprints hash a live-canary shingling output, so
+    swapping the shingle function must change them (and restoring it
+    must restore them — determinism)."""
+    from genai_batch_processor_spark.functions import text as tx
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import index_store
+
+    dedup._scheme_fp_cache.clear()
+    mh_base = dedup.minhash_scheme_fingerprint()
+    span_base = index_store._span_scheme_fingerprint(spark, 8)
+    assert mh_base == dedup.minhash_scheme_fingerprint()  # memoized
+
+    orig = tx.shingles
+    monkeypatch.setattr(
+        tx, "shingles", lambda t, n=3: orig(t, n + 1)
+    )  # a retuned shingle assembly, same constants
+    dedup._scheme_fp_cache.clear()
+    assert dedup.minhash_scheme_fingerprint() != mh_base
+    assert index_store._span_scheme_fingerprint(spark, 8) != span_base
+
+    monkeypatch.undo()
+    dedup._scheme_fp_cache.clear()
+    assert dedup.minhash_scheme_fingerprint() == mh_base
+    assert index_store._span_scheme_fingerprint(spark, 8) == span_base
+
+
 def test_minhash_stream_scheme_marker(spark, tmp_path):
     """The sink-probe stream's index root carries a _minhash_fp marker:
     a restart under a different MinHash scheme must fail loudly before

@@ -90,13 +90,21 @@ def request_shape(req: dict) -> dict:
     raw = path.split("/")
     collections = {"batches", "files", "batchPredictionJobs",
                    "projects", "locations"}
-    parts = [
-        "{id}"
-        if p.isdigit() or (i > 0 and raw[i - 1] in collections
-                           and p not in ("cancel", "content"))
-        else p
-        for i, p in enumerate(raw)
-    ]
+
+    def norm(i: int, p: str) -> str:
+        # Keep a Vertex-style ':verb' suffix ('123:cancel' →
+        # '{id}:cancel'), else cancel and get/fetch collapse to the
+        # same '{id}' shape and only the HTTP method separates them.
+        stem, sep, verb = p.partition(":")
+        if stem.isdigit() or (
+            i > 0
+            and raw[i - 1].partition(":")[0] in collections
+            and stem not in ("cancel", "content")
+        ):
+            return "{id}" + sep + verb
+        return p
+
+    parts = [norm(i, p) for i, p in enumerate(raw)]
     ctype = next(
         (v for k, v in req["headers"].items()
          if k.lower() == "content-type"),
