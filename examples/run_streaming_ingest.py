@@ -24,6 +24,14 @@ The lifecycle, composed from this repo's seams:
    still found exactly once.
 5. READ — the admission report is the compaction-aware union of the
    pair sink (compaction.read_epoch_sink), joined back to the batch.
+6. MERGE — fold the committed index epochs back into the SAVED corpus
+   index (sources/index_store.merge_minhash_index): without it a
+   months-long ingest accumulates an ever-growing overlay beside a
+   stale base; the merge recomputes bucket counts over the union,
+   re-stamps the scheme fingerprint, swaps the base in place, marks
+   the folded epochs (readers skip them from that moment) and GCs
+   them. Later drains reload the merged base and probe it + whatever
+   epochs remain.
 
 Run:  python examples/run_streaming_ingest.py  [sf_dir]
 """
@@ -152,7 +160,23 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
             f"arrived: {n_arrived}  rejected as near-dup: {n_rejected}  "
             f"admitted: {n_arrived - n_rejected}"
         )
-        return report.localCheckpoint(eager=True)
+        report = report.localCheckpoint(eager=True)
+
+        # 6. MERGE while quiescent: fold the committed index epochs
+        # into the saved base (keep_last protects the newest, possibly
+        # replayable, epoch), then reload — the relation every later
+        # drain probes. The loader's staleness guard passing is the
+        # proof the merged bucket counts are truthful.
+        bound = index_store.merge_minhash_index(
+            spark, index_path, os.path.join(out, "index")
+        )
+        index.unpersist()
+        index = index_store.load_minhash_index(spark, index_path).persist()
+        print(
+            f"merged index epochs <= {bound} into the base; merged "
+            f"base rows: {index.count()}"
+        )
+        return report
     finally:
         if index is not None:
             index.unpersist()

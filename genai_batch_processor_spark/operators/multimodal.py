@@ -559,23 +559,113 @@ def window_audio(
     raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
 
 
+def _is_video_magic(head: bytes) -> bool:
+    """Container sniff for the three containers the real sampler
+    handles: ISO-BMFF/MP4 (``ftyp`` at offset 4), Matroska/WebM
+    (EBML magic), AVI (``RIFF....AVI ``)."""
+    return (
+        (len(head) >= 8 and head[4:8] == b"ftyp")
+        or head.startswith(b"\x1a\x45\xdf\xa3")
+        or (len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"AVI ")
+    )
+
+
 def sample_video_frames_real(
-    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    max_frames: int = MAX_FRAMES,
 ) -> DataFrame:
-    """Real keyframe sampling needs ``av`` (PyAV); absent here. The
-    seam exists so an environment with PyAV plugs in without touching
-    callers."""
+    """Real KEYFRAME sampling via PyAV over binary video payloads —
+    same ``VIDEO_FRAMES`` schema and 1→many Arrow boundary as the
+    stub, so callers swap freely. Per clip: up to ``max_frames``
+    I-frames (``skip_frame='NONKEY'`` makes the demuxer drop non-key
+    packets BEFORE decode — the cheap way to sample a long clip; a
+    full decode of a 2-hour video to keep 4 frames would be the
+    decode-everything anti-pattern), each emitted as
+    (doc_id, frame_idx, frame_fp) where ``frame_fp`` is a 60-bit md5
+    of the decoded frame's raw RGB bytes — content-addressed, so a
+    container remux keeps fingerprints and a pixel re-encode changes
+    them. Empty/NULL payloads and audio-only containers yield zero
+    rows (mirroring the audio path's empty-payload contract).
+
+    Import-gated: without PyAV (this sandbox) it raises and
+    :func:`sample_video_frames` (deterministic stub, oracle-checked)
+    runs the identical plumbing; :func:`video_frames_dispatch` routes
+    automatically."""
     if not _has_module("av"):
         raise NotImplementedError(
             "sample_video_frames_real requires PyAV; this environment "
             "ships without it — sample_video_frames (deterministic "
             "stub) runs the same plumbing"
         )
-    raise NotImplementedError(
-        "PyAV detected but the real sampler is not implemented in this "
-        "build; wire av.open(BytesIO(payload)) keyframe iteration into "
-        "the sample_video_frames batch loop"
-    )
+    id_name, data_name = id_col, data_col
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for rid, b in zip(pdf[id_name], pdf[data_name]):
+                raw = bytes(b) if b is not None else b""
+                if not raw:
+                    continue
+                with av.open(io.BytesIO(raw)) as container:
+                    streams = [
+                        s for s in container.streams if s.type == "video"
+                    ]
+                    if not streams:
+                        continue
+                    stream = streams[0]
+                    stream.codec_context.skip_frame = "NONKEY"
+                    k = 0
+                    for frame in container.decode(stream):
+                        if k >= max_frames:
+                            break
+                        rgb = frame.to_ndarray(format="rgb24")
+                        fp = int(
+                            hashlib.md5(rgb.tobytes()).hexdigest()[:15], 16
+                        )
+                        ids.append(int(rid))
+                        idxs.append(k)
+                        fps.append(fp)
+                        k += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_fp": fps}
+            )
+
+    return df.select(id_col, data_col).mapInPandas(sample, VIDEO_FRAMES)
+
+
+def video_frames_dispatch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    codec: str = "auto",
+) -> DataFrame:
+    """Video-frame dispatcher, mirroring :func:`window_audio`: ``auto``
+    takes the real PyAV path only when PyAV imports AND the payloads
+    carry a real container magic (fixture fake bytes would crash the
+    demuxer); anything else routes to the deterministic stub."""
+    if codec == "auto":
+        if df.isStreaming:
+            raise ValueError(
+                "codec='auto' probes a payload row, which a streaming "
+                "DataFrame cannot serve — pass codec='real' or 'stub'"
+            )
+        codec = (
+            "real"
+            if _has_module("av")
+            and _payload_matches(df, data_col, _is_video_magic)
+            else "stub"
+        )
+    if codec == "stub":
+        return sample_video_frames(df, id_col, data_col)
+    if codec == "real":
+        return sample_video_frames_real(df, id_col, data_col)
+    raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
 
 
 def sql_image_features(text_expr: str, n: int = 24) -> str:

@@ -529,11 +529,14 @@ def incremental_embedding_pairs(
             F.col(vec_col).alias("embedding"),
             V.norm(F.col(vec_col)).alias("nrm"),
         )
-        # materialize once driver-side (bounded: broadcast-sized batch)
-        # instead of persist() — no cache entry outlives the call
-        b = assigned.sparkSession.createDataFrame(
-            assigned.collect(), assigned.schema
-        )
+        # materialize once via an eager localCheckpoint (bounded:
+        # broadcast-sized batch) instead of persist() — no cache entry
+        # outlives the call's references, and unlike collect() +
+        # createDataFrame the materialized relation stays JVM-side (a
+        # Python-local relation costs a Python-worker spin-up on every
+        # downstream action — the r7 stream-marker regression class,
+        # bisected in r8)
+        b = assigned.localCheckpoint(eager=True)
     batch_counts = b.groupBy("cell").agg(
         F.count(F.lit(1)).alias("batch_n")
     )

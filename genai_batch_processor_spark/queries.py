@@ -3066,18 +3066,10 @@ def q_part_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over the part catalog: blocking on
     (brand, head noun of the name), in-block Levenshtein ≤ 2
     (operators/linkage.py — blocked candidate generation with the same
-    oversized-block drop contract as the LSH bucket caps)."""
-    from genai_batch_processor_spark.operators import linkage
-
-    parts = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_brand",
-        F.element_at(F.split("p_name", " "), -1).alias("noun"),
-    )
-    return linkage.blocked_pairs(
-        parts, "p_partkey", "p_name", ["p_brand", "noun"]
-    )
+    oversized-block drop contract as the LSH bucket caps). Serves the
+    session-shared persisted single-key stage the recall audit also
+    consumes (see _part_pairs_shared)."""
+    return _part_pairs_shared(spark, sf_dir, "single")
 
 
 # Length-band pass pair for multi-pass part linkage: width 2d, offset d
@@ -3103,6 +3095,43 @@ def _parts_with_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared persisted blocking stages (round-7 verdict item 5): the
+# recall audit re-consumes BOTH candidate relations that
+# part_match_candidates / part_match_multikey already compute — and
+# references each more than once internally (count + common join).
+# Without the persist the audit re-ran both candidate generations from
+# scratch (70 exchanges in BENCH_PLANS); with it, each blocking pass
+# materializes once per (session, sf_dir), the same contract as the
+# MinHash pair stage.
+_PART_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _part_pairs_shared(
+    spark: SparkSession, sf_dir: str, which: str
+) -> DataFrame:
+    from genai_batch_processor_spark.operators import linkage
+
+    key = (spark.sparkContext.applicationId, sf_dir, which)
+    df = _PART_PAIRS_CACHE.get(key)
+    if df is None:
+        parts = _parts_with_bands(spark, sf_dir)
+        if which == "single":
+            df = linkage.blocked_pairs(
+                parts, "p_partkey", "p_name", ["p_brand", "noun"]
+            )
+        else:
+            df = linkage.multi_pass_pairs(
+                parts,
+                "p_partkey",
+                "p_name",
+                ["p_brand", "noun"],
+                [["band_a"], ["band_b"]],
+            )
+        df = df.persist()
+        _PART_PAIRS_CACHE[key] = df
+    return df
+
+
 def q_part_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-out blocking for part linkage (round-6 verdict item 4):
     the single (brand, noun) key space is FIXED (~400 blocks), so at
@@ -3115,16 +3144,7 @@ def q_part_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse block admits is lost, measured (not assumed) by
     part_match_blocking_recall. Same oversized-block drop contract,
     one shared adaptive cap, oracle mirrored data-dependently."""
-    from genai_batch_processor_spark.operators import linkage
-
-    parts = _parts_with_bands(spark, sf_dir)
-    return linkage.multi_pass_pairs(
-        parts,
-        "p_partkey",
-        "p_name",
-        ["p_brand", "noun"],
-        [["band_a"], ["band_b"]],
-    )
+    return _part_pairs_shared(spark, sf_dir, "multi")
 
 
 def q_part_match_blocking_recall(
@@ -3138,14 +3158,19 @@ def q_part_match_blocking_recall(
     whose finer band-blocks fit under the cap). By the band-pair
     construction recall_milli must be 1000 at every scale — the audit
     exists so a future blocking edit that silently breaks the
-    guarantee fails the parity gate, not a production run."""
-    from genai_batch_processor_spark.operators import linkage
+    guarantee fails the parity gate, not a production run.
 
-    parts = _parts_with_bands(spark, sf_dir)
-    single = linkage.blocked_pairs(
-        parts, "p_partkey", "p_name", ["p_brand", "noun"]
-    ).select("a_key", "b_key")
-    multi = q_part_match_multikey(spark, sf_dir).select("a_key", "b_key")
+    Both candidate relations come from the session-shared persisted
+    blocking stages (round-7 verdict item 5): the audit used to re-run
+    both generations from scratch — 70 exchanges — although
+    part_match_candidates / part_match_multikey had already computed
+    them, and it references each relation twice more internally."""
+    single = _part_pairs_shared(spark, sf_dir, "single").select(
+        "a_key", "b_key"
+    )
+    multi = _part_pairs_shared(spark, sf_dir, "multi").select(
+        "a_key", "b_key"
+    )
     common = single.join(multi, ["a_key", "b_key"], "inner")
     counts = (
         single.agg(F.count(F.lit(1)).cast("long").alias("n_single"))
@@ -3418,8 +3443,10 @@ def q_incremental_embedding_stream(
         )
         pairs_root = os.path.join(out, "pairs")
         if not os.path.isdir(pairs_root):
-            return spark.createDataFrame(
-                [], "id_a long, id_b long, cosine double"
+            return spark.range(0).select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("id").cast("double").alias("cosine"),
             )
         return (
             spark.read.parquet(pairs_root)
@@ -3481,8 +3508,10 @@ def q_incremental_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         pairs_root = os.path.join(out, "pairs")
         if not os.path.isdir(pairs_root):
-            return spark.createDataFrame(
-                [], "id_a long, id_b long, jaccard double"
+            return spark.range(0).select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("id").cast("double").alias("jaccard"),
             )
         # Materialize past the temp-dir lifetime: localCheckpoint
         # truncates lineage so the relation no longer references the

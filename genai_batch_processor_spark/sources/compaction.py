@@ -45,6 +45,13 @@ classic small-files problem). This module is the maintenance seam:
   (``_SUCCESS`` present — a killed compactor's partial directory is
   invisible) plus the epoch directories it doesn't cover. Every sunk
   row is covered exactly once.
+- :func:`merge_inputs` / :func:`merged_bound` /
+  :func:`record_merged_bound` — the BASE-MERGE seam
+  (``index_store.merge_*_index``): epochs folded into the saved base
+  index are recorded under a committed ``_merged/upto=K`` marker, and
+  every reader here skips them from the marker's commit on (the base
+  now holds their rows), which makes the post-merge cleanup pure GC
+  exactly like compaction's.
 
 Crash matrix: compactor killed mid-write → partial ``upto=M`` dir has
 no ``_SUCCESS``, readers and GC ignore it, the next run overwrites it.
@@ -70,6 +77,7 @@ import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 TARGET_BYTES_PER_FILE = DEFAULT_TARGET_BYTES
@@ -132,14 +140,14 @@ def _epoch_entries(spark: SparkSession, root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _committed_compactions(
-    spark: SparkSession, root: str
+def _committed_upto_dirs(
+    spark: SparkSession, root: str, subdir: str
 ) -> list[tuple[int, str]]:
-    """(upto, path) for every COMMITTED ``_compacted/upto=K`` directory
-    (``_SUCCESS`` present — a killed compactor's partial output must
+    """(upto, path) for every COMMITTED ``{subdir}/upto=K`` directory
+    (``_SUCCESS`` present — a killed writer's partial output must
     stay invisible to readers and to GC), ascending."""
     jvm, _, fs = _fs(spark, root)
-    base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _COMPACTED)
+    base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + subdir)
     if not fs.exists(base):
         return []
     out = []
@@ -155,30 +163,73 @@ def _committed_compactions(
     return sorted(out)
 
 
+def _committed_compactions(
+    spark: SparkSession, root: str
+) -> list[tuple[int, str]]:
+    return _committed_upto_dirs(spark, root, _COMPACTED)
+
+
+def merged_bound(spark: SparkSession, root: str) -> int:
+    """Newest committed base-merge bound under ``root`` (epochs ≤ this
+    were folded INTO THE BASE INDEX by ``index_store.merge_*_index``
+    and must never be read as overlay again), or -1 when no merge has
+    ever run. The marker is a tiny committed ``_merged/upto=K``
+    directory — same commit protocol as compactions, so a merge killed
+    between its base swap and its marker write leaves the old reads in
+    place (the overlay is still read; the base rows it duplicates are
+    exactly the crash window the marker exists to close — re-running
+    the merge is the documented repair and is idempotent)."""
+    bounds = _committed_upto_dirs(spark, root, _MERGED)
+    return bounds[-1][0] if bounds else -1
+
+
+def record_merged_bound(spark: SparkSession, root: str, bound: int) -> None:
+    """Commit the base-merge marker: epochs ≤ ``bound`` now live in the
+    base index; every reader of this sink root must skip them. Written
+    AFTER the base swap (see index_store.merge_*_index)."""
+    out = root.rstrip("/") + f"/{_MERGED}/upto={bound}"
+    # pure-JVM one-row plan, never createDataFrame: a Python-local
+    # relation costs a Python-worker spin-up per action (~2-5 s on
+    # this stack — the r7 stream-marker regression, bisected in r8)
+    (
+        spark.range(1)
+        .select(F.lit(int(bound)).cast("long").alias("upto"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def epoch_sink_paths(
     spark: SparkSession, root: str, before: int | None = None
 ) -> list[str]:
     """Directories covering each sunk epoch exactly once: the newest
     committed compaction plus every ``batch=N`` it doesn't cover —
     restricted to epochs ``< before`` when given (the probe streams'
-    strictly-earlier contract). A compaction covering an epoch ≥
+    strictly-earlier contract), and EXCLUDING epochs at or below the
+    base-merge bound (those rows live in the base index now; see
+    ``index_store.merge_*_index``). Coverage reaching an epoch ≥
     ``before`` means the quiescence contract was broken (someone
-    compacted the epoch a live stream is replaying) — that is
-    unrecoverable mixing, so refuse loudly."""
-    compactions = _committed_compactions(spark, root)
-    covered = -1
+    compacted or merged the epoch a live stream is replaying) — that
+    is unrecoverable mixing, so refuse loudly."""
+    merged = merged_bound(spark, root)
+    # A compaction whose bound is ≤ the merge bound holds only rows the
+    # base index already absorbed — reading it would double-count.
+    compactions = [
+        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
+    ]
+    covered = merged
     paths: list[str] = []
     if compactions:
         covered, cpath = compactions[-1]
-        if before is not None and covered >= before:
-            raise ValueError(
-                f"epoch sink at {root} has a compaction through epoch "
-                f"{covered} but the caller needs epochs < {before} only "
-                "— an epoch was compacted while a stream could still "
-                "replay it (quiescence contract broken); restart from a "
-                "fresh out_dir/checkpoint"
-            )
         paths.append(cpath)
+    if before is not None and covered >= before:
+        raise ValueError(
+            f"epoch sink at {root} has coverage (compaction or base "
+            f"merge) through epoch {covered} but the caller needs "
+            f"epochs < {before} only — an epoch was folded while a "
+            "stream could still replay it (quiescence contract "
+            "broken); restart from a fresh out_dir/checkpoint"
+        )
     for epoch, epath in _epoch_entries(spark, root):
         if epoch > covered and (before is None or epoch < before):
             paths.append(epath)
@@ -217,9 +268,17 @@ def compact_epoch_sink(
         # missing after a kill) — replay would then rewrite batch=M
         # BESIDE a compaction that already covers it: duplicate rows.
         raise ValueError("compact_epoch_sink: keep_last must be >= 1")
-    epochs = _epoch_entries(spark, root)
-    compactions = _committed_compactions(spark, root)
-    prev = compactions[-1][0] if compactions else None
+    merged = merged_bound(spark, root)
+    epochs = [(e, p) for e, p in _epoch_entries(spark, root) if e > merged]
+    compactions = [
+        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
+    ]
+    # `merged` joins `prev` as a floor: epochs the base already absorbed
+    # must never re-enter a compaction (readers would double-count them
+    # against the merged base).
+    prev = compactions[-1][0] if compactions else (
+        merged if merged >= 0 else None
+    )
     eligible = epochs[: max(0, len(epochs) - keep_last)]
     new_dirs = [p for e, p in eligible if prev is None or e > prev]
     if not new_dirs:
@@ -240,16 +299,50 @@ def compact_epoch_sink(
     return bound
 
 
+def merge_inputs(
+    spark: SparkSession, root: str, keep_last: int = 1
+) -> tuple[list[str], int] | None:
+    """The directories a base merge should fold (newest live compaction
+    plus uncovered committed epochs, minus the newest ``keep_last``
+    epochs) and the epoch bound they reach, or None when nothing is
+    mergeable. ``keep_last >= 1`` for the same replay-safety argument
+    as :func:`compact_epoch_sink`: the newest epoch's checkpoint commit
+    may be missing after a kill, and a replayed epoch must rewrite its
+    own directory, never rows already folded into the base index."""
+    if keep_last < 1:
+        raise ValueError("merge_inputs: keep_last must be >= 1")
+    merged = merged_bound(spark, root)
+    compactions = [
+        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
+    ]
+    covered = compactions[-1][0] if compactions else merged
+    uncovered = [
+        (e, p) for e, p in _epoch_entries(spark, root) if e > covered
+    ]
+    eligible = uncovered[: max(0, len(uncovered) - keep_last)]
+    paths = ([compactions[-1][1]] if compactions else []) + [
+        p for _, p in eligible
+    ]
+    if not paths:
+        return None
+    bound = max([covered] + [e for e, _ in eligible])
+    return paths, bound
+
+
 def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
     """Delete every ``batch=N`` directory covered by the newest
-    committed compaction, plus superseded older compactions (committed
-    or partial). Returns the deleted paths. Safe at any moment relative
-    to readers — every deleted path is already invisible to
-    :func:`epoch_sink_paths`."""
-    compactions = _committed_compactions(spark, root)
-    if not compactions:
+    committed compaction or base merge, plus superseded compactions and
+    merge markers (committed or partial). Returns the deleted paths.
+    Safe at any moment relative to readers — every deleted path is
+    already invisible to :func:`epoch_sink_paths`."""
+    merged = merged_bound(spark, root)
+    live = [
+        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
+    ]
+    keep_path = live[-1][1] if live else None
+    covered = live[-1][0] if live else merged
+    if covered < 0:
         return []
-    covered, keep_path = compactions[-1]
     jvm, _, fs = _fs(spark, root)
     deleted = []
     for epoch, epath in _epoch_entries(spark, root):
@@ -257,13 +350,25 @@ def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(epath), True)
             deleted.append(epath)
     base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _COMPACTED)
-    for status in fs.listStatus(base):
-        name = status.getPath().getName()
-        spath = status.getPath().toString()
-        if re.fullmatch(r"upto=\d+", name) and spath != keep_path:
-            # older committed compactions are superseded; a partial
-            # (uncommitted) dir is a dead compactor's leftovers — a
-            # retried compaction overwrites its path anyway. Both safe.
-            fs.delete(status.getPath(), True)
-            deleted.append(spath)
+    if fs.exists(base):
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            spath = status.getPath().toString()
+            if re.fullmatch(r"upto=\d+", name) and spath != keep_path:
+                # older committed compactions are superseded (by a newer
+                # compaction or by the base merge); a partial
+                # (uncommitted) dir is a dead compactor's leftovers — a
+                # retried compaction overwrites its path anyway. Both
+                # safe.
+                fs.delete(status.getPath(), True)
+                deleted.append(spath)
+    # Superseded merge markers: keep only the newest committed bound.
+    mbase = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _MERGED)
+    if fs.exists(mbase):
+        keep_marker = f"upto={merged}"
+        for status in fs.listStatus(mbase):
+            name = status.getPath().getName()
+            if re.fullmatch(r"upto=\d+", name) and name != keep_marker:
+                fs.delete(status.getPath(), True)
+                deleted.append(status.getPath().toString())
     return deleted

@@ -338,6 +338,203 @@ def load_centroids(
     )
 
 
+# -- base-merge: fold probe-stream epoch overlays into the saved index ------
+#
+# A long-running ingest accumulates an ever-growing epoch overlay
+# (``{out_dir}/index/batch=N`` band/cell rows) next to a base index that
+# never changes: every probe unions more and more overlay, the overlay's
+# per-epoch ``bucket_n``/``cell_n`` counts are batch-local (cap decisions
+# drift from the true combined populations), and the documented repairs
+# (``with_bucket_counts``/``with_cell_counts``) rebuild counts but not
+# the base. The merge is the scheduled maintenance job that folds
+# committed epochs back into the base store (round-7 verdict item 4):
+# union base + committed overlay, dedup on the natural key (idempotent
+# under crash-rerun), recompute the denormalized counts GLOBALLY,
+# re-stamp the scheme/centroid fingerprint, write-new-then-swap, then
+# commit a ``_merged/upto=K`` marker under the epoch root so every
+# reader (the probe streams' ledger, ``read_epoch_sink``) skips the
+# folded epochs, and GC the debris.
+#
+# Quiescence contract (same as compaction): run only while no stream is
+# writing or probing the root. Crash matrix: killed before the swap →
+# nothing changed; killed after the swap but before the marker → the
+# overlay is still read and briefly double-counts against the new base —
+# RE-RUN THE MERGE before restarting the stream (the key-dedup makes the
+# rerun converge); killed after the marker → GC-only debris, any later
+# merge or gc collects it.
+
+
+def _swap_into(spark: SparkSession, new_path: str, base_path: str) -> None:
+    """Atomically-enough replace ``base_path`` with ``new_path`` via two
+    FS renames (object stores without atomic rename get the same
+    worst-case window as any directory swap — the merge contract
+    already requires quiescence). The displaced base survives as
+    ``{base_path}.premerge`` until the swap completes, so a failed
+    second rename is restored, not lost."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = hpath(base_path.rstrip("/") + ".premerge")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hpath(base_path), old):
+        raise IOError(f"merge swap: could not displace {base_path}")
+    if not fs.rename(hpath(new_path), hpath(base_path)):
+        fs.rename(old, hpath(base_path))  # restore the displaced base
+        raise IOError(
+            f"merge swap: could not move {new_path} into place "
+            f"(previous base restored)"
+        )
+    fs.delete(old, True)
+    # Spark's shared file-status cache may still list the displaced
+    # base's files for this path; a same-session reload would read
+    # ghosts. Invalidate the path (and the merge's read of the OLD base
+    # under this path, if any plan cached it).
+    spark.catalog.refreshByPath(base_path)
+
+
+def merge_minhash_index(
+    spark: SparkSession,
+    base_path: str,
+    epoch_root: str,
+    keep_last: int = 1,
+) -> int | None:
+    """Fold a probe stream's committed band-row epochs
+    (``{out_dir}/index``) back into the saved MinHash index at
+    ``base_path``; returns the folded epoch bound, or None when nothing
+    is mergeable. ``bucket_n`` is recomputed over the UNION, so probe
+    caps against the merged index see true bucket populations (the
+    per-epoch overlay's counts were batch-local). Dedup key
+    ``(band, id)``: one row per document per band in a well-formed
+    index, which makes a crash-rerun converge instead of doubling
+    rows. After the merge, reload the base (the stream's ``index``
+    argument must be the merged relation) before the next drain."""
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources import compaction
+
+    want_fp = dedup.minhash_scheme_fingerprint()
+    _check_stream_marker(
+        spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
+    )
+    inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+    if inputs is None:
+        return None
+    paths, bound = inputs
+    base = load_minhash_index(spark, base_path, check_bucket_counts=False)
+    overlay = spark.read.parquet(*paths)
+    merged = dedup.with_bucket_counts(
+        base.select("band", "key", "id", "hs")
+        .unionByName(overlay.select("band", "key", "id", "hs"))
+        .dropDuplicates(["band", "id"])
+    )
+    tmp = base_path.rstrip("/") + ".merging"
+    save_minhash_index(merged, tmp)
+    _swap_into(spark, tmp, base_path)
+    compaction.record_merged_bound(spark, epoch_root, bound)
+    compaction.gc_epoch_sink(spark, epoch_root)
+    return bound
+
+
+def merge_embedding_index(
+    spark: SparkSession,
+    base_path: str,
+    epoch_root: str,
+    centroids: list[tuple[int, list[float]]],
+    keep_last: int = 1,
+) -> int | None:
+    """Embedding twin of :func:`merge_minhash_index`: fold committed
+    cell-row epochs back into the saved embedding index. ``cell_n`` is
+    recomputed over the union; dedup key ``vec_id`` (a vector lives in
+    exactly one cell). The caller's ``centroids`` must be the set both
+    the base and the overlay were assigned under — the base loader and
+    the epoch root's ``_centroid_fp`` marker both enforce it."""
+    from genai_batch_processor_spark.operators import similarity
+    from genai_batch_processor_spark.sources import compaction
+
+    want_fp = similarity.centroid_fingerprint(centroids)
+    _check_stream_marker(
+        spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
+    )
+    inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+    if inputs is None:
+        return None
+    paths, bound = inputs
+    base = load_embedding_index(
+        spark, base_path, centroids, check_cell_counts=False
+    )
+    overlay = spark.read.parquet(*paths)
+    cols = ["cell", "vec_id", "embedding", "nrm"]
+    merged = similarity.with_cell_counts(
+        base.select(*cols)
+        .unionByName(overlay.select(*cols))
+        .dropDuplicates(["vec_id"])
+    )
+    tmp = base_path.rstrip("/") + ".merging"
+    save_embedding_index(merged, centroids, tmp)
+    _swap_into(spark, tmp, base_path)
+    compaction.record_merged_bound(spark, epoch_root, bound)
+    compaction.gc_epoch_sink(spark, epoch_root)
+    return bound
+
+
+def merge_span_index(
+    spark: SparkSession,
+    base_path: str,
+    admitted: DataFrame,
+    span_words: int,
+) -> None:
+    """Fold an admitted batch's spans into the saved span index — the
+    span store's merge seam. Unlike the two probe-stream stores, no
+    streaming span sink exists (the span probe is a batch operator), so
+    the overlay is the relation the operator just admitted: pass the
+    admitted documents' ``operators.curation.span_index`` output (or
+    the admitted docs' raw span hashes as a one-column ``h`` relation).
+    Union + distinct (the store is a distinct-hash set), re-stamp the
+    scheme fingerprint, write-new-then-swap — idempotent by
+    construction."""
+    base = load_span_index(spark, base_path, span_words)
+    merged = base.unionByName(admitted.select("h")).distinct()
+    tmp = base_path.rstrip("/") + ".merging"
+    save_span_index(merged, tmp, span_words)
+    _swap_into(spark, tmp, base_path)
+
+
+def _check_stream_marker(
+    spark: SparkSession,
+    epoch_root: str,
+    marker_name: str,
+    want_fp: str,
+    what: str,
+) -> None:
+    """A merge must refuse an overlay sunk under a different scheme —
+    the same guard the stream start and the base loader run. Missing
+    marker (never streamed, or a pre-marker layout) is fine when the
+    root also has no epochs; with epochs present it is unverifiable and
+    refused."""
+    from genai_batch_processor_spark.sources import compaction
+
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        epoch_root.rstrip("/") + "/" + marker_name
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        rows = spark.read.text(marker.toString()).collect()
+        if rows and rows[0][0] != want_fp:
+            raise ValueError(
+                f"epoch overlay at {epoch_root} was sunk under {what} "
+                f"{rows[0][0][:12]} but the merge holds {want_fp[:12]} "
+                "— folding would mix incomparable schemes; rebuild "
+                "instead"
+            )
+    elif compaction.merge_inputs(spark, epoch_root) is not None:
+        raise ValueError(
+            f"epoch overlay at {epoch_root} has sunk epochs but no "
+            f"{marker_name} marker — its scheme cannot be verified; "
+            "refuse to fold (rebuild the index from source instead)"
+        )
+
+
 def _span_scheme_fingerprint(spark: SparkSession, span_words: int) -> str:
     """Content hash of the span-index scheme: the span width plus TWO
     CANARIES — the 60-bit hash of a fixed string computed by the live

@@ -209,9 +209,7 @@ def _assert_scheme_marker(
             # fingerprint means no earlier epoch committed either
             # (marker write precedes the first foreachBatch), so
             # re-stamp instead of wedging every restart on IndexError.
-            spark.createDataFrame([(fp,)], "value string").coalesce(
-                1
-            ).write.mode("overwrite").text(marker)
+            _write_marker(spark, marker, fp, overwrite=True)
             return
         got = rows[0][0]
         if got != fp:
@@ -222,9 +220,21 @@ def _assert_scheme_marker(
                 f"across schemes. {remedy}"
             )
     else:
-        spark.createDataFrame([(fp,)], "value string").coalesce(
-            1
-        ).write.text(marker)
+        _write_marker(spark, marker, fp)
+
+
+def _write_marker(
+    spark: SparkSession, marker: str, fp: str, overwrite: bool = False
+) -> None:
+    """One-row marker write as a PURE-JVM plan (``range(1)`` + lit),
+    never ``createDataFrame``: a Python-local relation costs a Python
+    worker spin-up per ACTION (~5 s measured for a 1-row write.text on
+    this stack — the r7 stream-bench regression, bisected to the
+    marker commits in round 8), while the JVM-side plan is ~0.3 s."""
+    writer = spark.range(1).select(F.lit(fp).alias("value")).write
+    if overwrite:
+        writer = writer.mode("overwrite")
+    writer.text(marker)
 
 
 def _assert_centroid_marker(

@@ -1,0 +1,303 @@
+"""Base-merge maintenance (sources/index_store.merge_*_index,
+round-7 verdict item 4): folding a probe stream's epoch overlay back
+into the saved index must never change what any probe sees — the
+merged base + remaining overlay is the same relation as the old base +
+full overlay, with the denormalized counts refreshed to the combined
+truth."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from genai_batch_processor_spark.operators import dedup, similarity
+from genai_batch_processor_spark.sources import compaction, index_store
+from genai_batch_processor_spark.sources.tables import load_table
+from genai_batch_processor_spark.streaming import ingest
+
+SF = "/root/testdata/sf0.001"
+OFFSET = 9_000_000
+
+
+def _pairs_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def _drain_minhash(spark, index, shards, ckpt, out):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    ingest.near_dup_probe_stream_to_parquet(
+        stream, index, "doc_id", "text", out, ckpt
+    )
+
+
+def _minhash_flow(spark, tmp_path, docs, wave1, wave2, merge_between):
+    """Index docs, stream-probe wave1, optionally merge, stream-probe
+    wave2; return the final pair set under the read contract."""
+    work = str(tmp_path / ("merge" if merge_between else "plain"))
+    base = os.path.join(work, "base")
+    shards = os.path.join(work, "shards")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    index = index_store.load_minhash_index(spark, base).persist()
+    try:
+        wave1.repartition(2).write.mode("append").parquet(shards)
+        _drain_minhash(spark, index, shards, ckpt, out)
+        if merge_between:
+            bound = index_store.merge_minhash_index(
+                spark, base, os.path.join(out, "index")
+            )
+            assert bound == 0  # 2 epochs sunk, keep_last=1 folds epoch 0
+            index.unpersist()
+            # the stream contract after a merge: reload the merged base
+            index = index_store.load_minhash_index(spark, base).persist()
+        wave2.repartition(2).write.mode("append").parquet(shards)
+        _drain_minhash(spark, index, shards, ckpt, out)
+        pairs = compaction.read_epoch_sink(spark, os.path.join(out, "pairs"))
+        return _pairs_set(pairs, ["id_a", "id_b"])
+    finally:
+        index.unpersist()
+
+
+def test_minhash_merge_roundtrip(spark, tmp_path):
+    """The full-lifecycle equivalence the merge must preserve: index →
+    probe wave 1 → MERGE (fold epoch 0 into the base, reload) → probe
+    wave 2, versus the same flow without the merge. Wave 2 carries a
+    planted duplicate of a wave-1 doc, so a merge that lost or doubled
+    epoch rows would change the pair set."""
+    docs = load_table(spark, SF, "documents").limit(300)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )
+    wave1 = new_docs.filter(F.col("doc_id") % 20 == 3)
+    victim = wave1.orderBy("doc_id").limit(1).collect()[0]
+    wave2 = new_docs.filter(F.col("doc_id") % 20 == 13).unionByName(
+        spark.createDataFrame(
+            [(victim.doc_id + 1_000_000, victim.text)],
+            "doc_id long, text string",
+        )
+    )
+    merged = _minhash_flow(spark, tmp_path, docs, wave1, wave2, True)
+    plain = _minhash_flow(spark, tmp_path, docs, wave1, wave2, False)
+    assert merged == plain
+    assert any(
+        victim.doc_id in p and victim.doc_id + 1_000_000 in p
+        for p in merged
+    )  # the cross-wave planted pair survived the merge
+
+
+def test_minhash_merge_counts_and_guards(spark, tmp_path):
+    """After a merge: the merged base passes the loader's bucket-count
+    staleness guard (counts recomputed over the union), the folded
+    epoch dirs are GC'd, the ledger/read contract skips them, and a
+    RERUN of the merge is a no-op (idempotent crash repair)."""
+    docs = load_table(spark, SF, "documents").limit(200)
+    base = str(tmp_path / "base")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    idx_root = os.path.join(out, "index")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    index = index_store.load_minhash_index(spark, base).persist()
+    try:
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+        )
+        batch.repartition(3).write.mode("append").parquet(shards)
+        _drain_minhash(spark, index, shards, ckpt, out)  # 3 epochs
+        n_base_before = index.count()
+        n_overlay = spark.read.parquet(
+            os.path.join(idx_root, "batch=0"),
+            os.path.join(idx_root, "batch=1"),
+        ).count()
+
+        bound = index_store.merge_minhash_index(spark, base, idx_root)
+        assert bound == 1  # epochs 0-1 folded, epoch 2 kept (keep_last)
+        # loader's staleness spot-check passes => bucket_n is truthful
+        merged = index_store.load_minhash_index(spark, base)
+        assert merged.count() == n_base_before + n_overlay
+        # folded epochs GC'd; kept epoch still listed for the ledger
+        listed = compaction.epoch_sink_paths(spark, idx_root)
+        assert [p.rsplit("/", 1)[-1] for p in listed] == ["batch=2"]
+        assert not os.path.isdir(os.path.join(idx_root, "batch=0"))
+        # rerun converges: nothing new to fold
+        assert index_store.merge_minhash_index(spark, base, idx_root) is None
+        assert index_store.load_minhash_index(spark, base).count() == (
+            n_base_before + n_overlay
+        )
+    finally:
+        index.unpersist()
+
+
+def test_merged_marker_read_and_compact_semantics(spark, tmp_path):
+    """compaction-level contract of the ``_merged/upto=K`` marker:
+    readers skip epochs ≤ K even BEFORE GC runs (the crash window
+    between marker commit and cleanup), compaction never re-folds
+    merged epochs, and GC collects them."""
+    root = str(tmp_path / "sink")
+    for e in range(4):
+        spark.range(e * 10, e * 10 + 10).write.parquet(f"{root}/batch={e}")
+    compaction.record_merged_bound(spark, root, 1)
+    listed = [
+        p.rsplit("/", 1)[-1]
+        for p in compaction.epoch_sink_paths(spark, root)
+    ]
+    assert listed == ["batch=2", "batch=3"]
+    assert compaction.read_epoch_sink(spark, root).count() == 20
+    # compaction floor: only epoch 2 eligible (3 is keep_last-protected)
+    bound = compaction.compact_epoch_sink(spark, root)
+    assert bound == 2
+    rows = compaction.read_epoch_sink(spark, root).count()
+    assert rows == 20  # compaction changed layout, not the relation
+    deleted = compaction.gc_epoch_sink(spark, root)
+    assert any("batch=0" in d for d in deleted)
+    assert any("batch=1" in d for d in deleted)
+    assert compaction.read_epoch_sink(spark, root).count() == 20
+
+
+def test_embedding_merge_roundtrip(spark, tmp_path):
+    """Embedding twin: stream-probe two waves with a merge in between
+    must yield the same pair set as without it, the merged base must
+    pass the cell-count guard, and a one-shot probe of a fresh batch
+    against (merged base + remaining overlay) must equal one against
+    (old base + full overlay)."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, SF, "embeddings").limit(400)
+    cents = clustering.centroids_from_cells(
+        clustering.kmeans_cells(emb, k=8, iters=3)
+    )
+    base = str(tmp_path / "ebase")
+    shards = str(tmp_path / "eshards")
+    ckpt = str(tmp_path / "eckpt")
+    out = str(tmp_path / "eout")
+    idx_root = os.path.join(out, "index")
+    index_store.save_embedding_index(
+        similarity.embedding_cell_index(emb, cents), cents, base
+    )
+    index = index_store.load_embedding_index(spark, base, cents).persist()
+    try:
+        batch = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + OFFSET).alias("vec_id"), "embedding"
+        )
+        batch.repartition(2).write.mode("append").parquet(shards)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.embedding_probe_stream_to_parquet(
+            stream, index, cents, out, ckpt
+        )
+        before = index.count()
+        probe2 = emb.filter(F.col("vec_id") % 7 == 3).select(
+            (F.col("vec_id") + 2 * OFFSET).alias("vec_id"), "embedding"
+        )
+        # reference: one-shot probe against old base + FULL overlay
+        full_overlay = spark.read.parquet(
+            os.path.join(idx_root, "batch=0"),
+            os.path.join(idx_root, "batch=1"),
+        )
+        ref = similarity.incremental_embedding_pairs(
+            index.unionByName(
+                full_overlay.select(
+                    "cell", "vec_id", "embedding", "nrm", "cell_n"
+                )
+            ),
+            probe2,
+            cents,
+        )
+        ref_set = _pairs_set(ref, ["id_a", "id_b"])
+        n_folded = spark.read.parquet(
+            os.path.join(idx_root, "batch=0")
+        ).count()
+
+        bound = index_store.merge_embedding_index(
+            spark, base, idx_root, cents
+        )
+        assert bound == 0
+        index.unpersist()
+        merged = index_store.load_embedding_index(
+            spark, base, cents
+        ).persist()
+        assert merged.count() == before + n_folded
+        kept = compaction.read_epoch_sink(spark, idx_root)
+        got = similarity.incremental_embedding_pairs(
+            merged.unionByName(
+                kept.select("cell", "vec_id", "embedding", "nrm", "cell_n")
+            ),
+            probe2,
+            cents,
+        )
+        assert _pairs_set(got, ["id_a", "id_b"]) == ref_set
+        merged.unpersist()
+    finally:
+        index.unpersist()
+
+
+def test_span_merge(spark, tmp_path):
+    """Span store merge: after folding an admitted batch's spans, a
+    probe sees exactly what a from-scratch index over (corpus ∪
+    admitted) would report — and the scheme fingerprint is re-stamped
+    so the merged store still loads under the guard."""
+    from genai_batch_processor_spark.operators import curation
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    admitted = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )
+    base = str(tmp_path / "span")
+    index_store.save_span_index(
+        curation.span_index(corpus, span_words=8), base, 8
+    )
+    index_store.merge_span_index(
+        spark, base, curation.span_index(admitted, span_words=8), 8
+    )
+    merged = index_store.load_span_index(spark, base, 8)
+    scratch = curation.span_index(
+        corpus.select("doc_id", "text").unionByName(admitted),
+        span_words=8,
+    )
+    assert _pairs_set(merged, ["h"]) == _pairs_set(scratch, ["h"])
+
+
+def test_merge_refuses_scheme_mismatch(spark, tmp_path, monkeypatch):
+    """An overlay sunk under a different MinHash scheme must be refused
+    (folding would mix incomparable band keys), and an overlay with
+    epochs but no marker is unverifiable — also refused."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    base = str(tmp_path / "base")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    # epochs but no marker
+    bare = str(tmp_path / "bare_overlay")
+    for e in range(3):
+        dedup.minhash_index(
+            docs.limit(10), "doc_id", "text"
+        ).write.parquet(f"{bare}/batch={e}")
+    with pytest.raises(ValueError, match="no _minhash_fp"):
+        index_store.merge_minhash_index(spark, base, bare)
+    # marker from a different scheme
+    marked = str(tmp_path / "marked_overlay")
+    for e in range(3):
+        dedup.minhash_index(
+            docs.limit(10), "doc_id", "text"
+        ).write.parquet(f"{marked}/batch={e}")
+    spark.createDataFrame([("0" * 64,)], "value string").coalesce(
+        1
+    ).write.text(os.path.join(marked, "_minhash_fp"))
+    with pytest.raises(ValueError, match="MinHash scheme"):
+        index_store.merge_minhash_index(spark, base, marked)

@@ -1,0 +1,61 @@
+"""Freeze per-query bench baselines (round-7 verdict item 3): turn an
+IDLE bench run's side file (BENCH_PLANS.json) into
+BASELINE_QUERIES.json — the per-query 2x gate bench.py enforces from
+then on.
+
+The frozen reference is the run's own calibration median
+(``calib_ref_sec``) plus its per-query min-of-reps. Because the freeze
+run IS the reference box state, its raw mins are by definition its
+normalized mins; later runs rescale their samples by
+``calib_ref / calib_rep`` before comparing, so the gate fires on code
+regressions, not box drift.
+
+Run ONLY on an idle box (check uptime/load first), after a full
+3-rep sf0.1 bench:
+
+    python bench.py            # writes BENCH_PLANS.json
+    python tools/freeze_baseline.py [note]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    note = sys.argv[1] if len(sys.argv) > 1 else ""
+    with open(os.path.join(ROOT, "BENCH_PLANS.json")) as f:
+        side = json.load(f)
+    calib = side.get("calib_reps") or []
+    if not calib:
+        raise SystemExit(
+            "BENCH_PLANS.json has no calib_reps — re-run bench.py "
+            "(round-8+) first"
+        )
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
+    out = {
+        "calib_ref_sec": round(statistics.median(calib), 3),
+        "calib_reps": calib,
+        "query_mins_norm": side["query_mins"],
+        "note": note,
+        "load_avg_at_freeze": load,
+    }
+    path = os.path.join(ROOT, "BASELINE_QUERIES.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        f"froze {len(out['query_mins_norm'])} query baselines, "
+        f"calib_ref_sec={out['calib_ref_sec']} -> {path}"
+    )
+
+
+if __name__ == "__main__":
+    main()
