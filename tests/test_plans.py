@@ -396,9 +396,23 @@ def test_span_probe_broadcasts_batch_not_index(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def _fresh_part_pairs(spark):
+    """Drop the session-shared persisted blocking stages (r8) so these
+    plan tests read the OPERATOR's plan, not an InMemoryRelation left
+    by whichever test consumed the stage first — the cache makes plan
+    text run-order-dependent, exactly the caveat BENCH_PLANS documents
+    for the other shared stages."""
+    from genai_batch_processor_spark import queries as Q
+
+    for key, df in list(Q._PART_PAIRS_CACHE.items()):
+        df.unpersist()
+        del Q._PART_PAIRS_CACHE[key]
+
+
 def test_part_match_candidates_no_single_partition(spark, sf_dir):
     """The linkage self-join must stay block-local — no global funnel
     and no cartesian product anywhere in the plan."""
+    _fresh_part_pairs(spark)
     plan = _plan(spark, "part_match_candidates", sf_dir)
     assert "SinglePartition" not in plan
     assert "Cartesian" not in plan
@@ -410,6 +424,7 @@ def test_part_match_multikey_plan_shape(spark, sf_dir):
     above the distinct-name self-join, never above a row-expanded
     relation (one levenshtein call per pass in the plan, and no
     cartesian/global funnel)."""
+    _fresh_part_pairs(spark)
     plan = _plan(spark, "part_match_multikey", sf_dir)
     assert "SinglePartition" not in plan
     assert "Cartesian" not in plan
