@@ -58,6 +58,27 @@ def hash_sample(
     return df.filter(hash_coord(key_col, salt) < int(fraction * COORD_MOD))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED subsample: keep each row with probability
+    equal to its own ``weight`` in [0, 1] — the standard
+    quality-weighted curation rule (a 0.9-quality doc survives 9x as
+    often as a 0.1 one), e.g. ``weight = text.quality_score(...)``.
+    Same contract as every sampler here: the keep decision is a pure
+    row-local function of (key, weight) via the portable hash — no RNG
+    state, bit-for-bit reproducible on any engine and any cluster
+    size, zero shuffle, and PER-ROW MONOTONE (raising a row's weight
+    can only keep a row it already kept — the property that makes
+    threshold sweeps stable). NULL weight ⇒ row dropped (comparison
+    with NULL is never true), matching the SQL twin."""
+    w = F.round(weight * COORD_MOD, 0).cast("long")
+    return df.filter(hash_coord(key_col, salt) < w)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

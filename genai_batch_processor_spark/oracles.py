@@ -1160,6 +1160,18 @@ ORACLES["doc_sample"] = f"""
           < {_smp.sql_stratified_threshold('lang', _q.SAMPLE_RATES, _q.SAMPLE_DEFAULT_RATE)}
 """
 
+ORACLES["quality_weighted_sample"] = f"""
+    SELECT doc_id, source,
+           CAST(round(q * 1000, 0) AS INT) AS w_milli
+    FROM (
+      SELECT doc_id, source,
+             {tx.sql_quality_score('text')} AS q,
+             {_smp.sql_hash_coord('doc_id', 'wsample')} AS u
+      FROM documents
+    )
+    WHERE u < CAST(round(q * {_smp.COORD_MOD}, 0) AS BIGINT)
+"""
+
 ORACLES["split_counts"] = f"""
     SELECT {_smp.sql_assign_split('doc_id')} AS split, lang,
            CAST(count(*) AS BIGINT) AS n

@@ -1376,6 +1376,26 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_quality_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-WEIGHTED subsampling (new in r8): each document survives
+    with probability equal to its own composite quality score — the
+    curation rule that tilts a fixed token budget toward higher-quality
+    text without a hard threshold's cliff
+    (operators/sampling.py:weighted_sample). Pure row-local hash
+    filter: zero shuffle, bit-for-bit reproducible, per-row monotone in
+    the weight. Output carries the integer-milli weight so the oracle
+    pins the weight computation too, not just membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tx.quality_score("text")
+    return sampling.weighted_sample(docs, "doc_id", w).select(
+        "doc_id",
+        "source",
+        F.round(w * 1000, 0).cast("int").alias("w_milli"),
+    )
+
+
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """train/val/test assignment as a pure function of the doc id
     (hash-bucket percentages) — held-out membership survives reruns and
@@ -4201,6 +4221,7 @@ QUERIES: dict[str, callable] = {
     "source_lang_pivot": q_source_lang_pivot,
     "doc_attr_map": q_doc_attr_map,
     "doc_sample": q_doc_sample,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "split_counts": q_split_counts,
     "source_quota": q_source_quota,
     "pii_redaction": q_pii_redaction,
@@ -4312,6 +4333,7 @@ QUERIES = {
 # every 3 rounds even as the code under it evolves; queries added
 # mid-round are never-gated and sort first automatically.
 _R8_FRONT = [
+    "quality_weighted_sample",  # new in r8, never gated
     "lang_source_grouping_sets",  # last gated r1
     "order_revenue_topk",  # last gated r1
     "dedup_components",  # last gated r2

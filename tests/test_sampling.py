@@ -219,3 +219,43 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     ratio1 = s1[big][1] / max(s1[small][1], 1)
     ratio4 = s4[big][1] / max(s4[small][1], 1)
     assert ratio4 < ratio1
+
+
+def test_weighted_sample(spark):
+    """Weighted sampling's contracts: weight-1 rows always survive,
+    weight-0 and NULL-weight rows never do, determinism across calls,
+    and PER-ROW MONOTONICITY (raising every row's weight can only grow
+    the kept set — the property that makes threshold sweeps stable)."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 10) / 10.0).alias("w"),  # weights 0.0 .. 0.9
+    )
+    kept = sampling.weighted_sample(df, "doc_id", F.col("w"))
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {
+        r.doc_id for r in sampling.weighted_sample(
+            df, "doc_id", F.col("w")
+        ).collect()
+    }  # deterministic
+    assert not {i for i in ids if i % 10 == 0}  # w=0 never kept
+    ones = sampling.weighted_sample(
+        df, "doc_id", F.lit(1.0)
+    ).count()
+    assert ones == 2000  # w=1 always kept
+    assert sampling.weighted_sample(
+        df, "doc_id", F.lit(None).cast("double")
+    ).count() == 0  # NULL weight drops, like the SQL twin
+    bumped = {
+        r.doc_id
+        for r in sampling.weighted_sample(
+            df, "doc_id", F.least(F.col("w") + 0.3, F.lit(1.0))
+        ).collect()
+    }
+    assert ids <= bumped  # per-row monotone
+    # keep rate tracks the weight (law of large numbers, wide margin)
+    frac = len(ids) / 2000
+    assert 0.35 < frac < 0.55  # E[w] = 0.45
