@@ -58,6 +58,11 @@ from genai_batch_processor_spark.streaming import ingest
 
 NEW_ID_OFFSET = 9_000_000
 
+# set by main(): pairs found for the post-merge wave-3 planted copy —
+# the smoke test asserts the merged base actually served the resumed
+# stream (>=1), since the example's temp dirs are gone by then
+LAST_POST_MERGE_HITS: int | None = None
+
 
 def main(spark: SparkSession | None = None, sf_dir: str | None = None):
     spark = spark or get_spark("streaming-ingest-example")
@@ -175,6 +180,37 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
         print(
             f"merged index epochs <= {bound} into the base; merged "
             f"base rows: {index.count()}"
+        )
+
+        # 7. POST-MERGE RESUME: wave 3 plants a fresh copy of a wave-1
+        # document whose band rows now exist ONLY inside the merged
+        # base (its epoch dirs were folded and GC'd) — finding its
+        # pair proves the merged base serves resumed streams exactly
+        # as the overlay did.
+        w1_doc = (
+            spark.read.parquet(shards)
+            .filter(F.col("doc_id") % 20 == 3)
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        wave3_id = w1_doc.doc_id + 3 * NEW_ID_OFFSET
+        spark.range(1).select(
+            F.lit(wave3_id).alias("doc_id"),
+            F.lit(w1_doc.text).alias("text"),
+        ).write.mode("append").parquet(shards)
+        drain()
+        pairs3 = compaction.read_epoch_sink(
+            spark, os.path.join(out, "pairs")
+        )
+        n_hits = pairs3.filter(
+            (F.col("id_a") == wave3_id) | (F.col("id_b") == wave3_id)
+        ).count()
+        global LAST_POST_MERGE_HITS
+        LAST_POST_MERGE_HITS = n_hits
+        print(
+            f"post-merge resume: wave-3 copy {wave3_id} matched "
+            f"{n_hits} earlier doc(s) through the merged base"
         )
         return report
     finally:

@@ -147,3 +147,7 @@ def test_streaming_ingest_example(spark, sf_dir):
     assert copies and novel
     assert all(not r.admit and r.n_matches >= 1 for r in copies)
     assert all(r.admit and r.n_matches == 0 for r in novel)
+    # post-merge resume (step 7): the wave-3 planted copy must match
+    # through the MERGED base — its partner's band rows exist nowhere
+    # else once the merge GC'd the folded epoch dirs
+    assert run_streaming_ingest.LAST_POST_MERGE_HITS >= 1
