@@ -151,3 +151,17 @@ def test_streaming_ingest_example(spark, sf_dir):
     # through the MERGED base — its partner's band rows exist nowhere
     # else once the merge GC'd the folded epoch dirs
     assert run_streaming_ingest.LAST_POST_MERGE_HITS >= 1
+
+
+def test_embedding_ingest_example(spark, sf_dir):
+    """The ANN-ingest skeleton end-to-end: persisted centroids + cell
+    index -> probe stream across two drains with compaction between ->
+    base merge -> post-merge resume. The planted wave-3 copy must
+    match through the merged base (its partner's cell rows exist
+    nowhere else after the merge GC'd the folded epochs), and the
+    returned pair relation must carry it."""
+    import run_embedding_ingest
+
+    pairs = run_embedding_ingest.main(spark, sf_dir)
+    assert run_embedding_ingest.LAST_POST_MERGE_HITS >= 1
+    assert pairs.count() >= 1
