@@ -159,9 +159,14 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
             .collect()[0]
         )
         wave3_id = w1_vec.vec_id + 3 * NEW_ID_OFFSET
-        spark.createDataFrame(
-            [(wave3_id, w1_vec.embedding)],
-            "vec_id long, embedding array<float>",
+        # pure-JVM one-row plan (range+lit), not createDataFrame — a
+        # Python-local relation pays a worker spin-up per action (the
+        # r7 marker-regression class this repo's BENCH_NOTES documents)
+        spark.range(1).select(
+            F.lit(wave3_id).alias("vec_id"),
+            F.array(
+                *[F.lit(float(x)) for x in w1_vec.embedding]
+            ).cast("array<float>").alias("embedding"),
         ).coalesce(1).write.mode("append").parquet(shards)
         drain()
         pairs3 = compaction.read_epoch_sink(

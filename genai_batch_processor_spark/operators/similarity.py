@@ -535,7 +535,11 @@ def incremental_embedding_pairs(
         # createDataFrame the materialized relation stays JVM-side (a
         # Python-local relation costs a Python-worker spin-up on every
         # downstream action — the r7 stream-marker regression class,
-        # bisected in r8)
+        # bisected in r8). Trade-off: localCheckpoint blocks live on
+        # executors and cannot be recomputed if one is lost, so on
+        # preemptible/spot clusters a long-lived caller should pass
+        # batch_index (a relation whose lifecycle it controls — the
+        # streaming loop already does) rather than rely on this path.
         b = assigned.localCheckpoint(eager=True)
     batch_counts = b.groupBy("cell").agg(
         F.count(F.lit(1)).alias("batch_n")

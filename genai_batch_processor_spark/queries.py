@@ -4383,9 +4383,13 @@ _R8_FRONT = [
     "doc_stats",  # last gated r5
     "dsir_weights",  # last gated r5
     "embedding_ann_recall",  # last gated r5
-    "embedding_near_dup",  # last gated r5
+    # NOTE: embedding_near_dup (the 50th oldest-gated) was displaced
+    # past the 50-entry window by the new-in-r8 query above — the
+    # front must hold EXACTLY the window size or its tail silently
+    # misses the gate; it re-enters at the head of the r9 rotation.
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_FRONT},
     **{k: v for k, v in QUERIES.items() if k not in set(_R8_FRONT)},
 }
+assert len(_R8_FRONT) == 50, "driver-gate window is 50 entries"

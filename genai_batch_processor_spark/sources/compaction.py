@@ -194,6 +194,7 @@ def record_merged_bound(spark: SparkSession, root: str, bound: int) -> None:
     (
         spark.range(1)
         .select(F.lit(int(bound)).cast("long").alias("upto"))
+        .coalesce(1)  # 1 marker = 1 file, not default-parallelism files
         .write.mode("overwrite")
         .parquet(out)
     )

@@ -380,10 +380,17 @@ def _swap_into(spark: SparkSession, new_path: str, base_path: str) -> None:
     if not fs.rename(hpath(base_path), old):
         raise IOError(f"merge swap: could not displace {base_path}")
     if not fs.rename(hpath(new_path), hpath(base_path)):
-        fs.rename(old, hpath(base_path))  # restore the displaced base
+        restored = fs.rename(old, hpath(base_path))
         raise IOError(
-            f"merge swap: could not move {new_path} into place "
-            f"(previous base restored)"
+            f"merge swap: could not move {new_path} into place ("
+            + (
+                "previous base restored"
+                if restored
+                else f"RESTORE ALSO FAILED — the previous base is at "
+                f"{old.toString()}; rename it back to {base_path} "
+                "by hand before any load"
+            )
+            + ")"
         )
     fs.delete(old, True)
     # Spark's shared file-status cache may still list the displaced

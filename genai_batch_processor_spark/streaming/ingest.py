@@ -231,7 +231,10 @@ def _write_marker(
     worker spin-up per ACTION (~5 s measured for a 1-row write.text on
     this stack — the r7 stream-bench regression, bisected to the
     marker commits in round 8), while the JVM-side plan is ~0.3 s."""
-    writer = spark.range(1).select(F.lit(fp).alias("value")).write
+    one_row = (
+        spark.range(1).select(F.lit(fp).alias("value")).coalesce(1)
+    )  # range() splits by default parallelism; 1 marker = 1 file
+    writer = one_row.write
     if overwrite:
         writer = writer.mode("overwrite")
     writer.text(marker)

@@ -41,10 +41,26 @@ def main() -> None:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
+    calib_ref = round(statistics.median(calib), 3)
+    # TRUE normalized mins: rescale each rep's sample by that rep's own
+    # factor (calib_ref / calib_rep) BEFORE taking the min — freezing
+    # raw mins would bake the freeze run's own between-rep drift into
+    # the gate (a min that came from a slow rep sits below its true
+    # normalized value and fires the 2x flag early near the boundary).
+    mins_norm = {
+        name: round(
+            min(
+                t * (calib_ref / calib[i]) if calib[i] > 0 else t
+                for i, t in enumerate(reps)
+            ),
+            3,
+        )
+        for name, reps in side["query_reps"].items()
+    }
     out = {
-        "calib_ref_sec": round(statistics.median(calib), 3),
+        "calib_ref_sec": calib_ref,
         "calib_reps": calib,
-        "query_mins_norm": side["query_mins"],
+        "query_mins_norm": mins_norm,
         "note": note,
         "load_avg_at_freeze": load,
     }
