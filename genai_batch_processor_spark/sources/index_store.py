@@ -184,8 +184,9 @@ def load_minhash_index(
                     f"bucket_n={sorted(r['recorded'])} but holds "
                     f"{r['actual_n']} rows — rows were erased or index "
                     "generations concatenated without refreshing counts; "
-                    "rebuild with operators.dedup.with_bucket_counts and "
-                    "re-save"
+                    "repair with index_store.merge_minhash_index(..., "
+                    "repair=True) or operators.dedup.with_bucket_counts "
+                    "+ re-save"
                 )
     return out
 
@@ -321,8 +322,10 @@ def load_embedding_index(
                     f"{cell_val} records cell_n={recorded} but holds "
                     f"{probe['actual_n']} rows — rows were erased or "
                     "index generations concatenated without refreshing "
-                    "counts; rebuild with "
-                    "operators.similarity.with_cell_counts and re-save"
+                    "counts; repair with "
+                    "index_store.merge_embedding_index(..., "
+                    "repair=True) or operators.similarity."
+                    "with_cell_counts + re-save"
                 )
     return out
 
@@ -403,8 +406,9 @@ def _swap_into(spark: SparkSession, new_path: str, base_path: str) -> None:
 def merge_minhash_index(
     spark: SparkSession,
     base_path: str,
-    epoch_root: str,
+    epoch_root: str | None,
     keep_last: int = 1,
+    repair: bool = False,
 ) -> int | None:
     """Fold a probe stream's committed band-row epochs
     (``{out_dir}/index``) back into the saved MinHash index at
@@ -415,72 +419,90 @@ def merge_minhash_index(
     ``(band, id)``: one row per document per band in a well-formed
     index, which makes a crash-rerun converge instead of doubling
     rows. After the merge, reload the base (the stream's ``index``
-    argument must be the merged relation) before the next drain."""
+    argument must be the merged relation) before the next drain.
+
+    ``repair=True`` rewrites the base even when there is nothing to
+    fold (``epoch_root`` may then be None): the count recompute +
+    fingerprint re-stamp alone is the documented TAKEDOWN repair — a
+    partitioned delete leaves ``bucket_n`` counting erased members
+    and the loader's staleness guard refusing the index; one
+    maintenance entrypoint covers both jobs."""
     from genai_batch_processor_spark.operators import dedup
     from genai_batch_processor_spark.sources import compaction
 
     want_fp = dedup.minhash_scheme_fingerprint()
-    _check_stream_marker(
-        spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
-    )
-    inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
-    if inputs is None:
+    bound = None
+    paths: list[str] = []
+    if epoch_root is not None:
+        _check_stream_marker(
+            spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
+        )
+        inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+        if inputs is not None:
+            paths, bound = inputs
+    if not paths and not repair:
         return None
-    paths, bound = inputs
     base = load_minhash_index(spark, base_path, check_bucket_counts=False)
-    overlay = spark.read.parquet(*paths)
-    merged = dedup.with_bucket_counts(
-        base.select("band", "key", "id", "hs")
-        .unionByName(overlay.select("band", "key", "id", "hs"))
-        .dropDuplicates(["band", "id"])
-    )
+    rel = base.select("band", "key", "id", "hs")
+    if paths:
+        overlay = spark.read.parquet(*paths)
+        rel = rel.unionByName(overlay.select("band", "key", "id", "hs"))
+    merged = dedup.with_bucket_counts(rel.dropDuplicates(["band", "id"]))
     tmp = base_path.rstrip("/") + ".merging"
     save_minhash_index(merged, tmp)
     _swap_into(spark, tmp, base_path)
-    compaction.record_merged_bound(spark, epoch_root, bound)
-    compaction.gc_epoch_sink(spark, epoch_root)
+    if bound is not None:
+        compaction.record_merged_bound(spark, epoch_root, bound)
+        compaction.gc_epoch_sink(spark, epoch_root)
     return bound
 
 
 def merge_embedding_index(
     spark: SparkSession,
     base_path: str,
-    epoch_root: str,
+    epoch_root: str | None,
     centroids: list[tuple[int, list[float]]],
     keep_last: int = 1,
+    repair: bool = False,
 ) -> int | None:
     """Embedding twin of :func:`merge_minhash_index`: fold committed
     cell-row epochs back into the saved embedding index. ``cell_n`` is
     recomputed over the union; dedup key ``vec_id`` (a vector lives in
     exactly one cell). The caller's ``centroids`` must be the set both
     the base and the overlay were assigned under — the base loader and
-    the epoch root's ``_centroid_fp`` marker both enforce it."""
+    the epoch root's ``_centroid_fp`` marker both enforce it.
+    ``repair=True`` rewrites the base even with nothing to fold — the
+    takedown repair, as on the MinHash store."""
     from genai_batch_processor_spark.operators import similarity
     from genai_batch_processor_spark.sources import compaction
 
     want_fp = similarity.centroid_fingerprint(centroids)
-    _check_stream_marker(
-        spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
-    )
-    inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
-    if inputs is None:
+    bound = None
+    paths: list[str] = []
+    if epoch_root is not None:
+        _check_stream_marker(
+            spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
+        )
+        inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+        if inputs is not None:
+            paths, bound = inputs
+    if not paths and not repair:
         return None
-    paths, bound = inputs
     base = load_embedding_index(
         spark, base_path, centroids, check_cell_counts=False
     )
-    overlay = spark.read.parquet(*paths)
     cols = ["cell", "vec_id", "embedding", "nrm"]
-    merged = similarity.with_cell_counts(
-        base.select(*cols)
-        .unionByName(overlay.select(*cols))
-        .dropDuplicates(["vec_id"])
-    )
+    rel = base.select(*cols)
+    if paths:
+        overlay = spark.read.parquet(*paths)
+        rel = rel.unionByName(overlay.select(*cols))
+    merged = similarity.with_cell_counts(rel.dropDuplicates(["vec_id"]))
     tmp = base_path.rstrip("/") + ".merging"
     save_embedding_index(merged, centroids, tmp)
     _swap_into(spark, tmp, base_path)
-    compaction.record_merged_bound(spark, epoch_root, bound)
-    compaction.gc_epoch_sink(spark, epoch_root)
+    if bound is not None:
+        compaction.record_merged_bound(spark, epoch_root, bound)
+        compaction.gc_epoch_sink(spark, epoch_root)
     return bound
 
 

@@ -301,3 +301,45 @@ def test_merge_refuses_scheme_mismatch(spark, tmp_path, monkeypatch):
     ).write.text(os.path.join(marked, "_minhash_fp"))
     with pytest.raises(ValueError, match="MinHash scheme"):
         index_store.merge_minhash_index(spark, base, marked)
+
+
+def test_merge_repair_after_takedown(spark, tmp_path):
+    """merge_*_index(repair=True) is the takedown repair: a partitioned
+    delete leaves bucket_n counting erased members and the loader's
+    staleness guard refusing the index; the repair rewrite (count
+    recompute + fingerprint re-stamp, nothing folded) must bring the
+    store back under the guard with exactly the surviving rows."""
+    import pytest
+
+    from genai_batch_processor_spark.sources import upsert
+
+    docs = load_table(spark, SF, "documents").limit(150)
+    base = str(tmp_path / "base")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    total = index_store.load_minhash_index(spark, base).count()
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    n_victims = victims.count()
+    assert n_victims > 0
+    upsert.delete_keys_partitioned(spark, base, victims, "id", "band")
+    with pytest.raises(ValueError, match="STALE"):
+        index_store.load_minhash_index(spark, base)
+
+    # nothing to fold and repair not requested => untouched, still stale
+    assert index_store.merge_minhash_index(spark, base, None) is None
+    with pytest.raises(ValueError, match="STALE"):
+        index_store.load_minhash_index(spark, base)
+
+    assert (
+        index_store.merge_minhash_index(spark, base, None, repair=True)
+        is None
+    )
+    repaired = index_store.load_minhash_index(spark, base)
+    # every band loses the victims' rows; bucket counts truthful again
+    assert repaired.count() == total - n_victims * dedup.LSH_BANDS
+    assert repaired.filter(
+        F.col("id").isin([r.id for r in victims.collect()])
+    ).count() == 0
