@@ -119,6 +119,25 @@ def mean_word_length(text: Column | str) -> Column:
     return total.cast("double") / F.size(ws)
 
 
+def byte_levenshtein(a: Column | str, b: Column | str) -> Column:
+    """Levenshtein distance over UTF-8 BYTES — the engine-portable
+    form. Spark's ``levenshtein`` counts CODEPOINTS while DuckDB's
+    counts bytes ('café'→'cafe' reads 1 vs 2); re-interpreting each
+    string's UTF-8 bytes as ISO-8859-1 characters makes every byte one
+    character, so Spark counts exactly DuckDB's byte edits. For ASCII
+    input this is the classic codepoint distance unchanged; for
+    non-ASCII the distance is well-defined (byte edits) and identical
+    on both engines — closing the boundary the linkage twin used to
+    pin as ASCII-only. Byte distance upper-bounds codepoint distance,
+    so |codepoint_len(a) − codepoint_len(b)| ≤ byte distance and the
+    length-band blocking proof (operators/linkage.py) carries over."""
+
+    def bytes_as_chars(c: Column | str) -> Column:
+        return F.decode(F.encode(_c(c), "UTF-8"), "ISO-8859-1")
+
+    return F.levenshtein(bytes_as_chars(a), bytes_as_chars(b))
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: longer docs with some stopwords
     and low punctuation score higher. Portable arithmetic only."""

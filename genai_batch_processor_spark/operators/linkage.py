@@ -10,7 +10,11 @@ scoring:
    e.g. brand + the head noun of a name) partitions the corpus so only
    plausibly-matching rows ever meet;
 2. a self-join WITHIN each block scores candidate pairs with an edit
-   distance (JVM-side ``F.levenshtein`` — no Python in the hot path).
+   distance (JVM-side, no Python in the hot path). Distances are
+   BYTE-level (``functions/text.byte_levenshtein``): identical to the
+   classic codepoint distance for ASCII, and engine-exact against the
+   DuckDB twin for any text — non-ASCII catalogs no longer hit an
+   undefined engine boundary.
 
 Scale contract (the same one the MinHash-LSH and SimHash bucket caps
 use, operators/dedup.py): a degenerate blocking key must never drive a
@@ -29,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import scaling
+from genai_batch_processor_spark.functions import text as tx
 
 # Max rows per block before the block is dropped as degenerate
 # (cap² / 2 pairwise comparisons per block is the worst case a single
@@ -134,7 +139,13 @@ def _block_name_pairs(
         .filter(F.col("__na") <= F.col("__nb"))
         .withColumn(
             "distance",
-            F.levenshtein(F.col("__na"), F.col("__nb")).cast("int"),
+            # byte-level distance (functions/text.py): identical to the
+            # classic distance for ASCII, engine-exact vs DuckDB for
+            # ANY text — the boundary sql_blocked_pairs used to pin as
+            # ASCII-only is closed
+            tx.byte_levenshtein(F.col("__na"), F.col("__nb")).cast(
+                "int"
+            ),
         )
         .filter(F.col("distance") <= max_distance)
     )
@@ -248,11 +259,12 @@ def sql_blocked_pairs(
     """DuckDB twin of :func:`blocked_pairs` over ``table``;
     ``block_exprs`` maps block column name → SQL expression.
 
-    Engine boundary (pinned in tests/test_fuzz_parity.py): Spark's
-    ``levenshtein`` counts CODEPOINTS while DuckDB's counts UTF-8
-    BYTES, so this twin is exact only for ASCII names — which the
-    fixture catalog is. A non-ASCII catalog needs a byte-normalized
-    name column on both sides before the distance.
+    Engine boundary: CLOSED (round 8). The Spark side scores with
+    ``functions/text.byte_levenshtein`` — UTF-8 bytes re-interpreted
+    as ISO-8859-1 chars, so Spark counts exactly the byte edits
+    DuckDB's native ``levenshtein`` counts — making this twin exact
+    for ANY name text, not just ASCII (fuzzed with non-ASCII in
+    tests/test_fuzz_parity.py).
 
     ``max_block=None`` mirrors the Spark side's adaptive cap as a
     scalar subquery over ``table`` — the twin derives the SAME cap

@@ -327,24 +327,38 @@ def test_kmv_sketch_twin_on_adversarial_strings(fuzz_data):
 # -- levenshtein engine boundary (linkage oracle twin) -----------------------
 
 
-def test_levenshtein_twins_agree_on_ascii(spark):
-    """The linkage oracle relies on Spark and DuckDB agreeing on edit
-    distance. They DO for ASCII — fuzzed here — and they do NOT for
-    non-ASCII (next test), which is why sql_blocked_pairs documents an
-    ASCII-name contract."""
+def test_byte_levenshtein_twins_agree_on_any_text(spark):
+    """The linkage scorer (functions/text.byte_levenshtein) must agree
+    with DuckDB's native byte-level levenshtein for ANY text — ASCII
+    (where it equals the classic codepoint distance) AND non-ASCII
+    (the boundary the r7 verdict flagged, closed in r8 by
+    re-interpreting UTF-8 bytes as ISO-8859-1 chars on the Spark
+    side). Fuzzed over mixed-script strings."""
     import duckdb
 
+    from genai_batch_processor_spark.functions import text as tx
+
     rng = random.Random(20260814)
-    alpha = string.ascii_lowercase + " -#0123456789"
+    alpha = (
+        string.ascii_lowercase + " -#0123456789" + "éñüçß世界日本語€–…"
+    )
     words = [
         "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
         for _ in range(120)
     ]
-    cases = [(words[i], words[-i - 1]) for i in range(60)]
+    cases = [(words[i], words[-i - 1]) for i in range(60)] + [
+        ("café", "cafe"),
+        ("naïve", "naive"),
+        ("日本語", "日本"),
+        ("héllo", "hello"),
+        ("kitten", "sitting"),
+    ]
     sdf = spark.createDataFrame(cases, "a string, b string")
     s = [
         r.d
-        for r in sdf.select(F.levenshtein("a", "b").alias("d")).collect()
+        for r in sdf.select(
+            tx.byte_levenshtein("a", "b").alias("d")
+        ).collect()
     ]
     con = duckdb.connect()
     d = [
@@ -353,23 +367,73 @@ def test_levenshtein_twins_agree_on_ascii(spark):
     ]
     con.close()
     assert s == d
+    # and for pure ASCII the byte distance IS the classic distance
+    ascii_cases = [c for c in cases if all(ord(ch) < 128 for ch in c[0] + c[1])]
+    adf = spark.createDataFrame(ascii_cases, "a string, b string")
+    classic = [
+        r.d for r in adf.select(F.levenshtein("a", "b").alias("d")).collect()
+    ]
+    bytewise = [
+        r.d
+        for r in adf.select(
+            tx.byte_levenshtein("a", "b").alias("d")
+        ).collect()
+    ]
+    assert classic == bytewise
 
 
-def test_levenshtein_engines_diverge_on_non_ascii(spark):
-    """PINNED DIVERGENCE: Spark levenshtein counts CODEPOINTS, DuckDB
-    counts UTF-8 BYTES ('café'→'cafe' is 1 vs 2). If either engine
-    changes behavior this test fails and the linkage oracle contract
-    (ASCII names only) must be revisited."""
+def test_blocked_pairs_non_ascii_parity(spark):
+    """End-to-end linkage parity on a NON-ASCII catalog — the case the
+    pre-r8 contract excluded: blocked_pairs vs its DuckDB twin over
+    accented/multiscript names must produce the identical pair set and
+    distances."""
     import duckdb
 
-    sdf = spark.createDataFrame(
-        [("café", "cafe")], "a string, b string"
+    from genai_batch_processor_spark.operators import linkage
+
+    rows = [
+        (1, "café royale", "B1"),
+        (2, "cafe royale", "B1"),
+        (3, "café royale!", "B1"),
+        (4, "naïve brand", "B1"),
+        (5, "naive brand", "B1"),
+        (6, "日本語 widget", "B2"),
+        (7, "日本 widget", "B2"),
+        (8, "völlig anders", "B2"),
+    ]
+    df = spark.createDataFrame(rows, "k long, nm string, blk string")
+    got = sorted(
+        tuple(r)
+        for r in linkage.blocked_pairs(
+            df, "k", "nm", ["blk"], max_distance=3, max_block=10
+        )
+        .select("a_key", "b_key", "distance")
+        .collect()
     )
-    s = sdf.select(F.levenshtein("a", "b").alias("d")).collect()[0].d
     con = duckdb.connect()
-    d = con.execute("SELECT levenshtein('café', 'cafe')").fetchone()[0]
+    con.execute(
+        "CREATE TABLE cat AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, '{nm}', '{blk}')" for k, nm, blk in rows
+        )
+        + ") t(k, nm, blk)"
+    )
+    want = sorted(
+        con.execute(
+            linkage.sql_blocked_pairs(
+                "cat",
+                "k",
+                "nm",
+                {"blk": "blk"},
+                max_distance=3,
+                max_block=10,
+            )
+            + " ORDER BY 1, 2"
+        ).fetchall()
+    )
     con.close()
-    assert (s, d) == (1, 2)
+    want = sorted((a, b, d) for a, b, _na, _nb, d in want)
+    assert got == want and len(got) >= 3
 
 
 def test_sqrt_power_twins_agree_for_temperature_weights(spark):
