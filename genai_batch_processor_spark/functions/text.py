@@ -119,6 +119,17 @@ def mean_word_length(text: Column | str) -> Column:
     return total.cast("double") / F.size(ws)
 
 
+def utf8_bytes_as_chars(c: Column | str) -> Column:
+    """A string whose CHARACTERS are the input's UTF-8 BYTES
+    (ISO-8859-1 maps all 256 byte values to BMP codepoints < U+0100).
+    Codepoint-counting functions over this column count bytes — the
+    portability primitive behind :func:`byte_levenshtein`. Hot-path
+    callers comparing many pairs should materialize this ONCE per
+    distinct string (see operators/linkage._block_name_pairs) instead
+    of re-encoding per pair."""
+    return F.decode(F.encode(_c(c), "UTF-8"), "ISO-8859-1")
+
+
 def byte_levenshtein(a: Column | str, b: Column | str) -> Column:
     """Levenshtein distance over UTF-8 BYTES — the engine-portable
     form. Spark's ``levenshtein`` counts CODEPOINTS while DuckDB's
@@ -130,12 +141,10 @@ def byte_levenshtein(a: Column | str, b: Column | str) -> Column:
     on both engines — closing the boundary the linkage twin used to
     pin as ASCII-only. Byte distance upper-bounds codepoint distance,
     so |codepoint_len(a) − codepoint_len(b)| ≤ byte distance and the
-    length-band blocking proof (operators/linkage.py) carries over."""
-
-    def bytes_as_chars(c: Column | str) -> Column:
-        return F.decode(F.encode(_c(c), "UTF-8"), "ISO-8859-1")
-
-    return F.levenshtein(bytes_as_chars(a), bytes_as_chars(b))
+    length-band blocking proof (operators/linkage.py) carries over.
+    THRESHOLD UNITS: callers filtering on this distance count byte
+    edits — one accented-char edit costs 2, one CJK-char edit 3."""
+    return F.levenshtein(utf8_bytes_as_chars(a), utf8_bytes_as_chars(b))
 
 
 def quality_score(text: Column | str) -> Column:

@@ -70,7 +70,13 @@ def blocked_pairs(
     max_block: int | None = None,
 ) -> DataFrame:
     """Candidate match pairs (a_key < b_key) within blocking-key groups
-    with Levenshtein distance ≤ ``max_distance``.
+    with BYTE-level Levenshtein distance ≤ ``max_distance``
+    (functions/text.byte_levenshtein — identical to the classic
+    distance for ASCII names, engine-exact vs the DuckDB twin for any
+    text). ``max_distance`` therefore counts BYTE edits: a single
+    accented-char edit costs 2 and a CJK-char edit 3, so non-ASCII
+    catalogs needing "N character edits" semantics should widen the
+    threshold accordingly.
 
     Plan shape: one aggregation sizes the blocks (map-side partials),
     an inner join keeps only rows in 2..max_block blocks, and the
@@ -130,24 +136,35 @@ def _block_name_pairs(
 ) -> DataFrame:
     """Distinct unordered in-block NAME pairs (na <= nb lexicographic,
     so the identical-name pair appears once) within the distance
-    threshold — the entire Levenshtein bill, paid per distinct pair."""
+    threshold — the entire Levenshtein bill, paid per distinct pair.
+
+    Distances are BYTE-level (engine-exact vs the DuckDB twin for any
+    text; classic distance for ASCII). The byte re-interpretation
+    (functions/text.utf8_bytes_as_chars) is precomputed ONCE per
+    distinct name BEFORE the self-join — inlining it in the distance
+    expression would re-encode both strings once per candidate PAIR,
+    O(vocab²) encodings per block where O(vocab) suffices, on the
+    hottest expression in the operator."""
     names = scoped.select(*block_cols, "__nm").distinct()
-    a = names.select(*block_cols, F.col("__nm").alias("__na"))
-    b = names.select(*block_cols, F.col("__nm").alias("__nb"))
+    a = names.select(
+        *block_cols,
+        F.col("__nm").alias("__na"),
+        tx.utf8_bytes_as_chars(F.col("__nm")).alias("__na_b"),
+    )
+    b = names.select(
+        *block_cols,
+        F.col("__nm").alias("__nb"),
+        tx.utf8_bytes_as_chars(F.col("__nm")).alias("__nb_b"),
+    )
     return (
         a.join(b, block_cols, "inner")
         .filter(F.col("__na") <= F.col("__nb"))
         .withColumn(
             "distance",
-            # byte-level distance (functions/text.py): identical to the
-            # classic distance for ASCII, engine-exact vs DuckDB for
-            # ANY text — the boundary sql_blocked_pairs used to pin as
-            # ASCII-only is closed
-            tx.byte_levenshtein(F.col("__na"), F.col("__nb")).cast(
-                "int"
-            ),
+            F.levenshtein(F.col("__na_b"), F.col("__nb_b")).cast("int"),
         )
         .filter(F.col("distance") <= max_distance)
+        .drop("__na_b", "__nb_b")
     )
 
 
@@ -195,6 +212,7 @@ def multi_pass_pairs(
     """Standard multi-pass blocking (round-6 verdict item 4): pass i
     blocks on ``shared_cols + pass_cols[i]``; the per-pass NAME-pair
     relations are unioned, deduped, and expanded to row pairs ONCE.
+    ``max_distance`` counts BYTE edits, as in :func:`blocked_pairs`.
 
     Why: a single blocking key over a FIXED key space (the part
     catalog's ~400 (brand, noun) blocks) makes candidate volume

@@ -318,12 +318,18 @@ def test_merge_repair_after_takedown(spark, tmp_path):
     index_store.save_minhash_index(
         dedup.minhash_index(docs, "doc_id", "text"), base
     )
-    total = index_store.load_minhash_index(spark, base).count()
+    loaded = index_store.load_minhash_index(spark, base)
+    total = loaded.count()
     victims = docs.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("id")
     )
-    n_victims = victims.count()
-    assert n_victims > 0
+    # expected survivor count derived from the INDEX itself, not from
+    # n_victims * LSH_BANDS — a fixture doc whose text yields no band
+    # rows would otherwise break the arithmetic spuriously
+    n_victim_rows = loaded.join(
+        victims, loaded.id == victims.id, "left_semi"
+    ).count()
+    assert n_victim_rows > 0
     upsert.delete_keys_partitioned(spark, base, victims, "id", "band")
     with pytest.raises(ValueError, match="STALE"):
         index_store.load_minhash_index(spark, base)
@@ -338,8 +344,8 @@ def test_merge_repair_after_takedown(spark, tmp_path):
         is None
     )
     repaired = index_store.load_minhash_index(spark, base)
-    # every band loses the victims' rows; bucket counts truthful again
-    assert repaired.count() == total - n_victims * dedup.LSH_BANDS
+    # exactly the victims' rows gone; bucket counts truthful again
+    assert repaired.count() == total - n_victim_rows
     assert repaired.filter(
         F.col("id").isin([r.id for r in victims.collect()])
     ).count() == 0
