@@ -123,6 +123,23 @@ def calibration_workload(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def compute_slow_flags(
+    mins_norm: dict[str, float], frozen: dict[str, float]
+) -> dict[str, dict]:
+    """Per-query 2x gate (round-7 verdict item 3): flag queries whose
+    calibration-normalized min exceeds max(2x, +0.3 s) of the frozen
+    baseline. The 0.3 s absolute floor keeps sub-second queries from
+    flagging on scheduler jitter; queries without a frozen entry (new
+    this round) are skipped until the next freeze. Factored out of
+    main() so the gate logic is unit-testable without a bench run."""
+    flags = {}
+    for name, t in mins_norm.items():
+        b = frozen.get(name)
+        if b is not None and t > max(2 * b, b + 0.3):
+            flags[name] = {"baseline": b, "now": t}
+    return flags
+
+
 def load_query_baseline() -> dict | None:
     """BASELINE_QUERIES.json if present: {"calib_ref_sec": float,
     "query_mins_norm": {name: sec}, ...}. Absent → no normalization
@@ -266,17 +283,18 @@ def main() -> None:
         n: round(statistics.median(ts), 3) for n, ts in norm_reps.items()
     }
     mins_norm = {n: round(min(ts), 3) for n, ts in norm_reps.items()}
-    # Per-query 2x gate vs the frozen idle baseline (round-7 verdict
-    # item 3): compare load-robust normalized mins to frozen normalized
-    # mins, with a 0.3 s absolute floor so sub-second queries don't
-    # flag on scheduler jitter.
-    slow_vs_baseline = {}
-    if baseline_q:
-        frozen = baseline_q.get("query_mins_norm", {})
-        for n, t in mins_norm.items():
-            b = frozen.get(n)
-            if b is not None and t > max(2 * b, b + 0.3):
-                slow_vs_baseline[n] = {"baseline": b, "now": t}
+    # the gate only means something at the baseline's own scale factor
+    # (an sf0.001 debug run would flag fixed-overhead queries against
+    # sf0.1 numbers); a baseline without an sf field predates the check
+    # and is assumed sf0.1-frozen.
+    baseline_sf = (baseline_q or {}).get("sf", 0.1)
+    slow_vs_baseline = (
+        compute_slow_flags(
+            mins_norm, baseline_q.get("query_mins_norm", {})
+        )
+        if baseline_q and float(sf) == baseline_sf
+        else {}
+    )
     full_total = round(sum(times.values()), 3)
     # Guard the r1-comparable headline: if a baseline query was renamed or
     # skipped, the sum silently covers less work. Flag it loudly instead.
@@ -289,6 +307,7 @@ def main() -> None:
     # stdout line): the driver captures only the LAST ~2000 chars of stdout,
     # so the FINAL line must stay small (r2's 14 kB line was unparseable).
     side = {
+        "sf": float(sf),
         "queries": times,
         "query_reps": times_reps,
         "query_medians": medians,

@@ -1049,3 +1049,27 @@ def test_span_index_store_roundtrip_and_scheme_guard(spark, sf_dir, tmp_path):
         index_store.load_span_index(
             spark, path, curation.SPAN_WORDS_DEFAULT + 1
         )
+
+
+def test_bench_slow_flag_gate():
+    """The per-query 2x bench gate must FIRE on a real regression and
+    stay quiet on jitter — pure logic, no Spark (bench.compute_slow_flags):
+    2x past a meaningful baseline flags; sub-second jitter under the
+    0.3 s floor does not; unknown (new) queries are skipped."""
+    import bench
+
+    frozen = {"big": 5.0, "small": 0.1, "edge": 1.0}
+    flags = bench.compute_slow_flags(
+        {
+            "big": 10.5,     # > 2x 5.0 -> flags
+            "small": 0.35,   # 3.5x but within +0.3 floor -> quiet
+            "edge": 1.9,     # < 2x -> quiet
+            "brand_new": 99,  # no baseline -> skipped
+        },
+        frozen,
+    )
+    assert set(flags) == {"big"}
+    assert flags["big"] == {"baseline": 5.0, "now": 10.5}
+    # boundary: exactly 2x is NOT a flag (strict >)
+    assert bench.compute_slow_flags({"big": 10.0}, frozen) == {}
+    assert bench.compute_slow_flags({}, frozen) == {}

@@ -58,6 +58,7 @@ def main() -> None:
         for name, reps in side["query_reps"].items()
     }
     out = {
+        "sf": side.get("sf", 0.1),
         "calib_ref_sec": calib_ref,
         "calib_reps": calib,
         "query_mins_norm": mins_norm,
