@@ -4324,72 +4324,75 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
 }
 
-# Round-8 front (round-7 verdict item 6) — ROTATION POLICY: each round,
+# Round-9 front (rotation policy, round-7 verdict item 6): each round,
 # the registry front is re-ordered OLDEST-GATED-FIRST via
-# `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the 149
+# `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the 150
 # names by the round of their newest green driver-gate row, takes 50).
-# The driver gates the first 50 dict entries, so with a 149-query
+# The driver gates the first 50 dict entries, so with a 150-query
 # registry every query re-passes the driver's own oracle gate at most
 # every 3 rounds even as the code under it evolves; queries added
-# mid-round are never-gated and sort first automatically.
-_R8_FRONT = [
-    "quality_weighted_sample",  # new in r8, never gated
-    "lang_source_grouping_sets",  # last gated r1
-    "order_revenue_topk",  # last gated r1
-    "dedup_components",  # last gated r2
-    "dedup_components_star",  # last gated r2
-    "dedup_survivors",  # last gated r2
-    "embedding_label_stats",  # last gated r2
-    "supplier_balance",  # last gated r2
-    "user_stats_stream",  # last gated r2
-    "assign_ids",  # last gated r4
-    "audio_windows",  # last gated r4
-    "azure_model_rewrite",  # last gated r4
-    "batch_shards",  # last gated r4
-    "build_requests",  # last gated r4
-    "chunk_vote",  # last gated r4
-    "curriculum_mix",  # last gated r4
-    "doc_logprob",  # last gated r4
-    "embedding_topk",  # last gated r4
-    "error_split",  # last gated r4
-    "exact_dedup",  # last gated r4
-    "extract_answer",  # last gated r4
-    "incremental_inference",  # last gated r4
-    "joinback",  # last gated r4
-    "label_distribution",  # last gated r4
-    "lsh_candidates",  # last gated r4
-    "minhash_signatures",  # last gated r4
-    "mixture_plan",  # last gated r4
-    "mixture_sample",  # last gated r4
-    "mock_responses",  # last gated r4
-    "near_dup_pairs",  # last gated r4
-    "prompt_dedup_fanout",  # last gated r4
-    "prompt_dedup_requests",  # last gated r4
-    "question_preview",  # last gated r4
-    "request_cost_estimate",  # last gated r4
-    "response_joinback_stream",  # last gated r4
-    "retry_responses",  # last gated r4
-    "simhash",  # last gated r4
-    "simhash_near_dup",  # last gated r4
-    "snapshot_changes",  # last gated r4
-    "training_order",  # last gated r4
-    "vertex_requests",  # last gated r4
-    "winnow_pairs",  # last gated r4
-    "bm25_scores",  # last gated r5
-    "chunk_dedup_stats",  # last gated r5
-    "customer_order_setops",  # last gated r5
-    "customers_without_orders",  # last gated r5
-    "dedup_cluster_stats",  # last gated r5
-    "doc_stats",  # last gated r5
-    "dsir_weights",  # last gated r5
-    "embedding_ann_recall",  # last gated r5
-    # NOTE: embedding_near_dup (the 50th oldest-gated) was displaced
-    # past the 50-entry window by the new-in-r8 query above — the
-    # front must hold EXACTLY the window size or its tail silently
-    # misses the gate; it re-enters at the head of the r9 rotation.
+# mid-round are never-gated and sort first automatically. The r9
+# window is exactly the 42 r5-gated + 8 r6-gated remainders.
+_R9_FRONT = [
+    "embedding_near_dup",  # last gated r5
+    "embedding_topk_ivf",  # last gated r5
+    "embedding_topk_ivf_trained",  # last gated r5
+    "embedding_topk_lsh",  # last gated r5
+    "embedding_topk_pandas",  # last gated r5
+    "eval_decontamination",  # last gated r5
+    "event_key_skew",  # last gated r5
+    "events_asof",  # last gated r5
+    "events_cube",  # last gated r5
+    "events_hourly",  # last gated r5
+    "events_hourly_stream",  # last gated r5
+    "events_json_props",  # last gated r5
+    "events_value_percentiles",  # last gated r5
+    "incremental_near_dup",  # last gated r5
+    "incremental_near_dup_stream",  # last gated r5
+    "incremental_span_dup",  # last gated r5
+    "lang_id_confusion",  # last gated r5
+    "lang_source_rollup",  # last gated r5
+    "lang_vocab",  # last gated r5
+    "length_buckets",  # last gated r5
+    "minhash_calibration",  # last gated r5
+    "multimodal_requests",  # last gated r5
+    "near_dup_method_agreement",  # last gated r5
+    "ngram_jaccard",  # last gated r5
+    "order_priority_returns",  # last gated r5
+    "part_match_candidates",  # last gated r5
+    "price_bracket_join",  # last gated r5
+    "pricing_summary",  # last gated r5
+    "quality_filter_funnel",  # last gated r5
+    "regional_revenue",  # last gated r5
+    "rrf_fusion",  # last gated r5
+    "semdedup_survivors",  # last gated r5
+    "source_quality",  # last gated r5
+    "span_dedup_stats",  # last gated r5
+    "split_leakage",  # last gated r5
+    "temperature_mixture",  # last gated r5
+    "term_frequencies",  # last gated r5
+    "token_fertility",  # last gated r5
+    "top_customers_per_nation",  # last gated r5
+    "user_sessions",  # last gated r5
+    "vertex_responses",  # last gated r5
+    "vocab_oov_rate",  # last gated r5
+    "bigram_followers",  # last gated r6
+    "daily_activity_full_outer",  # last gated r6
+    "distinct_buyers_daily",  # last gated r6
+    "events_daily_spine",  # last gated r6
+    "hourly_value_change",  # last gated r6
+    "image_features",  # last gated r6
+    "value_histogram_quantiles",  # last gated r6
+    "word_bigrams",  # last gated r6
 ]
+# Unconditional and BEFORE the rebuild (assert would vanish under
+# `python -O`): a mis-sized front pasted from tools/rotation.py must
+# fail import, not silently shrink or overflow the driver-gate window.
+if len(_R9_FRONT) != 50:
+    raise ValueError(
+        f"driver-gate window must be exactly 50 entries, got {len(_R9_FRONT)}"
+    )
 QUERIES = {
-    **{k: QUERIES[k] for k in _R8_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R8_FRONT)},
+    **{k: QUERIES[k] for k in _R9_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
 }
-assert len(_R8_FRONT) == 50, "driver-gate window is 50 entries"
