@@ -112,12 +112,15 @@ def minhash_scheme_fingerprint() -> str:
     cached = _scheme_fp_cache.get(key)
     if cached is not None:
         return cached
+    # getActiveSession() is THREAD-LOCAL in PySpark: a call from a
+    # background maintenance thread or a streaming listener sees None
+    # even while the driver session is alive. Fall back to the
+    # process-wide default session (getOrCreate attaches to it without
+    # building a new one when a session exists) so the canary runs
+    # wherever a session is reachable at all.
     spark = SparkSession.getActiveSession()
     if spark is None:
-        raise RuntimeError(
-            "minhash_scheme_fingerprint needs an active SparkSession "
-            "to run its live shingling canary"
-        )
+        spark = SparkSession.builder.getOrCreate()
     canary = (
         spark.range(1)
         .select(shingle_hashes(F.lit(_SCHEME_CANARY_TEXT)).alias("hs"))

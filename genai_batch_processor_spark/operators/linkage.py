@@ -68,15 +68,22 @@ def blocked_pairs(
     block_cols: list[str],
     max_distance: int = 2,
     max_block: int | None = None,
+    distance_mode: str = "byte",
 ) -> DataFrame:
     """Candidate match pairs (a_key < b_key) within blocking-key groups
-    with BYTE-level Levenshtein distance ≤ ``max_distance``
+    with Levenshtein distance ≤ ``max_distance``.
+
+    UNITS — read this before setting ``max_distance`` on non-ASCII
+    catalogs: the default ``distance_mode="byte"`` counts BYTE edits
     (functions/text.byte_levenshtein — identical to the classic
     distance for ASCII names, engine-exact vs the DuckDB twin for any
-    text). ``max_distance`` therefore counts BYTE edits: a single
-    accented-char edit costs 2 and a CJK-char edit 3, so non-ASCII
-    catalogs needing "N character edits" semantics should widen the
-    threshold accordingly.
+    text): a single accented-char edit costs 2 and a CJK-char edit 3,
+    so thresholds tuned for "N character edits" lose recall on
+    non-ASCII names. ``distance_mode="codepoint"`` is the opt-out: the
+    classic per-character distance (Spark's native ``levenshtein``),
+    the pre-round-8 behavior — but it has NO exact DuckDB twin for
+    non-ASCII text (DuckDB's levenshtein is byte-based), so
+    oracle-paired queries must stay on ``"byte"``.
 
     Plan shape: one aggregation sizes the blocks (map-side partials),
     an inner join keeps only rows in 2..max_block blocks, and the
@@ -105,7 +112,9 @@ def blocked_pairs(
     if max_block is None:
         max_block = adaptive_max_block(df.count())
     scoped = _scoped_rows(df, key_col, name_col, block_cols, max_block)
-    name_pairs = _block_name_pairs(scoped, block_cols, max_distance)
+    name_pairs = _block_name_pairs(
+        scoped, block_cols, max_distance, distance_mode
+    )
     return _expand_name_pairs(scoped, name_pairs, block_cols)
 
 
@@ -132,40 +141,54 @@ def _scoped_rows(
 
 
 def _block_name_pairs(
-    scoped: DataFrame, block_cols: list[str], max_distance: int
+    scoped: DataFrame,
+    block_cols: list[str],
+    max_distance: int,
+    distance_mode: str = "byte",
 ) -> DataFrame:
     """Distinct unordered in-block NAME pairs (na <= nb lexicographic,
     so the identical-name pair appears once) within the distance
     threshold — the entire Levenshtein bill, paid per distinct pair.
 
-    Distances are BYTE-level (engine-exact vs the DuckDB twin for any
-    text; classic distance for ASCII). The byte re-interpretation
+    ``distance_mode="byte"`` (default): BYTE-level distances
+    (engine-exact vs the DuckDB twin for any text; classic distance
+    for ASCII). The byte re-interpretation
     (functions/text.utf8_bytes_as_chars) is precomputed ONCE per
     distinct name BEFORE the self-join — inlining it in the distance
     expression would re-encode both strings once per candidate PAIR,
     O(vocab²) encodings per block where O(vocab) suffices, on the
-    hottest expression in the operator."""
-    names = scoped.select(*block_cols, "__nm").distinct()
-    a = names.select(
-        *block_cols,
-        F.col("__nm").alias("__na"),
-        tx.utf8_bytes_as_chars(F.col("__nm")).alias("__na_b"),
-    )
-    b = names.select(
-        *block_cols,
-        F.col("__nm").alias("__nb"),
-        tx.utf8_bytes_as_chars(F.col("__nm")).alias("__nb_b"),
-    )
-    return (
+    hottest expression in the operator. ``"codepoint"``: Spark's
+    native per-character distance, no re-interpretation."""
+    if distance_mode not in ("byte", "codepoint"):
+        raise ValueError(
+            f"distance_mode must be 'byte' or 'codepoint', got "
+            f"{distance_mode!r}"
+        )
+    as_bytes = distance_mode == "byte"
+
+    def _side(alias: str) -> DataFrame:
+        names = scoped.select(*block_cols, "__nm").distinct()
+        cols = [F.col("__nm").alias(f"__n{alias}")]
+        if as_bytes:
+            cols.append(
+                tx.utf8_bytes_as_chars(F.col("__nm")).alias(f"__n{alias}_b")
+            )
+        return names.select(*block_cols, *cols)
+
+    a, b = _side("a"), _side("b")
+    suffix = "_b" if as_bytes else ""
+    paired = (
         a.join(b, block_cols, "inner")
         .filter(F.col("__na") <= F.col("__nb"))
         .withColumn(
             "distance",
-            F.levenshtein(F.col("__na_b"), F.col("__nb_b")).cast("int"),
+            F.levenshtein(
+                F.col(f"__na{suffix}"), F.col(f"__nb{suffix}")
+            ).cast("int"),
         )
         .filter(F.col("distance") <= max_distance)
-        .drop("__na_b", "__nb_b")
     )
+    return paired.drop("__na_b", "__nb_b") if as_bytes else paired
 
 
 def _expand_name_pairs(
@@ -208,11 +231,14 @@ def multi_pass_pairs(
     pass_cols: list[list[str]],
     max_distance: int = 2,
     max_block: int | None = None,
+    distance_mode: str = "byte",
 ) -> DataFrame:
     """Standard multi-pass blocking (round-6 verdict item 4): pass i
     blocks on ``shared_cols + pass_cols[i]``; the per-pass NAME-pair
     relations are unioned, deduped, and expanded to row pairs ONCE.
-    ``max_distance`` counts BYTE edits, as in :func:`blocked_pairs`.
+    ``max_distance`` counts BYTE edits under the default
+    ``distance_mode="byte"`` — see :func:`blocked_pairs` for the units
+    warning and the ``"codepoint"`` opt-out.
 
     Why: a single blocking key over a FIXED key space (the part
     catalog's ~400 (brand, noun) blocks) makes candidate volume
@@ -250,9 +276,9 @@ def multi_pass_pairs(
     for extra in pass_cols:
         block_cols = shared_cols + extra
         scoped = _scoped_rows(df, key_col, name_col, block_cols, max_block)
-        np_i = _block_name_pairs(scoped, block_cols, max_distance).select(
-            *shared_cols, "__na", "__nb", "distance"
-        )
+        np_i = _block_name_pairs(
+            scoped, block_cols, max_distance, distance_mode
+        ).select(*shared_cols, "__na", "__nb", "distance")
         union = np_i if union is None else union.unionByName(np_i)
     name_pairs = union.distinct()
     # expansion over the FULL row relation restricted to shared blocks:

@@ -3124,6 +3124,30 @@ def _parts_with_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materializes once per (session, sf_dir), the same contract as the
 # MinHash pair stage.
 _PART_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# STALENESS CONTRACT: entries are keyed by (appId, sf_dir, which) and
+# live for the whole session — if the parquet under sf_dir is
+# REGENERATED mid-session the cached stage keeps serving the old
+# fixture (same contract as Spark's own file-status cache). Call
+# invalidate_part_pairs_cache(sf_dir=...) after rewriting a fixture.
+# The cache is also capped: beyond _PART_PAIRS_CACHE_MAX entries the
+# oldest is unpersisted and evicted, so iterating many sf_dirs in one
+# session cannot grow persisted memory unboundedly.
+_PART_PAIRS_CACHE_MAX = 8
+
+
+def invalidate_part_pairs_cache(sf_dir: str | None = None) -> int:
+    """Unpersist and drop cached blocking stages; ``sf_dir=None``
+    clears everything. Returns the number of entries dropped. This is
+    the official staleness/eviction hook for the session-shared
+    persisted blocking stages (tests use it for run-order-stable
+    plans; users call it after regenerating a fixture in-session)."""
+    dropped = 0
+    for key, df in list(_PART_PAIRS_CACHE.items()):
+        if sf_dir is None or key[1] == sf_dir:
+            df.unpersist()
+            del _PART_PAIRS_CACHE[key]
+            dropped += 1
+    return dropped
 
 
 def _part_pairs_shared(
@@ -3134,6 +3158,9 @@ def _part_pairs_shared(
     key = (spark.sparkContext.applicationId, sf_dir, which)
     df = _PART_PAIRS_CACHE.get(key)
     if df is None:
+        while len(_PART_PAIRS_CACHE) >= _PART_PAIRS_CACHE_MAX:
+            oldest = next(iter(_PART_PAIRS_CACHE))
+            _PART_PAIRS_CACHE.pop(oldest).unpersist()
         parts = _parts_with_bands(spark, sf_dir)
         if which == "single":
             df = linkage.blocked_pairs(

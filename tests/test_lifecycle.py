@@ -939,6 +939,53 @@ def test_scheme_fingerprints_canary_shingling(spark, monkeypatch):
     assert index_store._span_scheme_fingerprint(spark, 8) == span_base
 
 
+def test_scheme_fingerprint_from_non_driver_thread(spark, monkeypatch):
+    """r8 advice: getActiveSession() is THREAD-LOCAL, so the live
+    canary used to raise from any non-driver thread (background
+    maintenance, streaming listeners) even with a session alive. The
+    fingerprint must now fall back to the process-wide default session
+    and return the SAME value it computes on the driver thread."""
+    import threading
+
+    from pyspark.sql import SparkSession
+
+    from genai_batch_processor_spark.operators import dedup
+
+    dedup._scheme_fp_cache.clear()
+    base = dedup.minhash_scheme_fingerprint()
+
+    result: dict[str, object] = {}
+
+    def worker():
+        # Whether this thread sees an active session is a py4j
+        # connection-pooling detail; record it rather than assert it —
+        # the contract under test is "computes and matches" either way.
+        result["active"] = SparkSession.getActiveSession() is not None
+        dedup._scheme_fp_cache.clear()
+        try:
+            result["fp"] = dedup.minhash_scheme_fingerprint()
+        except Exception as exc:  # pragma: no cover - failure detail
+            result["err"] = exc
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert "err" not in result, f"raised in thread: {result.get('err')}"
+    assert result["fp"] == base
+
+    # Deterministic pin of the fallback itself: force the
+    # no-active-session branch on this thread and require the same
+    # fingerprint (builder.getOrCreate attaches to the live session).
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    dedup._scheme_fp_cache.clear()
+    assert dedup.minhash_scheme_fingerprint() == base
+    monkeypatch.undo()
+    dedup._scheme_fp_cache.clear()
+
+
 def test_minhash_stream_scheme_marker(spark, tmp_path):
     """The sink-probe stream's index root carries a _minhash_fp marker:
     a restart under a different MinHash scheme must fail loudly before

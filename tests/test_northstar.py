@@ -390,6 +390,46 @@ def test_blocked_pairs_basics_and_oversized_block_dropped(spark):
     assert capped == []
 
 
+def test_blocked_pairs_distance_mode(spark):
+    """r8 advice: byte distances silently change max_distance UNITS on
+    non-ASCII names (an accented edit costs 2 bytes). distance_mode is
+    the opt-out: 'codepoint' restores the classic per-character
+    distance, so a threshold of 1 pairs 'café'/'cafe' under codepoint
+    but not under the default byte mode; invalid modes fail loudly."""
+    import pytest
+
+    from genai_batch_processor_spark.operators import linkage
+
+    rows = [(1, "café", "B1"), (2, "cafe", "B1")]
+    df = spark.createDataFrame(rows, "k long, name string, brand string")
+
+    def pairs(**kw):
+        return {
+            (r.a_key, r.b_key): r.distance
+            for r in linkage.blocked_pairs(
+                df, "k", "name", ["brand"], **kw
+            ).collect()
+        }
+
+    # é is 2 UTF-8 bytes: byte distance 2, codepoint distance 1
+    assert pairs(max_distance=1) == {}
+    assert pairs(max_distance=2) == {(1, 2): 2}
+    assert pairs(max_distance=1, distance_mode="codepoint") == {(1, 2): 1}
+
+    # multi_pass threads the mode through the same scorer
+    mp = {
+        (r.a_key, r.b_key): r.distance
+        for r in linkage.multi_pass_pairs(
+            df, "k", "name", ["brand"], [[]],
+            max_distance=1, distance_mode="codepoint",
+        ).collect()
+    }
+    assert mp == {(1, 2): 1}
+
+    with pytest.raises(ValueError, match="distance_mode"):
+        pairs(max_distance=1, distance_mode="grapheme")
+
+
 def test_bm25_scores_rank_relevant_docs_higher(spark, sf_dir):
     """BM25 sanity: every scored doc matched ≥1 query term, scores are
     positive, and a doc matching more query terms with higher tf beats

@@ -404,9 +404,47 @@ def _fresh_part_pairs(spark):
     for the other shared stages."""
     from genai_batch_processor_spark import queries as Q
 
-    for key, df in list(Q._PART_PAIRS_CACHE.items()):
-        df.unpersist()
-        del Q._PART_PAIRS_CACHE[key]
+    Q.invalidate_part_pairs_cache()
+
+
+def test_part_pairs_cache_invalidation_and_cap(spark, sf_dir):
+    """r8 advice: the session-shared blocking-stage cache needs an
+    official eviction hook (fixture regenerated mid-session → stale
+    persisted stage) and a size cap (many sf_dirs in one session →
+    unbounded persisted memory). invalidate_part_pairs_cache drops and
+    unpersists by sf_dir or wholesale; inserts past the cap evict the
+    oldest entry, unpersisted."""
+    from genai_batch_processor_spark import queries as Q
+
+    Q.invalidate_part_pairs_cache()
+    assert Q._PART_PAIRS_CACHE == {}
+
+    df = Q._part_pairs_shared(spark, sf_dir, "single")
+    assert len(Q._PART_PAIRS_CACHE) == 1
+    assert df.storageLevel.useMemory  # persisted while cached
+
+    # scoped invalidation: a different sf_dir string is untouched
+    assert Q.invalidate_part_pairs_cache(sf_dir="/no/such/dir") == 0
+    assert len(Q._PART_PAIRS_CACHE) == 1
+    assert Q.invalidate_part_pairs_cache(sf_dir=sf_dir) == 1
+    assert Q._PART_PAIRS_CACHE == {}
+    assert not df.storageLevel.useMemory  # unpersisted on eviction
+
+    # cap: shrink the cap to 1 and insert a second entry — the first
+    # must be evicted and unpersisted, never just dropped
+    old_cap = Q._PART_PAIRS_CACHE_MAX
+    try:
+        Q._PART_PAIRS_CACHE_MAX = 1
+        first = Q._part_pairs_shared(spark, sf_dir, "single")
+        second = Q._part_pairs_shared(spark, sf_dir, "multi")
+        assert list(Q._PART_PAIRS_CACHE) == [
+            (spark.sparkContext.applicationId, sf_dir, "multi")
+        ]
+        assert not first.storageLevel.useMemory
+        assert second.storageLevel.useMemory
+    finally:
+        Q._PART_PAIRS_CACHE_MAX = old_cap
+        Q.invalidate_part_pairs_cache()
 
 
 def test_part_match_candidates_no_single_partition(spark, sf_dir):
