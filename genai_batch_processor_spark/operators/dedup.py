@@ -36,6 +36,44 @@ JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3  # pigeonhole-compatible with 4 bands of 8 bits
+# -- scale-adaptive signature width (round-8 verdict item 1) -----------------
+# A 32-bit SimHash saturates as the corpus grows: signatures of docs
+# sharing a vocabulary concentrate, so the number of docs inside any
+# hamming-≤3 ball grows with corpus size BY CONSTRUCTION — measured at
+# sf10 (500k docs): 896x output pairs at 100x rows, ball saturation,
+# not near-dup structure. Past SIMHASH_WIDEN_DOCS the signature widens
+# to 56 bits / 7 bands (nibble width unchanged at 8): random-pair
+# hamming then concentrates near 28, hamming-≤3 balls stay tiny, and
+# pair growth tracks true near-dup density. 56 (not 64) keeps the
+# signature strictly positive in a signed int64 on BOTH engines — no
+# sign-bit contortions in band extraction or the DuckDB twin. Wide
+# signatures vote on 60-bit feature hashes (portable_hash60): 32-bit
+# features carry no signal above bit 31, so bits 32..55 of a wide
+# signature would otherwise be constant. The threshold sits between
+# sf1 (50k docs — recorded hashes and scale evidence untouched) and
+# the measured saturation point (500k); the DuckDB twins branch on
+# the SAME corpus count (sql_adaptive_* helpers), so parity is
+# data-dependent at every scale, like adaptive_max_bucket.
+SIMHASH_WIDEN_DOCS = 200_000
+SIMHASH_WIDE_BITS = 56
+SIMHASH_WIDE_BANDS = 7
+# the band math (nibble width, pigeonhole recall guarantee) relies on
+# these invariants at EVERY width — fail at import, not in a plan
+if SIMHASH_BITS // SIMHASH_BANDS != SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS:
+    raise ValueError("narrow and wide SimHash nibble widths must match")
+if not (SIMHASH_MAX_HAMMING < SIMHASH_BANDS <= SIMHASH_WIDE_BANDS):
+    raise ValueError(
+        "pigeonhole recall needs max_hamming < bands at every width"
+    )
+
+
+def adaptive_simhash_width(n_rows: int) -> tuple[int, int]:
+    """Corpus-derived (bits, bands): the fixture-scale 32/4 up to
+    SIMHASH_WIDEN_DOCS rows, 56/7 past it. Monotone step, mirrored
+    data-dependently in the DuckDB twins (sql_adaptive_simhash_*)."""
+    if n_rows <= SIMHASH_WIDEN_DOCS:
+        return SIMHASH_BITS, SIMHASH_BANDS
+    return SIMHASH_WIDE_BITS, SIMHASH_WIDE_BANDS
 MAX_BUCKET = 64  # skew guard for LSH buckets
 # -- scale-adaptive bucket cap (round-5 verdict item 1) ----------------------
 # The SimHash nibble-band cells number only SIMHASH_BANDS x 2^8, so
@@ -47,9 +85,10 @@ MAX_BUCKET = 64  # skew guard for LSH buckets
 # untouched), 500 at sf1 — mirrored data-dependently in the DuckDB
 # twin (sql_adaptive_max_bucket), so parity holds at EVERY scale, not
 # just where the constant happens to match. MAX_BUCKET_CEIL bounds the
-# in-cell quadratic ((ceil^2)/2 pairs per cell max); past ~400k docs
-# the remedy is structural — widen SIMHASH_BITS/SIMHASH_BANDS — not a
-# bigger cap.
+# in-cell quadratic ((ceil^2)/2 pairs per cell max); past
+# SIMHASH_WIDEN_DOCS the structural remedy — a wider signature, so
+# cells shrink and balls stay tiny — is applied AUTOMATICALLY by
+# adaptive_simhash_width (r8 verdict item 1), no manual knob.
 BUCKET_CAP_DOCS = 100
 MAX_BUCKET_CEIL = 4096
 
@@ -157,20 +196,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-def shingle_hashes(text: Column | str, n: int = SHINGLE_N) -> Column:
-    """Distinct word-shingle 32-bit hashes (the doc's shingle *set*).
+def shingle_hashes(
+    text: Column | str, n: int = SHINGLE_N, hash_bits: int = 32
+) -> Column:
+    """Distinct word-shingle hashes (the doc's shingle *set*), 32-bit
+    by default; ``hash_bits=60`` switches to portable_hash60 for the
+    wide-SimHash feature space (MinHash must stay on 32 — the
+    universal-hash family's overflow bound needs h < 2^32).
 
     NULL text → NULL (not a [NULL] singleton): without the guard every
     NULL document got the SAME degenerate signature downstream — the
     sentinel MinHash and simhash 0 — and NULL docs paired with each
     other as perfect duplicates. NULL-in, NULL-out matches the DuckDB
     twins (fuzz-pinned on a NULL corpus row)."""
+    hasher = (
+        hashing.portable_hash32 if hash_bits <= 32 else hashing.portable_hash60
+    )
     t = tx._c(text)
     return F.when(
         t.isNotNull(),
-        F.transform(
-            F.array_distinct(tx.shingles(t, n)), hashing.portable_hash32
-        ),
+        F.transform(F.array_distinct(tx.shingles(t, n)), hasher),
     )
 
 
@@ -1093,13 +1138,22 @@ def contamination_hits(
 
 
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """Bitwise-majority SimHash over distinct-shingle 32-bit hashes.
+    """Bitwise-majority SimHash over distinct-shingle hashes.
 
     Features are word 3-shingles, not single words: the fixture corpus
     (like real web text) shares a heavy common vocabulary, and word-level
     SimHash collapses toward the majority bit pattern of that shared
-    vocab — shingles keep the signature document-specific."""
-    hs = shingle_hashes(text)
+    vocab — shingles keep the signature document-specific.
+
+    ``bits`` ≤ 32 votes on 32-bit feature hashes (the recorded
+    fixture-scale scheme, byte-identical to every stored hash); wider
+    signatures vote on 60-bit features, since a 32-bit feature carries
+    no signal above bit 31 and the high signature bits would otherwise
+    be constant. ``bits`` ≤ 60 (feature width) and ≤ 62 (signed-int64
+    packing); :func:`adaptive_simhash_width` picks the default."""
+    if bits > 60:
+        raise ValueError("simhash bits must be <= 60 (feature hash width)")
+    hs = shingle_hashes(text, hash_bits=32 if bits <= 32 else 60)
     # Single pass over the feature array: per-bit ±1 votes accumulate in an
     # array<int>, then the sign vector packs into one long. One aggregate
     # expression means the (md5-heavy) feature hashing runs ONCE per row —
@@ -1140,6 +1194,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     max_bucket: int | None = None,
+    width: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ max_hamming; candidates via
     band equality (never all-pairs). Signatures are computed once: ids
@@ -1154,36 +1209,53 @@ def simhash_near_dup_pairs(
     derives the cap from the corpus (:func:`adaptive_max_bucket` — one
     bounded count job, then the gate, same measure-then-choose shape as
     CC_DRIVER_EDGE_BOUND): a fixed cap at 10× density dropped every
-    populated cell and returned a silently-empty report. Past
-    MAX_BUCKET_CEIL the remedy is structural — widen
-    SIMHASH_BITS/SIMHASH_BANDS so cells shrink — not a bigger cap."""
-    if max_bucket is None:
-        max_bucket = adaptive_max_bucket(df.count())
+    populated cell and returned a silently-empty report.
+
+    ``width=None`` (default) also derives the SIGNATURE WIDTH from the
+    same corpus count (:func:`adaptive_simhash_width` — r8 verdict
+    item 1): past SIMHASH_WIDEN_DOCS the 32-bit hamming-≤3 balls
+    saturate (every doc sees more in-ball neighbors purely from corpus
+    growth) and the signature widens to 56 bits / 7 bands so pair
+    growth tracks true near-dup density. Pass an explicit
+    ``(bits, bands)`` to pin a width (tests, cross-corpus parity)."""
+    if max_bucket is None or width is None:
+        n_rows = df.count()
+        if max_bucket is None:
+            max_bucket = adaptive_max_bucket(n_rows)
+        if width is None:
+            width = adaptive_simhash_width(n_rows)
+    bits, n_bands = width
+    if bits % n_bands:
+        raise ValueError(f"bits {bits} not divisible by bands {n_bands}")
     sh = df.select(
         F.struct(
-            F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+            F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
         ).alias("__rec")
     )
-    nib_width = SIMHASH_BITS // SIMHASH_BANDS
-    # literal-index explode + dynamic nibble extraction: the signature is
-    # evaluated once; see _band_index for why exploding computed structs
-    # would double the work. shiftright needs a literal, so the dynamic
-    # shift uses exact double division (sh < 2^32, width ≤ 24 bits).
-    bands = sh.select(
-        "__rec", _band_index(SIMHASH_BANDS).alias("band")
-    ).select(
-        "__rec",
-        "band",
-        (
-            F.floor(
-                F.col("__rec.sh")
-                / F.pow(F.lit(2.0), (F.col("band") * nib_width).cast("double"))
-            )
-            % (1 << nib_width)
-        )
-        .cast("long")
-        .alias("nib"),
+    nib_width = bits // n_bands
+    mask = (1 << nib_width) - 1
+    # literal-index explode + dynamic nibble extraction: the signature
+    # is evaluated once; see _band_index for why exploding computed
+    # structs would double the work. shiftright needs a literal count,
+    # so the dynamic band shift unrolls to a CASE over the (literal)
+    # band indexes — exact int64 math at ANY width (the former
+    # double-division trick was exact only below 2^53 and would corrupt
+    # low-band nibbles of 56-bit signatures).
+    sh_col = F.col("__rec.sh")
+    nib = F.when(
+        F.col("band") == 0,
+        F.shiftrightunsigned(sh_col, 0).bitwiseAND(F.lit(mask)),
     )
+    for j in range(1, n_bands):
+        nib = nib.when(
+            F.col("band") == j,
+            F.shiftrightunsigned(sh_col, j * nib_width).bitwiseAND(
+                F.lit(mask)
+            ),
+        )
+    bands = sh.select(
+        "__rec", _band_index(n_bands).alias("band")
+    ).select("__rec", "band", nib.cast("long").alias("nib"))
     grouped = (
         bands.groupBy("band", "nib")
         .agg(F.sort_array(F.collect_list("__rec")).alias("recs"))
@@ -1213,15 +1285,20 @@ def simhash_near_dup_pairs(
 # -- DuckDB oracle fragments -------------------------------------------------
 
 
-def sql_shingle_hashes(expr: str, n: int = SHINGLE_N) -> str:
+def sql_shingle_hashes(
+    expr: str, n: int = SHINGLE_N, hash_bits: int = 32
+) -> str:
     # NULL text → NULL, mirroring shingle_hashes: DuckDB's list chain
     # otherwise yields [] for NULL, which (unlike NULL) gives every
     # NULL doc the all-ones simhash — NULL docs would pair as perfect
     # duplicates in the oracle while Spark drops them (fuzz-pinned).
+    hasher = (
+        hashing.sql_hash32 if hash_bits <= 32 else hashing.sql_hash60
+    )
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_transform(list_distinct({tx.sql_shingles(expr, n)}), "
-        f"s -> {hashing.sql_hash32('s')}) END"
+        f"s -> {hasher('s')}) END"
     )
 
 
@@ -1251,9 +1328,9 @@ def sql_char_shingle_hashes(
     )
 
 
-def sql_word_hashes(expr: str) -> str:
+def sql_word_hashes(expr: str, hash_bits: int = 32) -> str:
     """SimHash feature hashes — same shingle features as the Spark side."""
-    return sql_shingle_hashes(expr)
+    return sql_shingle_hashes(expr, hash_bits=hash_bits)
 
 
 def sql_simhash_from_hashes(hs_col: str, bits: int = SIMHASH_BITS) -> str:
@@ -1270,4 +1347,58 @@ def sql_simhash_from_hashes(hs_col: str, bits: int = SIMHASH_BITS) -> str:
     return (
         f"CASE WHEN {hs_col} IS NULL THEN NULL "
         f"ELSE CAST({terms} AS BIGINT) END"
+    )
+
+
+def _sql_is_narrow(table: str) -> str:
+    """The width branch predicate, on the SAME corpus count the Spark
+    side's adaptive_simhash_width consumes — parity is data-dependent."""
+    return f"(SELECT count(*) FROM {table}) <= {SIMHASH_WIDEN_DOCS}"
+
+
+def sql_adaptive_word_hashes(expr: str, table: str = "documents") -> str:
+    """DuckDB twin of the width-matched feature hashes: 32-bit features
+    under the narrow signature, 60-bit under the wide one (see
+    :func:`simhash` — high signature bits need high feature bits)."""
+    return (
+        f"CASE WHEN {_sql_is_narrow(table)} "
+        f"THEN {sql_word_hashes(expr)} "
+        f"ELSE {sql_word_hashes(expr, hash_bits=60)} END"
+    )
+
+
+def sql_adaptive_simhash_from_hashes(
+    hs_col: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`adaptive_simhash_width` + :func:`simhash`:
+    branches on the corpus count between the 32- and 56-bit signature
+    sums, so fixture-scale hashes are byte-identical to the recorded
+    narrow scheme and any corpus past SIMHASH_WIDEN_DOCS gets the wide
+    one — in BOTH engines, from the SAME count. ``hs_col`` must hold
+    :func:`sql_adaptive_word_hashes` output (width-matched features)."""
+    return (
+        f"CASE WHEN {_sql_is_narrow(table)} "
+        f"THEN ({sql_simhash_from_hashes(hs_col, SIMHASH_BITS)}) "
+        f"ELSE ({sql_simhash_from_hashes(hs_col, SIMHASH_WIDE_BITS)}) END"
+    )
+
+
+def sql_adaptive_simhash_bands(
+    src: str, sh_col: str, table: str = "documents"
+) -> str:
+    """Band fan-out twin: UNION ALL over the WIDE band count, each
+    branch gated by ``WHERE j < active_bands`` so the narrow corpus
+    produces exactly the 4 recorded bands and a wide one all 7. Nibble
+    width is invariant across widths (asserted at import)."""
+    nib = SIMHASH_BITS // SIMHASH_BANDS
+    n_bands = (
+        f"(CASE WHEN {_sql_is_narrow(table)} "
+        f"THEN {SIMHASH_BANDS} ELSE {SIMHASH_WIDE_BANDS} END)"
+    )
+    mask = (1 << nib) - 1
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {sh_col}, {j} AS band, "
+        f"({sh_col} >> {j * nib}) & {mask} AS nib "
+        f"FROM {src} WHERE {j} < {n_bands}"
+        for j in range(SIMHASH_WIDE_BANDS)
     )

@@ -155,15 +155,19 @@ WITH sh AS (
 )
 """
 
+# Width-adaptive (r8 verdict item 1): features and signature branch on
+# the corpus count exactly like the Spark side's adaptive_simhash_width
+# — narrow (32/4, the recorded scheme) at every fixture scale, wide
+# (56/7) past SIMHASH_WIDEN_DOCS.
 _SIMHASH_BASE = f"""
 WITH h AS (
-  SELECT doc_id, {dedup.sql_word_hashes('text')} AS hs FROM documents
+  SELECT doc_id, {dedup.sql_adaptive_word_hashes('text')} AS hs
+  FROM documents
 ), s AS (
-  SELECT doc_id, {dedup.sql_simhash_from_hashes('hs')} AS sh FROM h
+  SELECT doc_id, {dedup.sql_adaptive_simhash_from_hashes('hs')} AS sh
+  FROM h
 )
 """
-
-_NIB = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
 
 ORACLES["exact_dedup"] = f"""
     WITH unioned AS (
@@ -248,10 +252,7 @@ ORACLES["simhash"] = _SIMHASH_BASE + """
 
 ORACLES["simhash_near_dup"] = _SIMHASH_BASE + f"""
     , bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, sh, {j} AS band, (sh >> {j * _NIB}) & {(1 << _NIB) - 1} AS nib FROM s"
-          for j in range(dedup.SIMHASH_BANDS)
-      )}
+      {dedup.sql_adaptive_simhash_bands("s", "sh")}
     ), ok AS (
       -- mirror of the Spark-side skew guard: oversize nibble buckets
       -- are dropped, not joined; the cap is the SAME corpus-derived
@@ -377,15 +378,13 @@ ORACLES["near_dup_method_agreement"] = (
                   / len(list_distinct(x.hs || y.hs)), 6)
             >= {dedup.JACCARD_THRESHOLD}
     ), wh AS (
-      SELECT doc_id, {dedup.sql_word_hashes('text')} AS whs FROM documents
+      SELECT doc_id, {dedup.sql_adaptive_word_hashes('text')} AS whs
+      FROM documents
     ), sims AS (
-      SELECT doc_id, {dedup.sql_simhash_from_hashes('whs')} AS sh2 FROM wh
+      SELECT doc_id, {dedup.sql_adaptive_simhash_from_hashes('whs')} AS sh2
+      FROM wh
     ), sbands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, sh2, {j} AS band, "
-          f"(sh2 >> {j * _NIB}) & {(1 << _NIB) - 1} AS nib FROM sims"
-          for j in range(dedup.SIMHASH_BANDS)
-      )}
+      {dedup.sql_adaptive_simhash_bands("sims", "sh2")}
     ), sok AS (
       SELECT band, nib FROM sbands GROUP BY band, nib
       HAVING count(*) BETWEEN 2 AND {dedup.sql_adaptive_max_bucket("documents")}

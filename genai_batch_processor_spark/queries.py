@@ -416,8 +416,13 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash at the corpus-derived width (r8 verdict item 1:
+    32-bit at every fixture scale — recorded hashes untouched — 56-bit
+    past SIMHASH_WIDEN_DOCS, where 32-bit hamming balls saturate; the
+    oracle branches on the same count)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+    bits, _ = dedup.adaptive_simhash_width(docs.count())
+    return docs.select("doc_id", dedup.simhash("text", bits).alias("simhash"))
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,6 +290,18 @@ _DEDUP_CASES = {
             dedup.sql_word_hashes(e)
         ),
     ),
+    # the WIDE signature scheme (r8 verdict item 1): 56-bit majority
+    # over 60-bit features — the exact expressions the adaptive
+    # branches select past SIMHASH_WIDEN_DOCS, fuzz-pinned at fixture
+    # scale so width-boundary behavior is engine-exact before any
+    # corpus ever crosses the threshold
+    "simhash_wide": (
+        lambda c: dedup.simhash(c, dedup.SIMHASH_WIDE_BITS),
+        lambda e: dedup.sql_simhash_from_hashes(
+            dedup.sql_word_hashes(e, hash_bits=60),
+            dedup.SIMHASH_WIDE_BITS,
+        ),
+    ),
 }
 
 

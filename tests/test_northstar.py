@@ -390,6 +390,82 @@ def test_blocked_pairs_basics_and_oversized_block_dropped(spark):
     assert capped == []
 
 
+def test_simhash_adaptive_width_boundary():
+    """r8 verdict item 1: the signature width is a corpus-derived step
+    like adaptive_k/adaptive_max_bucket — narrow (32/4) through the
+    threshold INCLUSIVE (every fixture scale and sf1 sit below it, so
+    recorded hashes are untouched), wide (56/7) one row past it; nibble
+    width and the pigeonhole recall guarantee hold at both widths."""
+    from genai_batch_processor_spark.operators import dedup
+
+    t = dedup.SIMHASH_WIDEN_DOCS
+    assert dedup.adaptive_simhash_width(0) == (32, 4)
+    assert dedup.adaptive_simhash_width(50_000) == (32, 4)  # sf1
+    assert dedup.adaptive_simhash_width(t) == (32, 4)
+    assert dedup.adaptive_simhash_width(t + 1) == (56, 7)
+    assert dedup.adaptive_simhash_width(500_000) == (56, 7)  # sf10
+
+    for bits, bands in ((32, 4), (56, 7)):
+        assert bits % bands == 0
+        assert bits // bands == 8  # band math shared across widths
+        # hamming ≤ h differs in ≤ h bands → ≥ bands-h exact-equal
+        assert dedup.SIMHASH_MAX_HAMMING < bands
+
+    import pytest
+
+    with pytest.raises(ValueError, match="<= 60"):
+        dedup.simhash("text", 64)
+
+
+def test_simhash_wide_path_end_to_end_parity(
+    spark, sf_dir, duck, monkeypatch
+):
+    """Force the 500-doc fixture past the widening threshold and run
+    the FULL adaptive near-dup path in both engines: Spark's
+    simhash_near_dup_pairs picks (56, 7) via its own count, and the
+    DuckDB twin (regenerated post-monkeypatch, same helpers the real
+    oracle uses) flips to wide via ITS corpus-count branch — the
+    width boundary is exercised end-to-end, not just per-expression."""
+    from genai_batch_processor_spark.operators import dedup
+    from genai_batch_processor_spark.sources.tables import load_table
+    from tests.util import assert_matches_oracle
+
+    monkeypatch.setattr(dedup, "SIMHASH_WIDEN_DOCS", 100)
+    docs = load_table(spark, sf_dir, "documents")
+    assert dedup.adaptive_simhash_width(docs.count()) == (56, 7)
+
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+    sql = f"""
+    WITH h AS (
+      SELECT doc_id, {dedup.sql_adaptive_word_hashes('text')} AS hs
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {dedup.sql_adaptive_simhash_from_hashes('hs')} AS sh
+      FROM h
+    ), bands AS (
+      {dedup.sql_adaptive_simhash_bands("s", "sh")}
+    ), ok AS (
+      SELECT band, nib FROM bands GROUP BY band, nib
+      HAVING count(*) BETWEEN 2 AND {dedup.sql_adaptive_max_bucket("documents")}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM bands a
+      JOIN ok o ON a.band = o.band AND a.nib = o.nib
+      JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
+    """
+    # a parity pass over empty sets would prove nothing — the fixture's
+    # injected near-dup structure must survive the wide signature
+    assert pairs.count() > 0
+    assert_matches_oracle(pairs, duck, sql)
+
+
 def test_blocked_pairs_distance_mode(spark):
     """r8 advice: byte distances silently change max_distance UNITS on
     non-ASCII names (an accented edit costs 2 bytes). distance_mode is

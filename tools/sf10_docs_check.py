@@ -1,19 +1,27 @@
-"""sf10 tail evidence for the two worst scalers (round-7 verdict
-item 8): `simhash_near_dup` (8.03x @ 10x) and `ngram_jaccard`
-(7.19x @ 10x) are sublinear but close to linear — one more decade
-shows whether the char-shingle explode compounds. Generates a
-DOCUMENTS-ONLY fixture at 100x sf0.1 rows (500k docs, same empirical
-distributions and injected near-dup structure via
-tools/gen_sf1.gen_documents) and times both queries at sf0.1 vs sf10.
+"""sf10 tail evidence (round-7 item 8, extended round 9).
 
-Both queries read only the documents table, so the fixture directory
-holds just documents.parquet. A JVM collection runs between timed legs
-(same rationale as scale_check: a deferred full GC from the shingle
-explosion must not land inside the next leg's wall clock).
+Two sections, one shared 100x fixture (documents AND embeddings at
+100x sf0.1 rows — 500k docs / 200k vectors, same empirical
+distributions and injected near-dup structure via tools/gen_sf1):
+
+1. Worst-scaler queries: `simhash_near_dup` (r8: 94.7x @ 100x with
+   896x output pairs — 32-bit ball saturation, now fixed by the
+   adaptive 56-bit signature) and `ngram_jaccard` (33.7x @ 100x).
+2. Incremental-probe family (r8 verdict item 3): build the MinHash /
+   trained-cell embedding index at each scale, probe the SAME
+   fixed-size batch (500 docs / 200 vectors from sf0.1, re-keyed),
+   and time ONLY the probe. The 100 TB design claim is that probe
+   cost is batch-proportional; the term that can still grow with the
+   corpus is the single index scan the probe broadcasts into — this
+   measures it rather than assuming it.
+
+A JVM collection runs between timed legs (same rationale as
+scale_check: a deferred full GC from the shingle explosion must not
+land inside the next leg's wall clock).
 
 Usage: python tools/sf10_docs_check.py [sf10_dir] [out_json]
-(generates the fixture into sf10_dir if missing; default
-/tmp/sf10_docs, BENCH_SCALE_SF10.json)
+(generates fixtures into sf10_dir if missing; default /tmp/sf10_docs,
+BENCH_SCALE_SF10.json)
 """
 
 from __future__ import annotations
@@ -30,42 +38,68 @@ from genai_batch_processor_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 N_DOCS_SF10 = 500_000  # 100x sf0.1's 5k documents
+N_VECS_SF10 = 200_000  # 100x sf0.1's 2k embeddings
 QUERIES = ["simhash_near_dup", "ngram_jaccard"]
+PROBE_ID_OFFSET = 10_000_000  # disjoint id space for the fixed batch
 
 
 def ensure_fixture(sf10_dir: str) -> None:
-    path = os.path.join(sf10_dir, "documents.parquet")
-    if os.path.exists(path):
-        return
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from tools import gen_sf1
 
     os.makedirs(sf10_dir, exist_ok=True)
-    t0 = time.monotonic()
-    rng = np.random.default_rng(gen_sf1.SEED + 9)
-    pq.write_table(gen_sf1.gen_documents(rng, N_DOCS_SF10), path)
-    print(
-        f"generated sf10 documents ({N_DOCS_SF10} rows) in "
-        f"{time.monotonic() - t0:.1f}s",
-        file=sys.stderr,
-    )
+    docs_path = os.path.join(sf10_dir, "documents.parquet")
+    if not os.path.exists(docs_path):
+        t0 = time.monotonic()
+        rng = np.random.default_rng(gen_sf1.SEED + 9)
+        pq.write_table(gen_sf1.gen_documents(rng, N_DOCS_SF10), docs_path)
+        print(
+            f"generated sf10 documents ({N_DOCS_SF10} rows) in "
+            f"{time.monotonic() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    emb_path = os.path.join(sf10_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        t0 = time.monotonic()
+        rng = np.random.default_rng(gen_sf1.SEED + 19)
+        E = rng.standard_normal((N_VECS_SF10, 64)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(N_VECS_SF10), type=pa.int64()),
+                    "embedding": pa.array(
+                        list(E), type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        rng.integers(0, 10, size=N_VECS_SF10),
+                        type=pa.int32(),
+                    ),
+                }
+            ),
+            emb_path,
+        )
+        print(
+            f"generated sf10 embeddings ({N_VECS_SF10} rows) in "
+            f"{time.monotonic() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
 
-def main() -> None:
-    sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_docs"
-    out_json = (
-        sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_SF10.json"
-    )
-    ensure_fixture(sf10_dir)
-    spark = get_spark("sf10_docs_check")
+def _gc(spark) -> None:
+    spark._jvm.System.gc()
+
+
+def query_section(spark, sf10_dir: str) -> dict:
     qs = entrymod.queries()
     results = {}
     for name in QUERIES:
         times = {}
         for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
-            spark._jvm.System.gc()
+            _gc(spark)
             t1 = time.monotonic()
             n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)
@@ -78,10 +112,119 @@ def main() -> None:
             f"rows {times['rows_sf0.1']}->{times['rows_sf10']}",
             file=sys.stderr,
         )
+    return results
+
+
+def probe_section(spark, sf10_dir: str) -> dict:
+    """Fixed-size batch vs growing index: probe time should be ~flat
+    (index-scan bounded); build time is reported alongside so the two
+    costs never get conflated."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import (
+        clustering,
+        dedup,
+        similarity,
+    )
+
+    results: dict = {}
+
+    # -- MinHash: 500-doc batch (sf0.1's doc_id % 10 == 3, re-keyed) --
+    batch_docs = (
+        spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + PROBE_ID_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    batch_index = dedup.minhash_index(batch_docs, "doc_id", "text").persist()
+    n_batch = batch_index.select("id").distinct().count()
+    mh: dict = {"batch_docs": n_batch}
+    for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        _gc(spark)
+        t0 = time.monotonic()
+        index = dedup.minhash_index(docs, "doc_id", "text").persist()
+        index.count()
+        mh[f"build_{label}"] = round(time.monotonic() - t0, 3)
+        _gc(spark)
+        t0 = time.monotonic()
+        n = dedup.incremental_near_dup_pairs(
+            index, batch_docs, "doc_id", "text", batch_index=batch_index
+        ).count()
+        mh[f"probe_{label}"] = round(time.monotonic() - t0, 3)
+        mh[f"pairs_{label}"] = n
+        index.unpersist()
+    batch_index.unpersist()
+    mh["probe_ratio_100x"] = round(mh["probe_sf10"] / mh["probe_sf0.1"], 2)
+    results["incremental_near_dup"] = mh
+    print(
+        f"incremental_near_dup probe sf0.1={mh['probe_sf0.1']:.2f}s "
+        f"sf10={mh['probe_sf10']:.2f}s ratio={mh['probe_ratio_100x']:.2f} "
+        f"(builds {mh['build_sf0.1']:.1f}s/{mh['build_sf10']:.1f}s)",
+        file=sys.stderr,
+    )
+
+    # -- Embedding: 200-vector batch (sf0.1's vec_id % 10 == 3) -------
+    batch_vecs = (
+        spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+        .filter(F.col("vec_id") % 10 == 3)
+        .select(
+            (F.col("vec_id") + PROBE_ID_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    ev: dict = {"batch_vecs": batch_vecs.count()}
+    for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        _gc(spark)
+        t0 = time.monotonic()
+        k = clustering.adaptive_k(emb.count())
+        cents = clustering.centroids_from_cells(
+            clustering.kmeans_cells(emb, k=k)
+        )
+        ev[f"train_{label}"] = round(time.monotonic() - t0, 3)
+        ev[f"k_{label}"] = k
+        t0 = time.monotonic()
+        index = similarity.embedding_cell_index(emb, cents).persist()
+        index.count()
+        ev[f"build_{label}"] = round(time.monotonic() - t0, 3)
+        _gc(spark)
+        t0 = time.monotonic()
+        n = similarity.incremental_embedding_pairs(
+            index, batch_vecs, cents, max_cell=512
+        ).count()
+        ev[f"probe_{label}"] = round(time.monotonic() - t0, 3)
+        ev[f"pairs_{label}"] = n
+        index.unpersist()
+    batch_vecs.unpersist()
+    ev["probe_ratio_100x"] = round(ev["probe_sf10"] / ev["probe_sf0.1"], 2)
+    results["incremental_embedding_near_dup"] = ev
+    print(
+        f"incremental_embedding probe sf0.1={ev['probe_sf0.1']:.2f}s "
+        f"sf10={ev['probe_sf10']:.2f}s ratio={ev['probe_ratio_100x']:.2f} "
+        f"(train {ev['train_sf0.1']:.1f}s/{ev['train_sf10']:.1f}s, "
+        f"builds {ev['build_sf0.1']:.1f}s/{ev['build_sf10']:.1f}s)",
+        file=sys.stderr,
+    )
+    return results
+
+
+def main() -> None:
+    sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_docs"
+    out_json = (
+        sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_SF10.json"
+    )
+    ensure_fixture(sf10_dir)
+    spark = get_spark("sf10_docs_check")
+    results = query_section(spark, sf10_dir)
     payload = {
         "n_docs_sf01": 5_000,
         "n_docs_sf10": N_DOCS_SF10,
+        "n_vecs_sf10": N_VECS_SF10,
         "queries": results,
+        "probes": probe_section(spark, sf10_dir),
     }
     with open(out_json, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
