@@ -188,7 +188,36 @@ def plan_info(df) -> dict | None:
             )
         ),
         "single_partition": s.count("SinglePartition"),
+        "in_memory_scans": len(re.findall(r"InMemory(?:Relation|TableScan)", s)),
     }
+
+
+def stamp_shared_stage(plans: dict[str, dict]) -> None:
+    """r8 verdict item 5: self-describe run-order-dependent digests.
+    Entries for queries that consume a session-shared persisted stage
+    (queries.shared_stage_queries — source-introspected, never a
+    hand-kept list) get the helpers they consume plus a
+    ``cache_bypassed`` flag:
+
+    - ``true`` — the captured plan shows NO in-memory scan: the digest
+      is the COLD full-pipeline capture (cache invalidated or not yet
+      built at capture time) of a stage the timing may have read warm.
+    - ``false`` (with ``shared_stages`` present) — the plan reads the
+      warm cache; note that formatted explain INLINES the cached
+      stage's build subtree, so shape counters (the 72 exchanges on
+      part_match_blocking_recall) count operators that never re-execute
+      — ``in_memory_scans`` > 0 is the tell.
+
+    Either way the entry now says what its digest means instead of
+    reading as a regression to anyone without the run-order context."""
+    from genai_batch_processor_spark.queries import shared_stage_queries
+
+    shared = shared_stage_queries()
+    for name, info in plans.items():
+        helpers = shared.get(name)
+        if helpers:
+            info["shared_stages"] = helpers
+            info["cache_bypassed"] = info.get("in_memory_scans", 0) == 0
 
 
 def main() -> None:
@@ -241,6 +270,7 @@ def main() -> None:
                 info = plan_info(df)
                 if info is not None:
                     plans[name] = info
+    stamp_shared_stage(plans)
     try:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:

@@ -602,41 +602,60 @@ def sample_video_frames_real(
     id_name, data_name = id_col, data_col
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import av
-
-        for pdf in batches:
-            ids, idxs, fps = [], [], []
-            for rid, b in zip(pdf[id_name], pdf[data_name]):
-                raw = bytes(b) if b is not None else b""
-                if not raw:
-                    continue
-                with av.open(io.BytesIO(raw)) as container:
-                    streams = [
-                        s for s in container.streams if s.type == "video"
-                    ]
-                    if not streams:
-                        continue
-                    stream = streams[0]
-                    stream.codec_context.skip_frame = "NONKEY"
-                    k = 0
-                    for frame in container.decode(stream):
-                        if k >= max_frames:
-                            break
-                        rgb = frame.to_ndarray(format="rgb24")
-                        fp = int(
-                            hashlib.md5(rgb.tobytes()).hexdigest()[:15], 16
-                        )
-                        ids.append(int(rid))
-                        idxs.append(k)
-                        fps.append(fp)
-                        k += 1
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_fp": fps}
-            )
+        yield from _sample_video_batches(
+            batches, id_name, data_name, max_frames
+        )
 
     return df.select(id_col, data_col).mapInPandas(sample, VIDEO_FRAMES)
+
+
+def _sample_video_batches(
+    batches: Iterator[pd.DataFrame],
+    id_name: str,
+    data_name: str,
+    max_frames: int,
+) -> Iterator[pd.DataFrame]:
+    """The worker-side body of :func:`sample_video_frames_real`,
+    module-level so its loop logic (keyframe cap, NONKEY demux hint,
+    empty/audio-only skips, RGB content fingerprinting, 1→many
+    fan-out) is unit-testable with a faked ``av`` module — PyAV has
+    never been importable in this sandbox, and an untested loop inside
+    a closure is exactly where a real deployment would find the first
+    bug. ``import av`` stays INSIDE (resolved per worker process, and
+    per call under the test's fake)."""
+    import io
+
+    import av
+
+    for pdf in batches:
+        ids, idxs, fps = [], [], []
+        for rid, b in zip(pdf[id_name], pdf[data_name]):
+            raw = bytes(b) if b is not None else b""
+            if not raw:
+                continue
+            with av.open(io.BytesIO(raw)) as container:
+                streams = [
+                    s for s in container.streams if s.type == "video"
+                ]
+                if not streams:
+                    continue
+                stream = streams[0]
+                stream.codec_context.skip_frame = "NONKEY"
+                k = 0
+                for frame in container.decode(stream):
+                    if k >= max_frames:
+                        break
+                    rgb = frame.to_ndarray(format="rgb24")
+                    fp = int(
+                        hashlib.md5(rgb.tobytes()).hexdigest()[:15], 16
+                    )
+                    ids.append(int(rid))
+                    idxs.append(k)
+                    fps.append(fp)
+                    k += 1
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_fp": fps}
+        )
 
 
 def video_frames_dispatch(

@@ -4428,3 +4428,40 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R9_FRONT},
     **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
 }
+
+
+# Session-shared persisted stages (the *_shared helpers above). A
+# query whose plan CONSUMES one of these digests an InMemoryRelation
+# once the cache is warm — so its bench plan digest depends on run
+# order within the session. bench.py stamps such entries
+# ("shared_stages" + "cache_bypassed", r8 verdict item 5) so a reader
+# of BENCH_PLANS.json knows a full-pipeline digest (e.g. the
+# 72-exchange part_match_blocking_recall) is the COLD capture of a
+# stage the timing itself read warm, not a regression.
+_SHARED_STAGE_HELPERS = (
+    "_near_dup_pairs_shared",
+    "_simhash_pairs_shared",
+    "_components_shared",
+    "_corpus_index_shared",
+    "_trained_centroids_shared",
+    "_emb_index_shared",
+    "_part_pairs_shared",
+)
+
+
+def shared_stage_queries() -> dict[str, list[str]]:
+    """``{query_name: [shared helpers its source calls]}`` — derived by
+    source introspection so new queries and new caches never need a
+    hand-maintained list kept in sync."""
+    import inspect
+
+    out: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):  # pragma: no cover - builtins only
+            continue
+        used = [h for h in _SHARED_STAGE_HELPERS if h in src]
+        if used:
+            out[name] = used
+    return out

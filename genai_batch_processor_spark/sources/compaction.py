@@ -330,6 +330,50 @@ def merge_inputs(
     return paths, bound
 
 
+def inflight_epochs(spark: SparkSession, root: str) -> list[int]:
+    """Epochs whose ``batch=N`` directory has NO ``_SUCCESS`` commit
+    marker and sits above the base-merge bound — the on-disk signature
+    of a stream epoch being written RIGHT NOW (or of a stream killed
+    mid-write, which a restart will rewrite). Committed epochs always
+    carry ``_SUCCESS`` (the file-output committer writes it at job
+    commit); an uncommitted one below the merge bound is covered debris
+    GC will collect, not a live write."""
+    jvm, _, fs = _fs(spark, root)
+    merged = merged_bound(spark, root)
+    out = []
+    for epoch, epath in _epoch_entries(spark, root):
+        if epoch <= merged:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(epath + "/_SUCCESS")
+        if not fs.exists(marker):
+            out.append(epoch)
+    return out
+
+
+def assert_quiescent(
+    spark: SparkSession, root: str, action: str = "base merge"
+) -> None:
+    """Loud refusal when the sink root shows an in-flight epoch (r8
+    verdict item 4): a merge that folds epochs while a stream is
+    draining would pull directories out from under the stream's epoch
+    ledger (``streaming/ingest._EpochLedger`` caches paths for the
+    run's lifetime) and the stream's next probe would read deleted
+    paths — the same unrecoverable mixing the compactor's
+    replayable-epoch refusal (``epoch_sink_paths``) exists to stop.
+    The quiescence contract was prose until now; this is the guard."""
+    eps = inflight_epochs(spark, root)
+    if eps:
+        raise ValueError(
+            f"epoch sink at {root} has uncommitted in-flight epoch"
+            f"{'s' if len(eps) > 1 else ''} "
+            f"{eps} (batch={eps[0]} has no _SUCCESS): a stream is "
+            f"writing this root right now — or died mid-write and will "
+            f"rewrite it on restart. {action} requires quiescence: "
+            "stop the stream (let the epoch commit) or restart it to "
+            "completion, then retry."
+        )
+
+
 def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
     """Delete every ``batch=N`` directory covered by the newest
     committed compaction or base merge, plus superseded compactions and

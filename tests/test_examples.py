@@ -165,3 +165,31 @@ def test_embedding_ingest_example(spark, sf_dir):
     pairs = run_embedding_ingest.main(spark, sf_dir)
     assert run_embedding_ingest.LAST_POST_MERGE_HITS >= 1
     assert pairs.count() >= 1
+
+
+def test_readme_quick_start_snippet(spark, sf_dir, capsys):
+    """r8 verdict item 8: the README's copy-paste quick-start must
+    actually run — extracted from README.md itself (not re-typed here,
+    so README drift fails this test) and exec'd against the fixture.
+    The only edit is pointing the hard-coded fixture path at the test
+    sf_dir."""
+    import os
+    import re
+
+    readme = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "README.md",
+    )
+    with open(readme) as f:
+        text = f.read()
+    m = re.search(r"```python\n(.*?)```", text, re.DOTALL)
+    assert m, "README has no python quick-start block"
+    snippet = m.group(1).replace("/root/testdata/sf0.001", sf_dir)
+    ns: dict = {}
+    exec(compile(snippet, "README.md#quick-start", "exec"), ns)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    n_results, n_errors = (int(x) for x in out.split())
+    # the mock fails a deterministic slice — the split must partition
+    assert n_results + n_errors == ns["docs"].count()
+    assert n_results > 0 and n_errors > 0
+    assert ns["answered"].columns == ["doc_id", "answer"]

@@ -1120,3 +1120,32 @@ def test_bench_slow_flag_gate():
     # boundary: exactly 2x is NOT a flag (strict >)
     assert bench.compute_slow_flags({"big": 10.0}, frozen) == {}
     assert bench.compute_slow_flags({}, frozen) == {}
+
+
+def test_bench_shared_stage_stamp():
+    """r8 verdict item 5: plan digests for shared-stage consumers must
+    self-describe. A consumer captured COLD (no in-memory scan in the
+    plan) is stamped cache_bypassed=true; one captured warm is stamped
+    false; non-consumers are untouched."""
+    import bench
+
+    plans = {
+        "part_match_blocking_recall": {
+            "digest": "x", "exchanges": 72, "in_memory_scans": 0,
+        },
+        "split_leakage": {
+            "digest": "y", "exchanges": 3, "in_memory_scans": 2,
+        },
+        "pricing_summary": {"digest": "z", "exchanges": 1,
+                            "in_memory_scans": 0},
+    }
+    bench.stamp_shared_stage(plans)
+    pm = plans["part_match_blocking_recall"]
+    assert pm["cache_bypassed"] is True
+    assert "_part_pairs_shared" in pm["shared_stages"]
+    sl = plans["split_leakage"]
+    assert sl["cache_bypassed"] is False
+    assert "_near_dup_pairs_shared" in sl["shared_stages"]
+    # not a shared-stage consumer: no stamp at all
+    assert "cache_bypassed" not in plans["pricing_summary"]
+    assert "shared_stages" not in plans["pricing_summary"]

@@ -429,3 +429,117 @@ def test_video_frames_dispatch(spark):
     assert not mm._is_video_magic(b"RIFF\x00\x00\x00\x00WAVEfmt ")
     assert not mm._is_video_magic(b"\x89PNG\r\n\x1a\n")
     assert not mm._is_video_magic(b"")
+
+
+def test_video_sampler_loop_with_faked_pyav(monkeypatch):
+    """r8 verdict item 7: PyAV has never imported in this sandbox, so
+    the keyframe sampler's loop has never executed. Cover it pure-
+    Python: fake the ``av`` module (the sampler imports it INSIDE the
+    batch function, so a sys.modules entry is all it takes) with a
+    container yielding fixed ndarray frames, and pin every loop
+    contract — NONKEY demux hint set before decode, the max_frames
+    cap, empty/None and audio-only skips, the 60-bit md5-of-RGB
+    fingerprint, and the 1→many fan-out shape across a multi-doc,
+    multi-batch input."""
+    import hashlib
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    def frame_array(seed, k):
+        rng = np.random.default_rng(seed * 100 + k)
+        return rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+
+    class FakeFrame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._arr
+
+    opened = []
+
+    class FakeContainer:
+        """Payload protocol: b'VID:<seed>:<n>' → video stream with n
+        frames; b'AUD' → audio-only container."""
+
+        def __init__(self, fileobj):
+            raw = fileobj.read()
+            if raw.startswith(b"VID:"):
+                _, seed, n = raw.split(b":")
+                self._frames = [
+                    FakeFrame(frame_array(int(seed), k))
+                    for k in range(int(n))
+                ]
+                self.streams = [
+                    types.SimpleNamespace(
+                        type="video",
+                        codec_context=types.SimpleNamespace(
+                            skip_frame=None
+                        ),
+                    )
+                ]
+            else:
+                self._frames = []
+                self.streams = [
+                    types.SimpleNamespace(
+                        type="audio",
+                        codec_context=types.SimpleNamespace(
+                            skip_frame=None
+                        ),
+                    )
+                ]
+            opened.append(self)
+
+        def decode(self, stream):
+            # the demux hint must be set BEFORE decode is consumed
+            assert stream.codec_context.skip_frame == "NONKEY"
+            yield from self._frames
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = FakeContainer
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    batches = [
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "data": [
+                    b"VID:7:6",   # 6 keyframes -> capped at 4
+                    b"",          # empty payload -> zero rows
+                    None,         # NULL payload -> zero rows
+                    b"AUD",       # audio-only container -> zero rows
+                ],
+            }
+        ),
+        pd.DataFrame({"doc_id": [5], "data": [b"VID:9:2"]}),
+    ]
+    out = list(
+        mm._sample_video_batches(iter(batches), "doc_id", "data", 4)
+    )
+    assert len(out) == 2  # one output frame per input batch
+    first, second = out
+
+    # fan-out + cap: doc 1 contributes exactly frames 0..3
+    assert list(first["doc_id"]) == [1, 1, 1, 1]
+    assert list(first["frame_idx"]) == [0, 1, 2, 3]
+    # content fingerprint: 60-bit md5 of the raw RGB bytes
+    want0 = int(
+        hashlib.md5(frame_array(7, 0).tobytes()).hexdigest()[:15], 16
+    )
+    assert first["frame_fp"][0] == want0
+
+    assert list(second["doc_id"]) == [5, 5]
+    assert list(second["frame_idx"]) == [0, 1]
+
+    # audio-only container was actually opened (not skipped by magic)
+    assert any(s.streams[0].type == "audio" for s in opened)
