@@ -37,16 +37,24 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3  # pigeonhole-compatible with 4 bands of 8 bits
 # -- scale-adaptive signature width (round-8 verdict item 1) -----------------
-# A 32-bit SimHash saturates as the corpus grows: signatures of docs
-# sharing a vocabulary concentrate, so the number of docs inside any
-# hamming-≤3 ball grows with corpus size BY CONSTRUCTION — measured at
-# sf10 (500k docs): 896x output pairs at 100x rows, ball saturation,
-# not near-dup structure. Past SIMHASH_WIDEN_DOCS the signature widens
-# to 56 bits / 7 bands (nibble width unchanged at 8): random-pair
-# hamming then concentrates near 28, hamming-≤3 balls stay tiny, and
-# pair growth tracks true near-dup density. 56 (not 64) keeps the
-# signature strictly positive in a signed int64 on BOTH engines — no
-# sign-bit contortions in band extraction or the DuckDB twin. Wide
+# A 32-bit SimHash saturates as the corpus grows, TWICE OVER:
+# (1) OUTPUT — signatures of docs sharing a vocabulary concentrate, so
+#     the docs inside any hamming-≤3 ball grow with corpus size by
+#     construction (measured at sf10, 500k docs: 896x output pairs at
+#     100x rows — ball saturation, not near-dup structure);
+# (2) CANDIDATES — 8-bit nibble cells number only bands × 256, so at
+#     500k docs each (band, nib) cell holds ~2k docs and the in-cell
+#     pair explode generates ~2 BILLION candidates before the hamming
+#     filter sees one of them.
+# Past SIMHASH_WIDEN_DOCS the signature widens to 56 bits in 4 bands
+# of 14-BIT nibbles: random-pair hamming concentrates near 28 so
+# hamming-≤3 balls stay tiny (fixes 1), and cells number 4 × 2^14 so
+# the in-cell population — and with it candidate volume — drops ~64x
+# (fixes 2). Band COUNT stays 4: more bands would multiply candidate
+# work; the selectivity comes from wider nibbles, and the pigeonhole
+# recall guarantee needs only max_hamming < bands. 56 (not 64) keeps
+# the signature strictly positive in a signed int64 on BOTH engines —
+# no sign-bit contortions in band extraction or the DuckDB twin. Wide
 # signatures vote on 60-bit feature hashes (portable_hash60): 32-bit
 # features carry no signal above bit 31, so bits 32..55 of a wide
 # signature would otherwise be constant. The threshold sits between
@@ -56,24 +64,29 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole-compatible with 4 bands of 8 bits
 # data-dependent at every scale, like adaptive_max_bucket.
 SIMHASH_WIDEN_DOCS = 200_000
 SIMHASH_WIDE_BITS = 56
-SIMHASH_WIDE_BANDS = 7
-# the band math (nibble width, pigeonhole recall guarantee) relies on
-# these invariants at EVERY width — fail at import, not in a plan
-if SIMHASH_BITS // SIMHASH_BANDS != SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS:
-    raise ValueError("narrow and wide SimHash nibble widths must match")
-if not (SIMHASH_MAX_HAMMING < SIMHASH_BANDS <= SIMHASH_WIDE_BANDS):
-    raise ValueError(
-        "pigeonhole recall needs max_hamming < bands at every width"
-    )
+SIMHASH_WIDE_BANDS = 4
+# the band math (divisibility, pigeonhole recall guarantee) must hold
+# at EVERY width — fail at import, not in a plan
+for _bits, _bands in ((SIMHASH_BITS, SIMHASH_BANDS),
+                      (SIMHASH_WIDE_BITS, SIMHASH_WIDE_BANDS)):
+    if _bits % _bands:
+        raise ValueError("SimHash bits must divide evenly into bands")
+    if not SIMHASH_MAX_HAMMING < _bands:
+        raise ValueError(
+            "pigeonhole recall needs max_hamming < bands at every width"
+        )
 
 
 def adaptive_simhash_width(n_rows: int) -> tuple[int, int]:
     """Corpus-derived (bits, bands): the fixture-scale 32/4 up to
-    SIMHASH_WIDEN_DOCS rows, 56/7 past it. Monotone step, mirrored
-    data-dependently in the DuckDB twins (sql_adaptive_simhash_*)."""
+    SIMHASH_WIDEN_DOCS rows, 56/4 (14-bit nibbles) past it. Monotone
+    step, mirrored data-dependently in the DuckDB twins
+    (sql_adaptive_simhash_*)."""
     if n_rows <= SIMHASH_WIDEN_DOCS:
         return SIMHASH_BITS, SIMHASH_BANDS
     return SIMHASH_WIDE_BITS, SIMHASH_WIDE_BANDS
+
+
 MAX_BUCKET = 64  # skew guard for LSH buckets
 # -- scale-adaptive bucket cap (round-5 verdict item 1) ----------------------
 # The SimHash nibble-band cells number only SIMHASH_BANDS x 2^8, so
@@ -1215,7 +1228,8 @@ def simhash_near_dup_pairs(
     same corpus count (:func:`adaptive_simhash_width` — r8 verdict
     item 1): past SIMHASH_WIDEN_DOCS the 32-bit hamming-≤3 balls
     saturate (every doc sees more in-ball neighbors purely from corpus
-    growth) and the signature widens to 56 bits / 7 bands so pair
+    growth) and the signature widens to 56 bits / 4 bands of
+    14-bit nibbles — stricter balls AND ~64x smaller cells — so pair
     growth tracks true near-dup density. Pass an explicit
     ``(bits, bands)`` to pin a width (tests, cross-corpus parity)."""
     if max_bucket is None or width is None:
@@ -1386,19 +1400,26 @@ def sql_adaptive_simhash_from_hashes(
 def sql_adaptive_simhash_bands(
     src: str, sh_col: str, table: str = "documents"
 ) -> str:
-    """Band fan-out twin: UNION ALL over the WIDE band count, each
-    branch gated by ``WHERE j < active_bands`` so the narrow corpus
-    produces exactly the 4 recorded bands and a wide one all 7. Nibble
-    width is invariant across widths (asserted at import)."""
-    nib = SIMHASH_BITS // SIMHASH_BANDS
+    """Band fan-out twin: UNION ALL over the larger band count, each
+    branch gated by ``WHERE j < active_bands`` and computing its nibble
+    under the ACTIVE width's geometry (8-bit nibbles narrow, 14-bit
+    wide) — the same corpus-count branch every adaptive fragment
+    uses."""
+    narrow_nib = SIMHASH_BITS // SIMHASH_BANDS
+    wide_nib = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
     n_bands = (
         f"(CASE WHEN {_sql_is_narrow(table)} "
         f"THEN {SIMHASH_BANDS} ELSE {SIMHASH_WIDE_BANDS} END)"
     )
-    mask = (1 << nib) - 1
-    return " UNION ALL ".join(
-        f"SELECT doc_id, {sh_col}, {j} AS band, "
-        f"({sh_col} >> {j * nib}) & {mask} AS nib "
-        f"FROM {src} WHERE {j} < {n_bands}"
-        for j in range(SIMHASH_WIDE_BANDS)
-    )
+    branches = []
+    for j in range(max(SIMHASH_BANDS, SIMHASH_WIDE_BANDS)):
+        nib_expr = (
+            f"(CASE WHEN {_sql_is_narrow(table)} "
+            f"THEN ({sh_col} >> {j * narrow_nib}) & {(1 << narrow_nib) - 1} "
+            f"ELSE ({sh_col} >> {j * wide_nib}) & {(1 << wide_nib) - 1} END)"
+        )
+        branches.append(
+            f"SELECT doc_id, {sh_col}, {j} AS band, {nib_expr} AS nib "
+            f"FROM {src} WHERE {j} < {n_bands}"
+        )
+    return " UNION ALL ".join(branches)

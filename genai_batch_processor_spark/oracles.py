@@ -158,7 +158,7 @@ WITH sh AS (
 # Width-adaptive (r8 verdict item 1): features and signature branch on
 # the corpus count exactly like the Spark side's adaptive_simhash_width
 # — narrow (32/4, the recorded scheme) at every fixture scale, wide
-# (56/7) past SIMHASH_WIDEN_DOCS.
+# (56-bit / 4 bands of 14-bit nibbles) past SIMHASH_WIDEN_DOCS.
 _SIMHASH_BASE = f"""
 WITH h AS (
   SELECT doc_id, {dedup.sql_adaptive_word_hashes('text')} AS hs

@@ -394,7 +394,8 @@ def test_simhash_adaptive_width_boundary():
     """r8 verdict item 1: the signature width is a corpus-derived step
     like adaptive_k/adaptive_max_bucket — narrow (32/4) through the
     threshold INCLUSIVE (every fixture scale and sf1 sit below it, so
-    recorded hashes are untouched), wide (56/7) one row past it; nibble
+    recorded hashes are untouched), wide (56 bits, 4 bands of 14-bit
+    nibbles) one row past it; divisibility
     width and the pigeonhole recall guarantee hold at both widths."""
     from genai_batch_processor_spark.operators import dedup
 
@@ -402,12 +403,14 @@ def test_simhash_adaptive_width_boundary():
     assert dedup.adaptive_simhash_width(0) == (32, 4)
     assert dedup.adaptive_simhash_width(50_000) == (32, 4)  # sf1
     assert dedup.adaptive_simhash_width(t) == (32, 4)
-    assert dedup.adaptive_simhash_width(t + 1) == (56, 7)
-    assert dedup.adaptive_simhash_width(500_000) == (56, 7)  # sf10
+    assert dedup.adaptive_simhash_width(t + 1) == (56, 4)
+    assert dedup.adaptive_simhash_width(500_000) == (56, 4)  # sf10
 
-    for bits, bands in ((32, 4), (56, 7)):
+    # wide selectivity comes from WIDER NIBBLES at the same band count
+    # (more bands would multiply candidate volume; wider cells shrink it)
+    assert (32 // 4, 56 // 4) == (8, 14)
+    for bits, bands in ((32, 4), (56, 4)):
         assert bits % bands == 0
-        assert bits // bands == 8  # band math shared across widths
         # hamming ≤ h differs in ≤ h bands → ≥ bands-h exact-equal
         assert dedup.SIMHASH_MAX_HAMMING < bands
 
@@ -422,7 +425,7 @@ def test_simhash_wide_path_end_to_end_parity(
 ):
     """Force the 500-doc fixture past the widening threshold and run
     the FULL adaptive near-dup path in both engines: Spark's
-    simhash_near_dup_pairs picks (56, 7) via its own count, and the
+    simhash_near_dup_pairs picks (56, 4) via its own count, and the
     DuckDB twin (regenerated post-monkeypatch, same helpers the real
     oracle uses) flips to wide via ITS corpus-count branch — the
     width boundary is exercised end-to-end, not just per-expression."""
@@ -432,7 +435,7 @@ def test_simhash_wide_path_end_to_end_parity(
 
     monkeypatch.setattr(dedup, "SIMHASH_WIDEN_DOCS", 100)
     docs = load_table(spark, sf_dir, "documents")
-    assert dedup.adaptive_simhash_width(docs.count()) == (56, 7)
+    assert dedup.adaptive_simhash_width(docs.count()) == (56, 4)
 
     pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
