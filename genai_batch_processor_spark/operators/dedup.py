@@ -75,6 +75,7 @@ for _bits, _bands in ((SIMHASH_BITS, SIMHASH_BANDS),
         raise ValueError(
             "pigeonhole recall needs max_hamming < bands at every width"
         )
+del _bits, _bands
 
 
 def adaptive_simhash_width(n_rows: int) -> tuple[int, int]:

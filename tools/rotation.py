@@ -5,7 +5,7 @@ The per-round driver samples the FIRST 50 entries of
 ``queries.QUERIES`` for the DuckDB oracle gate
 (``CORRECTNESS_r{N}.json``). Code under long-ungated queries keeps
 evolving (heap config, shared-stage rewrites), so the registry front
-must cycle oldest-gated-first each round — with 149 queries and a
+must cycle oldest-gated-first each round — with 150 queries and a
 50-query window, every query re-gates at most every 3 rounds.
 
 Usage (each round, before the driver runs):
