@@ -168,12 +168,19 @@ def minhash_scheme_fingerprint() -> str:
     # getActiveSession() is THREAD-LOCAL in PySpark: a call from a
     # background maintenance thread or a streaming listener sees None
     # even while the driver session is alive. Fall back to the
-    # process-wide default session (getOrCreate attaches to it without
-    # building a new one when a session exists) so the canary runs
-    # wherever a session is reachable at all.
+    # process-wide instantiated session — and ONLY that: a bare
+    # builder.getOrCreate() here would silently construct a brand-new
+    # default-config session in a genuinely session-less process, a
+    # heavyweight side effect from a function that promises a pure
+    # fingerprint. No session anywhere → the loud error stays.
     spark = SparkSession.getActiveSession()
     if spark is None:
-        spark = SparkSession.builder.getOrCreate()
+        spark = getattr(SparkSession, "_instantiatedSession", None)
+    if spark is None:
+        raise RuntimeError(
+            "minhash_scheme_fingerprint needs a live SparkSession "
+            "(in any thread) to run its live shingling canary"
+        )
     canary = (
         spark.range(1)
         .select(shingle_hashes(F.lit(_SCHEME_CANARY_TEXT)).alias("hs"))

@@ -52,14 +52,38 @@ def _documents_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature job and scanned by the downstream dedup jobs.
 _PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# Every session-shared persisted stage cache below shares one bounded
+# insert (r8 advice, generalized in r9): keys are (appId, sf_dir, ...),
+# inserts past the cap unpersist-and-evict oldest-first, and
+# invalidate_shared_stages() (end of module) is the official staleness
+# hook after a fixture is regenerated mid-session — the caches
+# otherwise keep serving the old files, same contract as Spark's own
+# file-status cache.
+_STAGE_CACHE_MAX = 8
+
+
+def _stage_cache_put(cache: dict, key, df: DataFrame) -> DataFrame:
+    """Bounded insert for a session-shared persisted stage: beyond
+    _STAGE_CACHE_MAX entries the oldest is unpersisted and evicted, so
+    iterating many sf_dirs in one session cannot grow persisted memory
+    without bound — in ANY of the stage caches, not just the blocking
+    stages the r8 advice named."""
+    while len(cache) >= _STAGE_CACHE_MAX:
+        cache.pop(next(iter(cache))).unpersist()
+    cache[key] = df
+    return df
+
 
 def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = dedup.near_dup_pairs(docs, "doc_id", "text").persist()
-        _PAIRS_CACHE[key] = df
+        df = _stage_cache_put(
+            _PAIRS_CACHE,
+            key,
+            dedup.near_dup_pairs(docs, "doc_id", "text").persist(),
+        )
     return df
 
 
@@ -78,7 +102,7 @@ def _components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         pairs = _near_dup_pairs_shared(spark, sf_dir)
         df = dedup.connected_components(pairs).persist()
-        _COMPONENTS_CACHE[key] = df
+        _stage_cache_put(_COMPONENTS_CACHE, key, df)
     return df
 
 
@@ -96,7 +120,7 @@ def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
         df = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").persist()
-        _SIMHASH_PAIRS_CACHE[key] = df
+        _stage_cache_put(_SIMHASH_PAIRS_CACHE, key, df)
     return df
 
 
@@ -3133,19 +3157,18 @@ _PART_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 # live for the whole session — if the parquet under sf_dir is
 # REGENERATED mid-session the cached stage keeps serving the old
 # fixture (same contract as Spark's own file-status cache). Call
-# invalidate_part_pairs_cache(sf_dir=...) after rewriting a fixture.
-# The cache is also capped: beyond _PART_PAIRS_CACHE_MAX entries the
-# oldest is unpersisted and evicted, so iterating many sf_dirs in one
-# session cannot grow persisted memory unboundedly.
-_PART_PAIRS_CACHE_MAX = 8
+# invalidate_part_pairs_cache(sf_dir=...) — or the all-caches
+# invalidate_shared_stages() — after rewriting a fixture. Inserts go
+# through _stage_cache_put (shared cap, unpersist-on-evict).
 
 
 def invalidate_part_pairs_cache(sf_dir: str | None = None) -> int:
     """Unpersist and drop cached blocking stages; ``sf_dir=None``
-    clears everything. Returns the number of entries dropped. This is
-    the official staleness/eviction hook for the session-shared
-    persisted blocking stages (tests use it for run-order-stable
-    plans; users call it after regenerating a fixture in-session)."""
+    clears everything. Returns the number of entries dropped. The
+    blocking-stage-scoped staleness hook (r8 advice); r9 generalized
+    it — invalidate_shared_stages() covers EVERY session-shared
+    persisted stage, this remains the targeted form tests use for
+    run-order-stable plans."""
     dropped = 0
     for key, df in list(_PART_PAIRS_CACHE.items()):
         if sf_dir is None or key[1] == sf_dir:
@@ -3163,9 +3186,6 @@ def _part_pairs_shared(
     key = (spark.sparkContext.applicationId, sf_dir, which)
     df = _PART_PAIRS_CACHE.get(key)
     if df is None:
-        while len(_PART_PAIRS_CACHE) >= _PART_PAIRS_CACHE_MAX:
-            oldest = next(iter(_PART_PAIRS_CACHE))
-            _PART_PAIRS_CACHE.pop(oldest).unpersist()
         parts = _parts_with_bands(spark, sf_dir)
         if which == "single":
             df = linkage.blocked_pairs(
@@ -3179,8 +3199,7 @@ def _part_pairs_shared(
                 ["p_brand", "noun"],
                 [["band_a"], ["band_b"]],
             )
-        df = df.persist()
-        _PART_PAIRS_CACHE[key] = df
+        df = _stage_cache_put(_PART_PAIRS_CACHE, key, df.persist())
     return df
 
 
@@ -3365,7 +3384,7 @@ def _corpus_index_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
         df = dedup.minhash_index(docs, "doc_id", "text").persist()
-        _INC_INDEX_CACHE[key] = df
+        _stage_cache_put(_INC_INDEX_CACHE, key, df)
     return df
 
 
@@ -3409,7 +3428,7 @@ def _emb_index_shared(spark: SparkSession, sf_dir: str, cents: list) -> DataFram
     if index is None:
         emb = load_table(spark, sf_dir, "embeddings")
         index = similarity.embedding_cell_index(emb, cents).persist()
-        _EMB_INDEX_CACHE[key] = index
+        _stage_cache_put(_EMB_INDEX_CACHE, key, index)
     return index
 
 
@@ -3770,7 +3789,7 @@ def _span_index_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
         df = curation.span_index(docs).persist()
-        _SPAN_INDEX_CACHE[key] = df
+        _stage_cache_put(_SPAN_INDEX_CACHE, key, df)
     return df
 
 
@@ -3851,8 +3870,11 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     assigned = _SEMDEDUP_ASSIGNED_CACHE.get(key)
     if assigned is None:
-        assigned = clustering.assign_cells_auto(emb, cents).persist()
-        _SEMDEDUP_ASSIGNED_CACHE[key] = assigned
+        assigned = _stage_cache_put(
+            _SEMDEDUP_ASSIGNED_CACHE,
+            key,
+            clustering.assign_cells_auto(emb, cents).persist(),
+        )
     pairs = similarity.embedding_near_dup_pairs(
         assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL
     )
@@ -4465,3 +4487,45 @@ def shared_stage_queries() -> dict[str, list[str]]:
         if used:
             out[name] = used
     return out
+
+
+# Registry of every session-shared stage cache (r9 self-review,
+# generalizing the r8 advice that named only the blocking stages).
+# DataFrame-valued caches unpersist on invalidation; the two scalar
+# caches (trained centroids, adaptive k) just drop entries. All keys
+# carry sf_dir at index 1.
+_DF_STAGE_CACHES: dict[str, dict] = {
+    "near_dup_pairs": _PAIRS_CACHE,
+    "components": _COMPONENTS_CACHE,
+    "simhash_pairs": _SIMHASH_PAIRS_CACHE,
+    "part_pairs": _PART_PAIRS_CACHE,
+    "corpus_index": _INC_INDEX_CACHE,
+    "emb_index": _EMB_INDEX_CACHE,
+    "span_index": _SPAN_INDEX_CACHE,
+    "semdedup_assigned": _SEMDEDUP_ASSIGNED_CACHE,
+}
+_SCALAR_STAGE_CACHES: dict[str, dict] = {
+    "centroids": _CENTROID_CACHE,
+    "adaptive_k": _ADAPTIVE_K_CACHE,
+}
+
+
+def invalidate_shared_stages(sf_dir: str | None = None) -> int:
+    """Unpersist and drop EVERY session-shared stage (or only those
+    built over ``sf_dir``): the official staleness hook after a
+    fixture or table is regenerated mid-session — without it the
+    caches keep serving the old files, the same contract as Spark's
+    own file-status cache. Returns the number of entries dropped."""
+    dropped = 0
+    for cache in _DF_STAGE_CACHES.values():
+        for key, df in list(cache.items()):
+            if sf_dir is None or key[1] == sf_dir:
+                df.unpersist()
+                del cache[key]
+                dropped += 1
+    for cache in _SCALAR_STAGE_CACHES.values():
+        for key in list(cache):
+            if sf_dir is None or key[1] == sf_dir:
+                del cache[key]
+                dropped += 1
+    return dropped

@@ -269,6 +269,10 @@ def compact_epoch_sink(
         # missing after a kill) — replay would then rewrite batch=M
         # BESIDE a compaction that already covers it: duplicate rows.
         raise ValueError("compact_epoch_sink: keep_last must be >= 1")
+    # quiescence is enforced at the layer that rewrites directories,
+    # not per caller (r9 self-review): the identical stream-mixing
+    # hazard the merges guard against applies here
+    assert_quiescent(spark, root, "compaction")
     merged = merged_bound(spark, root)
     epochs = [(e, p) for e, p in _epoch_entries(spark, root) if e > merged]
     compactions = [
@@ -330,6 +334,46 @@ def merge_inputs(
     return paths, bound
 
 
+_DRAIN_LEASE = "_draining"
+
+
+def acquire_drain_lease(spark: SparkSession, root: str, tag: str) -> None:
+    """Mark ``root`` as being drained by a live stream: a tiny
+    ``_draining`` marker file every maintenance entrypoint
+    (:func:`assert_quiescent`) refuses on. Written via the Hadoop FS
+    API directly — no Spark job, so acquiring costs one FS call, not a
+    cluster action. Overwrites any stale lease (a drain rerun after a
+    crash re-acquires and then releases, self-healing the lock)."""
+    jvm, _, fs = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
+    out = fs.create(p, True)
+    out.write(bytearray(tag.encode()))
+    out.close()
+
+
+def release_drain_lease(spark: SparkSession, root: str) -> None:
+    """Remove the drain lease (idempotent)."""
+    jvm, _, fs = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def drain_lease_holder(spark: SparkSession, root: str) -> str | None:
+    """The tag of the lease holding ``root``, or None when unleased."""
+    jvm, _, fs = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
 def inflight_epochs(spark: SparkSession, root: str) -> list[int]:
     """Epochs whose ``batch=N`` directory has NO ``_SUCCESS`` commit
     marker and sits above the base-merge bound — the on-disk signature
@@ -353,14 +397,32 @@ def inflight_epochs(spark: SparkSession, root: str) -> list[int]:
 def assert_quiescent(
     spark: SparkSession, root: str, action: str = "base merge"
 ) -> None:
-    """Loud refusal when the sink root shows an in-flight epoch (r8
-    verdict item 4): a merge that folds epochs while a stream is
-    draining would pull directories out from under the stream's epoch
-    ledger (``streaming/ingest._EpochLedger`` caches paths for the
-    run's lifetime) and the stream's next probe would read deleted
-    paths — the same unrecoverable mixing the compactor's
+    """Loud refusal when the sink root is NOT quiescent (r8 verdict
+    item 4, hardened in r9): maintenance that folds or deletes epoch
+    directories while a stream is draining would pull them out from
+    under the stream's epoch ledger (``streaming/ingest._EpochLedger``
+    caches paths for the run's lifetime) and the stream's next probe
+    would read deleted paths — the same unrecoverable mixing the
     replayable-epoch refusal (``epoch_sink_paths``) exists to stop.
-    The quiescence contract was prose until now; this is the guard."""
+    Two independent tripwires, because each covers the other's blind
+    window:
+
+    1. the **drain lease** (``_draining``, held by the probe streams
+       for their whole drain — including BETWEEN committed
+       micro-batches, where tripwire 2 sees nothing);
+    2. an **uncommitted in-flight epoch** (``batch=N`` with no
+       ``_SUCCESS`` — an epoch being written right now, or a stream
+       killed mid-write; catches writers that predate the lease or
+       crashed before releasing anything)."""
+    holder = drain_lease_holder(spark, root)
+    if holder is not None:
+        raise ValueError(
+            f"epoch sink at {root} is leased by a draining stream "
+            f"({holder}): {action} requires quiescence. If that "
+            "stream's driver is dead, rerun the drain to completion "
+            "(it re-acquires and then releases the lease) or delete "
+            f"{root.rstrip('/')}/{_DRAIN_LEASE} by hand."
+        )
     eps = inflight_epochs(spark, root)
     if eps:
         raise ValueError(
@@ -378,8 +440,12 @@ def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
     """Delete every ``batch=N`` directory covered by the newest
     committed compaction or base merge, plus superseded compactions and
     merge markers (committed or partial). Returns the deleted paths.
-    Safe at any moment relative to readers — every deleted path is
-    already invisible to :func:`epoch_sink_paths`."""
+    Safe at any moment relative to NEW readers — every deleted path is
+    already invisible to :func:`epoch_sink_paths` — but not to a LIVE
+    stream whose epoch ledger cached paths at start, hence the
+    quiescence guard (r9 self-review: enforced at the layer that
+    deletes directories, covering every caller at once)."""
+    assert_quiescent(spark, root, "epoch-sink GC")
     merged = merged_bound(spark, root)
     live = [
         (k, p) for k, p in _committed_compactions(spark, root) if k > merged

@@ -417,9 +417,13 @@ def _swap_partitions(
     partition. Crash mid-loop leaves some partitions merged and some
     not — each partition is internally consistent either way (counts
     are partition-contained for both stores) and the merge rerun
-    converges via the natural-key dedup, the same contract the full
-    swap documents. The tmp root (with its ``_SUCCESS`` and any
-    unclaimed partitions) is deleted at the end."""
+    converges via the natural-key dedup. The scoped callers keep the
+    cross-partition invariants themselves: the MinHash dedup key
+    contains the partition column, and the embedding fold's
+    cross-cell replay guard routes cell-moving vec_ids to the full
+    rewrite before this function is reached. The tmp root (with its
+    ``_SUCCESS`` and any unclaimed partitions) is deleted at the
+    end."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(base_root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -602,11 +606,35 @@ def merge_embedding_index(
     )
     cols = ["cell", "vec_id", "embedding", "nrm"]
     tmp = base_path.rstrip("/") + ".merging"
+    use_scoped = False
     if paths and not repair:
         overlay = spark.read.parquet(*paths).select(*cols)
         touched = sorted(
             r["cell"] for r in overlay.select("cell").distinct().collect()
         )  # bounded by k (KMEANS_K_MAX)
+        # CROSS-CELL REPLAY GUARD: unlike the MinHash store (whose
+        # dedup key contains the partition column), vec_id does not
+        # contain cell — a vec_id re-ingested with a NEW embedding can
+        # assign to a different cell, and a scoped fold would leave its
+        # stale row alive in an untouched partition (duplicate vec_id,
+        # conflicting embeddings). One partition-pruned TWO-COLUMN scan
+        # of the base (vec_id against the broadcast batch ids, touched
+        # cells excluded — no embedding payload read) decides; any hit
+        # routes to the full global-dedup rewrite, the pre-scoping
+        # semantics that removes the stale row.
+        moved = (
+            base.filter(~F.col("cell").isin(touched))
+            .select("vec_id")
+            .join(
+                F.broadcast(overlay.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        use_scoped = not moved
+    if use_scoped:
         scoped = base.filter(F.col("cell").isin(touched)).select(*cols)
         merged = similarity.with_cell_counts(
             scoped.unionByName(overlay).dropDuplicates(["vec_id"])

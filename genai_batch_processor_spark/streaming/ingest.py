@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import ids
 from genai_batch_processor_spark.operators import dedup, responses
+from genai_batch_processor_spark.sources import compaction
 
 
 def _epoch_dirs(spark: SparkSession, root: str, before: int) -> list[str]:
@@ -141,6 +142,7 @@ def near_dup_probe_stream_to_parquet(
     embedding probe's ``_centroid_fp`` guard)."""
     spark = index.sparkSession
     idx_root = out_dir.rstrip("/") + "/index"
+    pairs_root = out_dir.rstrip("/") + "/pairs"
     _assert_minhash_marker(spark, idx_root)
     ledger = _EpochLedger(spark, idx_root)
 
@@ -159,7 +161,7 @@ def near_dup_probe_stream_to_parquet(
                 probe, batch_df, id_col, text_col, batch_index=batch_index
             )
             pairs.write.mode("overwrite").parquet(
-                out_dir.rstrip("/") + f"/pairs/batch={epoch_id}"
+                pairs_root + f"/batch={epoch_id}"
             )
             batch_index.write.mode("overwrite").parquet(
                 idx_root + f"/batch={epoch_id}"
@@ -168,13 +170,27 @@ def near_dup_probe_stream_to_parquet(
             batch_index.unpersist()
         ledger.record(epoch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Drain lease on BOTH sink roots for the whole drain (r9
+    # self-review): the uncommitted-epoch tripwire only covers the
+    # write window, but this ledger's cached paths are live between
+    # commits too — a concurrent merge/compaction/GC must refuse for
+    # the drain's full wall clock. try/finally releases on any exit;
+    # a killed driver leaves the lease, and the documented remedy
+    # (rerun the drain) re-acquires then releases it.
+    tag = f"appId={spark.sparkContext.applicationId} ckpt={checkpoint_dir}"
+    compaction.acquire_drain_lease(spark, idx_root, tag)
+    compaction.acquire_drain_lease(spark, pairs_root, tag)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        compaction.release_drain_lease(spark, idx_root)
+        compaction.release_drain_lease(spark, pairs_root)
 
 
 def _assert_scheme_marker(
@@ -306,6 +322,7 @@ def embedding_probe_stream_to_parquet(
 
     spark = index.sparkSession
     idx_root = out_dir.rstrip("/") + "/index"
+    pairs_root = out_dir.rstrip("/") + "/pairs"
     _assert_centroid_marker(
         spark, idx_root, similarity.centroid_fingerprint(centroids)
     )
@@ -330,7 +347,7 @@ def embedding_probe_stream_to_parquet(
                 batch_index=batch_index,
             )
             pairs.write.mode("overwrite").parquet(
-                out_dir.rstrip("/") + f"/pairs/batch={epoch_id}"
+                pairs_root + f"/batch={epoch_id}"
             )
             batch_index.write.mode("overwrite").parquet(
                 idx_root + f"/batch={epoch_id}"
@@ -339,10 +356,19 @@ def embedding_probe_stream_to_parquet(
             batch_index.unpersist()
         ledger.record(epoch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same whole-drain lease discipline as the MinHash twin (r9
+    # self-review): the ledger's cached paths are live between commits
+    tag = f"appId={spark.sparkContext.applicationId} ckpt={checkpoint_dir}"
+    compaction.acquire_drain_lease(spark, idx_root, tag)
+    compaction.acquire_drain_lease(spark, pairs_root, tag)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        compaction.release_drain_lease(spark, idx_root)
+        compaction.release_drain_lease(spark, pairs_root)

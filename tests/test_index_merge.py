@@ -362,6 +362,69 @@ def test_embedding_scoped_merge_skips_untouched_partitions(spark, tmp_path):
     )
 
 
+def test_embedding_merge_cross_cell_replay_falls_back_to_full(
+    spark, tmp_path
+):
+    """Self-review r9: vec_id does NOT contain the partition column, so
+    a vector re-ingested with a NEW embedding can move cells — a scoped
+    fold would leave its stale row alive in an untouched partition
+    (duplicate vec_id, conflicting embeddings). The guard must detect
+    the cross-cell replay and route to the full global-dedup rewrite:
+    after the merge the index holds EXACTLY ONE row for the moved
+    vec_id, and vec_id uniqueness holds index-wide."""
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, SF, "embeddings").limit(400)
+    cents = clustering.centroids_from_cells(
+        clustering.kmeans_cells(emb, k=8, iters=3)
+    )
+    base = str(tmp_path / "base")
+    cell_index = similarity.embedding_cell_index(emb, cents)
+    index_store.save_embedding_index(cell_index, cents, base)
+    n_base = spark.read.parquet(base).count()
+
+    # victim: a vector in cell A re-ingested under ITS OWN id but with
+    # the embedding of a vector from a different cell B → assigns to B
+    cells = {
+        r["cell"]: r
+        for r in cell_index.select("cell", "vec_id").collect()
+    }
+    assert len(cells) >= 2
+    cell_a, cell_b = sorted(cells)[:2]
+    victim_id = cells[cell_a]["vec_id"]
+    donor_id = cells[cell_b]["vec_id"]
+    donor_vec = (
+        emb.filter(F.col("vec_id") == donor_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    batch = spark.createDataFrame(
+        [(int(victim_id), donor_vec)], "vec_id long, embedding array<float>"
+    )
+    overlay_rows = similarity.embedding_cell_index(batch, cents)
+    assert overlay_rows.first()["cell"] == cell_b  # it really moved
+    root = str(tmp_path / "overlay")
+    for e in range(2):
+        overlay_rows.write.parquet(f"{root}/batch={e}")
+    (
+        spark.range(1)
+        .select(F.lit(similarity.centroid_fingerprint(cents)).alias("v"))
+        .coalesce(1)
+        .write.text(os.path.join(root, "_centroid_fp"))
+    )
+
+    assert index_store.merge_embedding_index(spark, base, root, cents) == 0
+    merged = index_store.load_embedding_index(spark, base, cents)
+    # the stale cell-A row is GONE: one row for the victim, uniqueness
+    # index-wide, total = base (the replay replaced, never appended)
+    assert merged.filter(F.col("vec_id") == victim_id).count() == 1
+    assert merged.count() == n_base
+    assert (
+        merged.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
 def test_minhash_scoped_merge_band_mechanism(spark, tmp_path):
     """The same scoping mechanism on the band store: a (synthetic)
     single-band overlay must leave the other band= partitions'
@@ -449,6 +512,57 @@ def test_merge_refuses_inflight_epoch(spark, tmp_path):
             index_store.merge_minhash_index(spark, base, idx_root)
 
         open(success, "w").close()  # committed again: merge proceeds
+        assert index_store.merge_minhash_index(spark, base, idx_root) == 0
+    finally:
+        index.unpersist()
+
+
+def test_drain_lease_blocks_all_maintenance(spark, tmp_path):
+    """r9 self-review: the uncommitted-epoch tripwire only covers the
+    write window; a live stream BETWEEN committed micro-batches still
+    holds cached ledger paths. The probe streams now hold a _draining
+    lease for the whole drain, and EVERY maintenance entrypoint —
+    merge, compaction, GC — refuses while it is held, naming the
+    holder. The lease is released on drain completion (asserted on a
+    real drain) and re-acquire overwrites a stale one."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    base = str(tmp_path / "base")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    idx_root = os.path.join(out, "index")
+    pairs_root = os.path.join(out, "pairs")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    index = index_store.load_minhash_index(spark, base).persist()
+    try:
+        batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+        )
+        batch.repartition(2).write.mode("append").parquet(shards)
+        _drain_minhash(spark, index, shards, ckpt, out)
+        # a completed drain holds no lease on either root
+        for root in (idx_root, pairs_root):
+            assert compaction.drain_lease_holder(spark, root) is None
+            assert not os.path.exists(os.path.join(root, "_draining"))
+
+        # simulate the live-stream window: lease held, epochs committed
+        compaction.acquire_drain_lease(spark, idx_root, "test-holder")
+        assert (
+            compaction.drain_lease_holder(spark, idx_root) == "test-holder"
+        )
+        with pytest.raises(ValueError, match="leased.*test-holder"):
+            index_store.merge_minhash_index(spark, base, idx_root)
+        with pytest.raises(ValueError, match="leased.*test-holder"):
+            compaction.compact_epoch_sink(spark, idx_root)
+        with pytest.raises(ValueError, match="leased.*test-holder"):
+            compaction.gc_epoch_sink(spark, idx_root)
+
+        compaction.release_drain_lease(spark, idx_root)
+        compaction.release_drain_lease(spark, idx_root)  # idempotent
         assert index_store.merge_minhash_index(spark, base, idx_root) == 0
     finally:
         index.unpersist()

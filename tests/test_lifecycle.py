@@ -976,12 +976,21 @@ def test_scheme_fingerprint_from_non_driver_thread(spark, monkeypatch):
 
     # Deterministic pin of the fallback itself: force the
     # no-active-session branch on this thread and require the same
-    # fingerprint (builder.getOrCreate attaches to the live session).
+    # fingerprint (the process-wide instantiated session serves it).
     monkeypatch.setattr(
         SparkSession, "getActiveSession", classmethod(lambda cls: None)
     )
     dedup._scheme_fp_cache.clear()
     assert dedup.minhash_scheme_fingerprint() == base
+
+    # ...and with NO session anywhere the loud error stays — the
+    # fallback must never CONSTRUCT a session as a side effect.
+    import pytest
+
+    monkeypatch.setattr(SparkSession, "_instantiatedSession", None)
+    dedup._scheme_fp_cache.clear()
+    with pytest.raises(RuntimeError, match="live SparkSession"):
+        dedup.minhash_scheme_fingerprint()
     monkeypatch.undo()
     dedup._scheme_fp_cache.clear()
 

@@ -430,11 +430,11 @@ def test_part_pairs_cache_invalidation_and_cap(spark, sf_dir):
     assert Q._PART_PAIRS_CACHE == {}
     assert not df.storageLevel.useMemory  # unpersisted on eviction
 
-    # cap: shrink the cap to 1 and insert a second entry — the first
-    # must be evicted and unpersisted, never just dropped
-    old_cap = Q._PART_PAIRS_CACHE_MAX
+    # cap: shrink the (shared) cap to 1 and insert a second entry —
+    # the first must be evicted and unpersisted, never just dropped
+    old_cap = Q._STAGE_CACHE_MAX
     try:
-        Q._PART_PAIRS_CACHE_MAX = 1
+        Q._STAGE_CACHE_MAX = 1
         first = Q._part_pairs_shared(spark, sf_dir, "single")
         second = Q._part_pairs_shared(spark, sf_dir, "multi")
         assert list(Q._PART_PAIRS_CACHE) == [
@@ -443,8 +443,53 @@ def test_part_pairs_cache_invalidation_and_cap(spark, sf_dir):
         assert not first.storageLevel.useMemory
         assert second.storageLevel.useMemory
     finally:
-        Q._PART_PAIRS_CACHE_MAX = old_cap
+        Q._STAGE_CACHE_MAX = old_cap
         Q.invalidate_part_pairs_cache()
+
+
+def test_invalidate_shared_stages_covers_every_cache(spark, sf_dir):
+    """r9 self-review: the staleness/eviction hook must cover ALL
+    session-shared persisted stages, not just the blocking stages the
+    r8 advice named. Populate two different stage caches, invalidate
+    by sf_dir, and require both dropped and unpersisted — and the
+    registry must track every module-level *_CACHE dict so a new cache
+    cannot silently fall outside the hook."""
+    import re
+
+    import genai_batch_processor_spark.queries as Q
+
+    # registry completeness: every module-level *_CACHE dict is either
+    # registered or one of the two registries themselves
+    src_caches = {
+        name
+        for name in vars(Q)
+        if re.fullmatch(r"_[A-Z_]*CACHE", name) and isinstance(vars(Q)[name], dict)
+    }
+    registered = set()
+    for reg in (Q._DF_STAGE_CACHES, Q._SCALAR_STAGE_CACHES):
+        for cache in reg.values():
+            for name in src_caches:
+                if vars(Q)[name] is cache:
+                    registered.add(name)
+    assert registered == src_caches, (
+        f"unregistered stage caches: {sorted(src_caches - registered)}"
+    )
+
+    Q.invalidate_shared_stages()
+    pairs = Q._near_dup_pairs_shared(spark, sf_dir)
+    sim = Q._simhash_pairs_shared(spark, sf_dir)
+    assert pairs.storageLevel.useMemory and sim.storageLevel.useMemory
+    assert Q.invalidate_shared_stages(sf_dir="/no/such/dir") == 0
+    dropped = Q.invalidate_shared_stages(sf_dir=sf_dir)
+    assert dropped >= 2
+    assert not pairs.storageLevel.useMemory
+    assert not sim.storageLevel.useMemory
+    assert all(
+        key[1] != sf_dir
+        for reg in (Q._DF_STAGE_CACHES, Q._SCALAR_STAGE_CACHES)
+        for cache in reg.values()
+        for key in cache
+    )
 
 
 def test_part_match_candidates_no_single_partition(spark, sf_dir):
