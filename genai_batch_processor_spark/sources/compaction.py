@@ -69,6 +69,11 @@ Run the compactor only while no stream is writing the root (between
 ``availableNow`` drains, or from the maintenance job a production
 deployment schedules anyway) — the same quiescence contract every
 file-layout maintenance tool (e.g. table-format compaction) carries.
+Since round 9 that contract is ENFORCED, not advisory: the probe
+streams hold a ``_draining`` lease on their sink roots for the whole
+drain, and :func:`assert_quiescent` (called by the base merges,
+:func:`compact_epoch_sink` and :func:`gc_epoch_sink`) refuses on the
+lease or on an uncommitted in-flight ``batch=N`` directory.
 """
 
 from __future__ import annotations
