@@ -107,6 +107,22 @@ def _components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DOC_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _doc_count_shared(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized documents row count per (session, sf_dir) — the
+    corpus-size scalar the adaptive SimHash width and bucket cap
+    derive from (r9 advice: q_simhash ran a full docs.count() action
+    on every invocation solely to pick the width). Same scalar-cache
+    pattern as _ADAPTIVE_K_CACHE; invalidated by
+    invalidate_shared_stages."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _DOC_COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "documents").count()
+        _DOC_COUNT_CACHE[key] = n
+    return n
 
 
 def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +135,14 @@ def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SIMHASH_PAIRS_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = dedup.simhash_near_dup_pairs(docs, "doc_id", "text").persist()
+        n = _doc_count_shared(spark, sf_dir)
+        df = dedup.simhash_near_dup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            max_bucket=dedup.adaptive_max_bucket(n),
+            width=dedup.adaptive_simhash_width(n),
+        ).persist()
         _stage_cache_put(_SIMHASH_PAIRS_CACHE, key, df)
     return df
 
@@ -445,7 +468,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     past SIMHASH_WIDEN_DOCS, where 32-bit hamming balls saturate; the
     oracle branches on the same count)."""
     docs = load_table(spark, sf_dir, "documents")
-    bits, _ = dedup.adaptive_simhash_width(docs.count())
+    bits, _ = dedup.adaptive_simhash_width(_doc_count_shared(spark, sf_dir))
     return docs.select("doc_id", dedup.simhash("text", bits).alias("simhash"))
 
 
@@ -4378,77 +4401,78 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
 }
 
-# Round-9 front (rotation policy, round-7 verdict item 6): each round,
+# Round-10 front (rotation policy, round-7 verdict item 6): each round,
 # the registry front is re-ordered OLDEST-GATED-FIRST via
 # `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the 150
 # names by the round of their newest green driver-gate row, takes 50).
 # The driver gates the first 50 dict entries, so with a 150-query
 # registry every query re-passes the driver's own oracle gate at most
 # every 3 rounds even as the code under it evolves; queries added
-# mid-round are never-gated and sort first automatically. The r9
-# window is exactly the 42 r5-gated + 8 r6-gated remainders.
-_R9_FRONT = [
-    "embedding_near_dup",  # last gated r5
-    "embedding_topk_ivf",  # last gated r5
-    "embedding_topk_ivf_trained",  # last gated r5
-    "embedding_topk_lsh",  # last gated r5
-    "embedding_topk_pandas",  # last gated r5
-    "eval_decontamination",  # last gated r5
-    "event_key_skew",  # last gated r5
-    "events_asof",  # last gated r5
-    "events_cube",  # last gated r5
-    "events_hourly",  # last gated r5
-    "events_hourly_stream",  # last gated r5
-    "events_json_props",  # last gated r5
-    "events_value_percentiles",  # last gated r5
-    "incremental_near_dup",  # last gated r5
-    "incremental_near_dup_stream",  # last gated r5
-    "incremental_span_dup",  # last gated r5
-    "lang_id_confusion",  # last gated r5
-    "lang_source_rollup",  # last gated r5
-    "lang_vocab",  # last gated r5
-    "length_buckets",  # last gated r5
-    "minhash_calibration",  # last gated r5
-    "multimodal_requests",  # last gated r5
-    "near_dup_method_agreement",  # last gated r5
-    "ngram_jaccard",  # last gated r5
-    "order_priority_returns",  # last gated r5
-    "part_match_candidates",  # last gated r5
-    "price_bracket_join",  # last gated r5
-    "pricing_summary",  # last gated r5
-    "quality_filter_funnel",  # last gated r5
-    "regional_revenue",  # last gated r5
-    "rrf_fusion",  # last gated r5
-    "semdedup_survivors",  # last gated r5
-    "source_quality",  # last gated r5
-    "span_dedup_stats",  # last gated r5
-    "split_leakage",  # last gated r5
-    "temperature_mixture",  # last gated r5
-    "term_frequencies",  # last gated r5
-    "token_fertility",  # last gated r5
-    "top_customers_per_nation",  # last gated r5
-    "user_sessions",  # last gated r5
-    "vertex_responses",  # last gated r5
-    "vocab_oov_rate",  # last gated r5
-    "bigram_followers",  # last gated r6
-    "daily_activity_full_outer",  # last gated r6
-    "distinct_buyers_daily",  # last gated r6
-    "events_daily_spine",  # last gated r6
-    "hourly_value_change",  # last gated r6
-    "image_features",  # last gated r6
-    "value_histogram_quantiles",  # last gated r6
-    "word_bigrams",  # last gated r6
+# mid-round are never-gated and sort first automatically. The r10
+# window is exactly the 50 r7-gated cohort (r8 gated 50, r9 gated the
+# 42 r5 + 8 r6 remainders; r7's 50 are now the oldest).
+_R10_FRONT = [
+    "above_avg_balance",  # last gated r7
+    "balance_quartiles",  # last gated r7
+    "chunk_packing",  # last gated r7
+    "click_purchase_stream",  # last gated r7
+    "daily_new_users",  # last gated r7
+    "decontaminate",  # last gated r7
+    "doc_attr_map",  # last gated r7
+    "doc_chunks",  # last gated r7
+    "doc_repetition",  # last gated r7
+    "doc_sample",  # last gated r7
+    "doc_word_filters",  # last gated r7
+    "embedding_centroids",  # last gated r7
+    "embedding_dedup_survivors",  # last gated r7
+    "embedding_quantization",  # last gated r7
+    "embedding_topk_int8",  # last gated r7
+    "events_asof_forward",  # last gated r7
+    "events_daily_rollup",  # last gated r7
+    "events_dedup_stream",  # last gated r7
+    "events_rolling",  # last gated r7
+    "events_sliding",  # last gated r7
+    "events_sliding_stream",  # last gated r7
+    "incremental_embedding_near_dup",  # last gated r7
+    "incremental_embedding_stream",  # last gated r7
+    "kmeans_assign_agreement",  # last gated r7
+    "kmeans_cells",  # last gated r7
+    "lang_distinct_sketch",  # last gated r7
+    "lone_return_suppliers",  # last gated r7
+    "market_share",  # last gated r7
+    "min_cost_supplier",  # last gated r7
+    "nation_revenue_pareto",  # last gated r7
+    "nation_trade",  # last gated r7
+    "part_match_blocking_recall",  # last gated r7
+    "part_match_multikey",  # last gated r7
+    "pii_redaction",  # last gated r7
+    "price_moments",  # last gated r7
+    "quality_unpivot",  # last gated r7
+    "runner_responses",  # last gated r7
+    "salted_event_totals",  # last gated r7
+    "salted_nation_balance",  # last gated r7
+    "small_qty_revenue",  # last gated r7
+    "source_diversity",  # last gated r7
+    "source_lang_pivot",  # last gated r7
+    "source_quota",  # last gated r7
+    "split_counts",  # last gated r7
+    "tfidf_top_terms",  # last gated r7
+    "top_balance_percentile",  # last gated r7
+    "user_funnel",  # last gated r7
+    "user_sessions_stream",  # last gated r7
+    "user_value_share",  # last gated r7
+    "video_frames",  # last gated r7
 ]
 # Unconditional and BEFORE the rebuild (assert would vanish under
 # `python -O`): a mis-sized front pasted from tools/rotation.py must
 # fail import, not silently shrink or overflow the driver-gate window.
-if len(_R9_FRONT) != 50:
+if len(_R10_FRONT) != 50:
     raise ValueError(
-        f"driver-gate window must be exactly 50 entries, got {len(_R9_FRONT)}"
+        f"driver-gate window must be exactly 50 entries, got {len(_R10_FRONT)}"
     )
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
+    **{k: QUERIES[k] for k in _R10_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)},
 }
 
 
@@ -4507,6 +4531,7 @@ _DF_STAGE_CACHES: dict[str, dict] = {
 _SCALAR_STAGE_CACHES: dict[str, dict] = {
     "centroids": _CENTROID_CACHE,
     "adaptive_k": _ADAPTIVE_K_CACHE,
+    "doc_count": _DOC_COUNT_CACHE,
 }
 
 

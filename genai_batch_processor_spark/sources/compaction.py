@@ -69,15 +69,24 @@ Run the compactor only while no stream is writing the root (between
 ``availableNow`` drains, or from the maintenance job a production
 deployment schedules anyway) — the same quiescence contract every
 file-layout maintenance tool (e.g. table-format compaction) carries.
-Since round 9 that contract is ENFORCED, not advisory: the probe
+Since round 9 that contract is enforced in one direction (the probe
 streams hold a ``_draining`` lease on their sink roots for the whole
-drain, and :func:`assert_quiescent` (called by the base merges,
-:func:`compact_epoch_sink` and :func:`gc_epoch_sink`) refuses on the
-lease or on an uncommitted in-flight ``batch=N`` directory.
+drain, and :func:`assert_quiescent` — called by the base merges,
+:func:`compact_epoch_sink` and :func:`gc_epoch_sink` — refuses on the
+lease or on an uncommitted in-flight ``batch=N`` directory). Since
+round 10 it is SYMMETRIC (r9 advice: check-then-act left the
+minutes-long maintenance window unguarded): maintenance holds a
+``_maintaining`` lease (:func:`maintenance_lease`) for its whole run,
+:func:`acquire_drain_lease` refuses while it is live AND refuses a
+foreign live drain lease instead of overwriting it, and every
+destructive maintenance step re-checks the drain lease immediately
+before acting (:func:`_recheck_drain`) as defense in depth against
+writers that bypass the lease API.
 """
 
 from __future__ import annotations
 
+import contextlib
 import math
 import re
 
@@ -275,38 +284,47 @@ def compact_epoch_sink(
         # BESIDE a compaction that already covers it: duplicate rows.
         raise ValueError("compact_epoch_sink: keep_last must be >= 1")
     # quiescence is enforced at the layer that rewrites directories,
-    # not per caller (r9 self-review): the identical stream-mixing
-    # hazard the merges guard against applies here
-    assert_quiescent(spark, root, "compaction")
-    merged = merged_bound(spark, root)
-    epochs = [(e, p) for e, p in _epoch_entries(spark, root) if e > merged]
-    compactions = [
-        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
-    ]
-    # `merged` joins `prev` as a floor: epochs the base already absorbed
-    # must never re-enter a compaction (readers would double-count them
-    # against the merged base).
-    prev = compactions[-1][0] if compactions else (
-        merged if merged >= 0 else None
-    )
-    eligible = epochs[: max(0, len(epochs) - keep_last)]
-    new_dirs = [p for e, p in eligible if prev is None or e > prev]
-    if not new_dirs:
-        return prev
-    bound = max(e for e, _ in eligible)
-    inputs = ([compactions[-1][1]] if compactions else []) + new_dirs
-    if target_files is None:
-        target_files = max(
-            1, math.ceil(_total_bytes(spark, inputs) / TARGET_BYTES_PER_FILE)
+    # not per caller (r9 self-review), and HELD for the whole rewrite
+    # (r9 advice): the maintenance lease blocks a drain from starting
+    # mid-compaction, not just the entry check.
+    with maintenance_lease(spark, root, "compaction"):
+        merged = merged_bound(spark, root)
+        epochs = [
+            (e, p) for e, p in _epoch_entries(spark, root) if e > merged
+        ]
+        compactions = [
+            (k, p)
+            for k, p in _committed_compactions(spark, root)
+            if k > merged
+        ]
+        # `merged` joins `prev` as a floor: epochs the base already
+        # absorbed must never re-enter a compaction (readers would
+        # double-count them against the merged base).
+        prev = compactions[-1][0] if compactions else (
+            merged if merged >= 0 else None
         )
-    out = root.rstrip("/") + f"/{_COMPACTED}/upto={bound}"
-    (
-        spark.read.parquet(*inputs)
-        .coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    return bound
+        eligible = epochs[: max(0, len(epochs) - keep_last)]
+        new_dirs = [p for e, p in eligible if prev is None or e > prev]
+        if not new_dirs:
+            return prev
+        bound = max(e for e, _ in eligible)
+        inputs = ([compactions[-1][1]] if compactions else []) + new_dirs
+        if target_files is None:
+            target_files = max(
+                1,
+                math.ceil(
+                    _total_bytes(spark, inputs) / TARGET_BYTES_PER_FILE
+                ),
+            )
+        out = root.rstrip("/") + f"/{_COMPACTED}/upto={bound}"
+        _recheck_drain(spark, root, "compaction")
+        (
+            spark.read.parquet(*inputs)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return bound
 
 
 def merge_inputs(
@@ -340,6 +358,13 @@ def merge_inputs(
 
 
 _DRAIN_LEASE = "_draining"
+_MAINT_LEASE = "_maintaining"
+
+# Process-local reentrancy for the maintenance lease: a base merge
+# holds the lease for its whole run and calls gc_epoch_sink (which
+# also acquires) under it. Keyed by the lease file's fully-qualified
+# path string; values are refcounts.
+_HELD_MAINT: dict[str, int] = {}
 
 
 def acquire_drain_lease(spark: SparkSession, root: str, tag: str) -> None:
@@ -347,9 +372,43 @@ def acquire_drain_lease(spark: SparkSession, root: str, tag: str) -> None:
     ``_draining`` marker file every maintenance entrypoint
     (:func:`assert_quiescent`) refuses on. Written via the Hadoop FS
     API directly — no Spark job, so acquiring costs one FS call, not a
-    cluster action. Overwrites any stale lease (a drain rerun after a
-    crash re-acquires and then releases, self-healing the lock)."""
+    cluster action.
+
+    Refusals (r9 advice — the lease used to overwrite unconditionally,
+    so two concurrent drains on one root clobbered each other and the
+    first release deleted the second drain's protection):
+
+    - a FOREIGN live lease (different ``tag``) raises — two distinct
+      drains may not share a root. Re-acquiring with the SAME tag is
+      allowed and overwrites: a drain rerun after a crash self-heals
+      its own stale lease (callers must tag by drain identity — the
+      checkpoint dir — not by ephemeral run ids, so the rerun's tag
+      matches).
+    - a live MAINTENANCE lease (:func:`maintenance_lease`) raises —
+      the symmetric tripwire: maintenance refuses to start while a
+      drain holds the root, and a drain refuses to start while
+      maintenance (merge/compact/GC, which can run for minutes) holds
+      it. Without this, a drain starting after maintenance's entry
+      check wrote epochs into directories the maintenance job was
+      about to delete."""
     jvm, _, fs = _fs(spark, root)
+    mp = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _MAINT_LEASE)
+    if fs.exists(mp):
+        raise ValueError(
+            f"epoch sink at {root} is under maintenance "
+            f"({_read_small(spark, mp)}): a drain may not start until "
+            "it finishes. If the maintenance job is dead, delete "
+            f"{root.rstrip('/')}/{_MAINT_LEASE} by hand."
+        )
+    holder = drain_lease_holder(spark, root)
+    if holder is not None and holder != tag:
+        raise ValueError(
+            f"epoch sink at {root} is already leased by another "
+            f"draining stream ({holder}); refusing to overwrite. If "
+            "that stream's driver is dead, rerun ITS drain to "
+            f"completion or delete {root.rstrip('/')}/{_DRAIN_LEASE} "
+            "by hand."
+        )
     p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
     out = fs.create(p, True)
     out.write(bytearray(tag.encode()))
@@ -364,12 +423,10 @@ def release_drain_lease(spark: SparkSession, root: str) -> None:
         fs.delete(p, False)
 
 
-def drain_lease_holder(spark: SparkSession, root: str) -> str | None:
-    """The tag of the lease holding ``root``, or None when unleased."""
-    jvm, _, fs = _fs(spark, root)
-    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
-    if not fs.exists(p):
-        return None
+def _read_small(spark: SparkSession, p) -> str:
+    """Read a tiny marker file's content (lease tags)."""
+    jvm = spark._jvm
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(p)
     try:
         return str(
@@ -377,6 +434,72 @@ def drain_lease_holder(spark: SparkSession, root: str) -> str | None:
         )
     finally:
         stream.close()
+
+
+def drain_lease_holder(spark: SparkSession, root: str) -> str | None:
+    """The tag of the lease holding ``root``, or None when unleased."""
+    jvm, _, fs = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _DRAIN_LEASE)
+    if not fs.exists(p):
+        return None
+    return _read_small(spark, p)
+
+
+@contextlib.contextmanager
+def maintenance_lease(spark: SparkSession, root: str, action: str):
+    """Hold a ``_maintaining`` marker on ``root`` for the duration of a
+    maintenance job (base merge, compaction, GC) — the drain side of
+    the quiescence contract (r9 advice: quiescence used to be a
+    one-shot check-then-act at maintenance entry; a drain starting
+    DURING the minutes-long merge window had no tripwire). While the
+    marker is live, :func:`acquire_drain_lease` refuses, so no drain
+    can start mid-maintenance; :func:`assert_quiescent` at entry
+    guarantees none was running when the marker went up.
+
+    Reentrant within the process (a merge holds it across its inner
+    gc_epoch_sink call). Overwrites a stale marker from a CRASHED
+    maintenance job — maintenance entry already asserts quiescence,
+    and every maintenance op here converges on rerun, so re-running
+    maintenance IS the crash repair (the same self-heal semantics the
+    drain lease has for its own reruns)."""
+    jvm, _, fs = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _MAINT_LEASE)
+    key = str(p.toString())
+    if _HELD_MAINT.get(key, 0) > 0:
+        _HELD_MAINT[key] += 1
+        try:
+            yield
+        finally:
+            _HELD_MAINT[key] -= 1
+        return
+    assert_quiescent(spark, root, action)
+    out = fs.create(p, True)
+    out.write(bytearray(action.encode()))
+    out.close()
+    _HELD_MAINT[key] = 1
+    try:
+        yield
+    finally:
+        _HELD_MAINT.pop(key, None)
+        if fs.exists(p):
+            fs.delete(p, False)
+
+
+def _recheck_drain(spark: SparkSession, root: str, action: str) -> None:
+    """Raise if a drain lease appeared since maintenance entry — called
+    immediately before each destructive step (the compaction write,
+    every GC delete batch). With :func:`maintenance_lease` held,
+    :func:`acquire_drain_lease` refuses, so this fires only for
+    writers that bypass the lease API (legacy or foreign tooling) —
+    defense in depth, one FS existence check."""
+    holder = drain_lease_holder(spark, root)
+    if holder is not None:
+        raise ValueError(
+            f"epoch sink at {root} acquired a drain lease ({holder}) "
+            f"while {action} was running — aborting before the "
+            "destructive step. The drain bypassed the maintenance "
+            "lease; stop it, then rerun maintenance."
+        )
 
 
 def inflight_epochs(spark: SparkSession, root: str) -> list[int]:
@@ -449,42 +572,54 @@ def gc_epoch_sink(spark: SparkSession, root: str) -> list[str]:
     already invisible to :func:`epoch_sink_paths` — but not to a LIVE
     stream whose epoch ledger cached paths at start, hence the
     quiescence guard (r9 self-review: enforced at the layer that
-    deletes directories, covering every caller at once)."""
-    assert_quiescent(spark, root, "epoch-sink GC")
-    merged = merged_bound(spark, root)
-    live = [
-        (k, p) for k, p in _committed_compactions(spark, root) if k > merged
-    ]
-    keep_path = live[-1][1] if live else None
-    covered = live[-1][0] if live else merged
-    if covered < 0:
-        return []
-    jvm, _, fs = _fs(spark, root)
-    deleted = []
-    for epoch, epath in _epoch_entries(spark, root):
-        if epoch <= covered:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(epath), True)
-            deleted.append(epath)
-    base = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _COMPACTED)
-    if fs.exists(base):
-        for status in fs.listStatus(base):
-            name = status.getPath().getName()
-            spath = status.getPath().toString()
-            if re.fullmatch(r"upto=\d+", name) and spath != keep_path:
-                # older committed compactions are superseded (by a newer
-                # compaction or by the base merge); a partial
-                # (uncommitted) dir is a dead compactor's leftovers — a
-                # retried compaction overwrites its path anyway. Both
-                # safe.
-                fs.delete(status.getPath(), True)
-                deleted.append(spath)
-    # Superseded merge markers: keep only the newest committed bound.
-    mbase = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + _MERGED)
-    if fs.exists(mbase):
-        keep_marker = f"upto={merged}"
-        for status in fs.listStatus(mbase):
-            name = status.getPath().getName()
-            if re.fullmatch(r"upto=\d+", name) and name != keep_marker:
-                fs.delete(status.getPath(), True)
-                deleted.append(status.getPath().toString())
-    return deleted
+    deletes directories, covering every caller at once; r9 advice:
+    HELD for the whole GC via the maintenance lease, with a drain
+    re-check immediately before each delete)."""
+    with maintenance_lease(spark, root, "epoch-sink GC"):
+        merged = merged_bound(spark, root)
+        live = [
+            (k, p)
+            for k, p in _committed_compactions(spark, root)
+            if k > merged
+        ]
+        keep_path = live[-1][1] if live else None
+        covered = live[-1][0] if live else merged
+        if covered < 0:
+            return []
+        jvm, _, fs = _fs(spark, root)
+        deleted = []
+        for epoch, epath in _epoch_entries(spark, root):
+            if epoch <= covered:
+                _recheck_drain(spark, root, "epoch-sink GC")
+                fs.delete(jvm.org.apache.hadoop.fs.Path(epath), True)
+                deleted.append(epath)
+        base = jvm.org.apache.hadoop.fs.Path(
+            root.rstrip("/") + "/" + _COMPACTED
+        )
+        if fs.exists(base):
+            for status in fs.listStatus(base):
+                name = status.getPath().getName()
+                spath = status.getPath().toString()
+                if re.fullmatch(r"upto=\d+", name) and spath != keep_path:
+                    # older committed compactions are superseded (by a
+                    # newer compaction or by the base merge); a partial
+                    # (uncommitted) dir is a dead compactor's leftovers
+                    # — a retried compaction overwrites its path
+                    # anyway. Both safe.
+                    _recheck_drain(spark, root, "epoch-sink GC")
+                    fs.delete(status.getPath(), True)
+                    deleted.append(spath)
+        # Superseded merge markers: keep only the newest committed
+        # bound.
+        mbase = jvm.org.apache.hadoop.fs.Path(
+            root.rstrip("/") + "/" + _MERGED
+        )
+        if fs.exists(mbase):
+            keep_marker = f"upto={merged}"
+            for status in fs.listStatus(mbase):
+                name = status.getPath().getName()
+                if re.fullmatch(r"upto=\d+", name) and name != keep_marker:
+                    _recheck_drain(spark, root, "epoch-sink GC")
+                    fs.delete(status.getPath(), True)
+                    deleted.append(status.getPath().toString())
+        return deleted

@@ -16,10 +16,68 @@ the engine grows (quantizer codebooks, LSH projections).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 INDEX_FORMAT_VERSION = 1
+
+
+def _displaced_name(part: str) -> str:
+    """Displaced-original directory name for a partition mid-swap.
+    DOT-PREFIXED so Hadoop's hidden-file filter keeps it out of
+    partition discovery (r9 advice: the old ``{part}.premerge``
+    sibling WAS discovered, coerced the partition column to string,
+    and silently dropped the displaced rows from a rerun's base
+    read)."""
+    return ".premerge." + part
+
+
+def repair_displaced_partitions(
+    spark: SparkSession, base_root: str
+) -> list[str]:
+    """Heal a base root after a swap crashed mid-partition: for every
+    displaced directory (``.premerge.{part}``, plus the pre-r10
+    ``{part}.premerge`` spelling), restore it to ``{part}`` when the
+    live partition is MISSING (the crash window between displace and
+    move-into-place — the displaced dir holds the only copy) and
+    delete it when the live partition exists (the swap completed and
+    only its cleanup delete was lost). Returns the restored partition
+    names. Run by the merges BEFORE their base read, so a rerun reads
+    a complete base instead of silently rebuilding a touched partition
+    from overlay-only rows."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(base_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    restored: list[str] = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        m = re.fullmatch(r"\.premerge\.(.+)", name) or re.fullmatch(
+            r"(.+)\.premerge", name
+        )
+        if not m:
+            continue
+        part = m.group(1)
+        dst = hpath(base_root.rstrip("/") + "/" + part)
+        if fs.exists(dst):
+            fs.delete(status.getPath(), True)
+        else:
+            if not fs.rename(status.getPath(), dst):
+                raise IOError(
+                    f"displaced-partition repair: could not restore "
+                    f"{status.getPath().toString()} to {dst.toString()}"
+                    " — rename it back by hand before any load"
+                )
+            restored.append(part)
+    if restored:
+        spark.catalog.refreshByPath(base_root)
+    return restored
 
 
 def save_centroids(cells: DataFrame, path: str) -> None:
@@ -423,7 +481,21 @@ def _swap_partitions(
     cross-cell replay guard routes cell-moving vec_ids to the full
     rewrite before this function is reached. The tmp root (with its
     ``_SUCCESS`` and any unclaimed partitions) is deleted at the
-    end."""
+    end.
+
+    The displaced original lives at ``.premerge.{part}`` — DOT-PREFIXED,
+    so Hadoop's hidden-file filter keeps it out of partition discovery
+    (r9 advice: the old ``{part}.premerge`` sibling WAS discovered,
+    coerced the partition column to string, and poisoned a rerun's
+    base read). Crash INSIDE a single swap (between displace and
+    move-into-place) is recovered on rerun by distinguishing the two
+    leftover states: displaced dir present + ``{part}`` missing means
+    the swap died mid-flight, so the original is restored BEFORE the
+    merge's base read ever ran (the restore happens here, but the
+    caller re-reads via a rerun — see the loud raise); displaced dir
+    present + ``{part}`` present means the previous swap completed and
+    only the cleanup delete was lost, so the leftover is superseded
+    debris and deleted."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(base_root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -438,8 +510,33 @@ def _swap_partitions(
                 f"{new_root}"
             )
         dst = hpath(base_root.rstrip("/") + "/" + part)
-        old = hpath(base_root.rstrip("/") + "/" + part + ".premerge")
+        old = hpath(base_root.rstrip("/") + "/" + _displaced_name(part))
         if fs.exists(old):
+            if not fs.exists(dst):
+                # a previous swap died between rename(dst→old) and
+                # rename(src→dst): `old` holds the ONLY copy of this
+                # partition. Restore it and abort loudly — this merge's
+                # base read ran against a root missing the partition,
+                # so its merged output under-counts; the rerun (over
+                # the restored base) converges. Deleting `old` here
+                # (the pre-r10 behavior) silently destroyed the
+                # partition's rows.
+                if not fs.rename(old, dst):
+                    raise IOError(
+                        f"partition swap: found displaced original "
+                        f"{old.toString()} with no live {part} and "
+                        "could not restore it — rename it back to "
+                        f"{dst.toString()} by hand before any load"
+                    )
+                raise IOError(
+                    f"partition swap: a previous swap of {part} died "
+                    f"mid-flight; the displaced original has been "
+                    "restored. Rerun the merge (this run's merged "
+                    "output was computed against the incomplete base)."
+                )
+            # dst also exists → the previous swap completed and only
+            # its cleanup delete was lost; the displaced dir is
+            # superseded debris.
             fs.delete(old, True)
         had_dst = fs.exists(dst)
         if had_dst and not fs.rename(dst, old):
@@ -461,6 +558,58 @@ def _swap_partitions(
             fs.delete(old, True)
     fs.delete(hpath(new_root), True)
     spark.catalog.refreshByPath(base_root)
+
+
+def _overlay_wins(
+    base_rel: DataFrame,
+    overlay: DataFrame | None,
+    key_cols: list[str],
+) -> DataFrame:
+    """Union base and overlay keeping, per natural key, the OVERLAY row
+    when both hold one (r9 advice: ``dropDuplicates`` kept an arbitrary
+    row, so a re-ingested embedding could silently lose to its stale
+    base row — merge-fold freshness was nondeterministic). Precedence
+    is fully deterministic:
+
+    1. overlay rows outrank base rows;
+    2. among overlay duplicates, the newest EPOCH wins — the rank is
+       read off ``input_file_name()`` (``batch=N`` for live epochs,
+       ``upto=M`` for a compaction, whose rows all came from epochs
+       ≤ M, below every live epoch by construction);
+    3. final tiebreak is a content hash (``xxhash64`` over all
+       columns), so the pick is stable under any partitioning or task
+       order. Identical-content duplicates are unaffected by which
+       copy survives.
+
+    Same shuffle shape as the ``dropDuplicates`` it replaces (one
+    exchange on the key). ``overlay=None`` dedupes the base alone with
+    the same deterministic tiebreak (the ``repair=True`` path)."""
+    from pyspark.sql.window import Window
+
+    if overlay is not None:
+        fname = F.input_file_name()
+        batch = F.regexp_extract(fname, r"batch=(\d+)", 1)
+        upto = F.regexp_extract(fname, r"upto=(\d+)", 1)
+        # when-guarded casts (never cast a non-digit string — ANSI-safe)
+        epoch = (
+            F.when(batch != "", batch.cast("long"))
+            .when(upto != "", upto.cast("long"))
+            .otherwise(F.lit(0))
+        )
+        unioned = base_rel.withColumn("_pri", F.lit(0)).unionByName(
+            overlay.withColumn("_pri", epoch + F.lit(1))
+        )
+    else:
+        unioned = base_rel.withColumn("_pri", F.lit(0))
+    data_cols = [c for c in unioned.columns if c != "_pri"]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_pri").desc(), F.xxhash64(*data_cols).desc()
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
 
 
 def merge_minhash_index(
@@ -505,52 +654,64 @@ def merge_minhash_index(
     incidentally repairs pre-existing staleness in untouched
     partitions — that is ``repair=True``'s job (full rewrite,
     write-new-then-swap, as before)."""
+    import contextlib
+
     from genai_batch_processor_spark.operators import dedup
     from genai_batch_processor_spark.sources import compaction
 
     want_fp = dedup.minhash_scheme_fingerprint()
     bound = None
     paths: list[str] = []
-    if epoch_root is not None:
-        _check_stream_marker(
-            spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
+    # the maintenance lease is held for the WHOLE merge (r9 advice:
+    # assert-at-entry left the minutes-long merge window unguarded —
+    # a drain starting mid-merge wrote epochs the post-merge GC then
+    # deleted); acquire_drain_lease refuses while it is live
+    with contextlib.ExitStack() as stack:
+        if epoch_root is not None:
+            _check_stream_marker(
+                spark, epoch_root, "_minhash_fp", want_fp, "MinHash scheme"
+            )
+            stack.enter_context(
+                compaction.maintenance_lease(spark, epoch_root, "base merge")
+            )
+            inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+            if inputs is not None:
+                paths, bound = inputs
+        if not paths and not repair:
+            return None
+        repair_displaced_partitions(spark, base_path)
+        base = load_minhash_index(
+            spark, base_path, check_bucket_counts=False
         )
-        compaction.assert_quiescent(spark, epoch_root, "base merge")
-        inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
-        if inputs is not None:
-            paths, bound = inputs
-    if not paths and not repair:
-        return None
-    base = load_minhash_index(spark, base_path, check_bucket_counts=False)
-    cols = ["band", "key", "id", "hs"]
-    tmp = base_path.rstrip("/") + ".merging"
-    if paths and not repair:
-        overlay = spark.read.parquet(*paths).select(*cols)
-        touched = sorted(
-            r["band"] for r in overlay.select("band").distinct().collect()
-        )  # bounded by LSH_BANDS
-        scoped = base.filter(F.col("band").isin(touched)).select(*cols)
-        merged = dedup.with_bucket_counts(
-            scoped.unionByName(overlay).dropDuplicates(["band", "id"])
-        )
-        save_minhash_index(merged, tmp)
-        _swap_partitions(
-            spark, tmp, base_path, [f"band={b}" for b in touched]
-        )
-    else:
-        rel = base.select(*cols)
-        if paths:
-            overlay = spark.read.parquet(*paths)
-            rel = rel.unionByName(overlay.select(*cols))
-        merged = dedup.with_bucket_counts(
-            rel.dropDuplicates(["band", "id"])
-        )
-        save_minhash_index(merged, tmp)
-        _swap_into(spark, tmp, base_path)
-    if bound is not None:
-        compaction.record_merged_bound(spark, epoch_root, bound)
-        compaction.gc_epoch_sink(spark, epoch_root)
-    return bound
+        cols = ["band", "key", "id", "hs"]
+        tmp = base_path.rstrip("/") + ".merging"
+        if paths and not repair:
+            overlay = spark.read.parquet(*paths).select(*cols)
+            touched = sorted(
+                r["band"]
+                for r in overlay.select("band").distinct().collect()
+            )  # bounded by LSH_BANDS
+            scoped = base.filter(F.col("band").isin(touched)).select(*cols)
+            merged = dedup.with_bucket_counts(
+                _overlay_wins(scoped, overlay, ["band", "id"])
+            )
+            save_minhash_index(merged, tmp)
+            _swap_partitions(
+                spark, tmp, base_path, [f"band={b}" for b in touched]
+            )
+        else:
+            overlay = (
+                spark.read.parquet(*paths).select(*cols) if paths else None
+            )
+            merged = dedup.with_bucket_counts(
+                _overlay_wins(base.select(*cols), overlay, ["band", "id"])
+            )
+            save_minhash_index(merged, tmp)
+            _swap_into(spark, tmp, base_path)
+        if bound is not None:
+            compaction.record_merged_bound(spark, epoch_root, bound)
+            compaction.gc_epoch_sink(spark, epoch_root)
+        return bound
 
 
 def merge_embedding_index(
@@ -585,76 +746,87 @@ def merge_embedding_index(
     merge runs. Like the MinHash fold, a scoped fold no longer repairs
     pre-existing staleness in untouched cells — ``repair=True`` (full
     rewrite) remains the takedown repair."""
+    import contextlib
+
     from genai_batch_processor_spark.operators import similarity
     from genai_batch_processor_spark.sources import compaction
 
     want_fp = similarity.centroid_fingerprint(centroids)
     bound = None
     paths: list[str] = []
-    if epoch_root is not None:
-        _check_stream_marker(
-            spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
-        )
-        compaction.assert_quiescent(spark, epoch_root, "base merge")
-        inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
-        if inputs is not None:
-            paths, bound = inputs
-    if not paths and not repair:
-        return None
-    base = load_embedding_index(
-        spark, base_path, centroids, check_cell_counts=False
-    )
-    cols = ["cell", "vec_id", "embedding", "nrm"]
-    tmp = base_path.rstrip("/") + ".merging"
-    use_scoped = False
-    if paths and not repair:
-        overlay = spark.read.parquet(*paths).select(*cols)
-        touched = sorted(
-            r["cell"] for r in overlay.select("cell").distinct().collect()
-        )  # bounded by k (KMEANS_K_MAX)
-        # CROSS-CELL REPLAY GUARD: unlike the MinHash store (whose
-        # dedup key contains the partition column), vec_id does not
-        # contain cell — a vec_id re-ingested with a NEW embedding can
-        # assign to a different cell, and a scoped fold would leave its
-        # stale row alive in an untouched partition (duplicate vec_id,
-        # conflicting embeddings). One partition-pruned TWO-COLUMN scan
-        # of the base (vec_id against the broadcast batch ids, touched
-        # cells excluded — no embedding payload read) decides; any hit
-        # routes to the full global-dedup rewrite, the pre-scoping
-        # semantics that removes the stale row.
-        moved = (
-            base.filter(~F.col("cell").isin(touched))
-            .select("vec_id")
-            .join(
-                F.broadcast(overlay.select("vec_id").distinct()),
-                "vec_id",
-                "left_semi",
+    # whole-merge maintenance lease — see merge_minhash_index
+    with contextlib.ExitStack() as stack:
+        if epoch_root is not None:
+            _check_stream_marker(
+                spark, epoch_root, "_centroid_fp", want_fp, "centroid set"
             )
-            .limit(1)
-            .collect()
+            stack.enter_context(
+                compaction.maintenance_lease(spark, epoch_root, "base merge")
+            )
+            inputs = compaction.merge_inputs(spark, epoch_root, keep_last)
+            if inputs is not None:
+                paths, bound = inputs
+        if not paths and not repair:
+            return None
+        repair_displaced_partitions(spark, base_path)
+        base = load_embedding_index(
+            spark, base_path, centroids, check_cell_counts=False
         )
-        use_scoped = not moved
-    if use_scoped:
-        scoped = base.filter(F.col("cell").isin(touched)).select(*cols)
-        merged = similarity.with_cell_counts(
-            scoped.unionByName(overlay).dropDuplicates(["vec_id"])
-        )
-        save_embedding_index(merged, centroids, tmp)
-        _swap_partitions(
-            spark, tmp, base_path, [f"cell={c}" for c in touched]
-        )
-    else:
-        rel = base.select(*cols)
-        if paths:
-            overlay = spark.read.parquet(*paths)
-            rel = rel.unionByName(overlay.select(*cols))
-        merged = similarity.with_cell_counts(rel.dropDuplicates(["vec_id"]))
-        save_embedding_index(merged, centroids, tmp)
-        _swap_into(spark, tmp, base_path)
-    if bound is not None:
-        compaction.record_merged_bound(spark, epoch_root, bound)
-        compaction.gc_epoch_sink(spark, epoch_root)
-    return bound
+        cols = ["cell", "vec_id", "embedding", "nrm"]
+        tmp = base_path.rstrip("/") + ".merging"
+        use_scoped = False
+        if paths and not repair:
+            overlay = spark.read.parquet(*paths).select(*cols)
+            touched = sorted(
+                r["cell"]
+                for r in overlay.select("cell").distinct().collect()
+            )  # bounded by k (KMEANS_K_MAX)
+            # CROSS-CELL REPLAY GUARD: unlike the MinHash store (whose
+            # dedup key contains the partition column), vec_id does not
+            # contain cell — a vec_id re-ingested with a NEW embedding
+            # can assign to a different cell, and a scoped fold would
+            # leave its stale row alive in an untouched partition
+            # (duplicate vec_id, conflicting embeddings). One
+            # partition-pruned TWO-COLUMN scan of the base (vec_id
+            # against the broadcast batch ids, touched cells excluded —
+            # no embedding payload read) decides; any hit routes to the
+            # full global-dedup rewrite, which removes the stale row
+            # (deterministically, since r10: the overlay row WINS the
+            # fold — see _overlay_wins).
+            moved = (
+                base.filter(~F.col("cell").isin(touched))
+                .select("vec_id")
+                .join(
+                    F.broadcast(overlay.select("vec_id").distinct()),
+                    "vec_id",
+                    "left_semi",
+                )
+                .limit(1)
+                .collect()
+            )
+            use_scoped = not moved
+        if use_scoped:
+            scoped = base.filter(F.col("cell").isin(touched)).select(*cols)
+            merged = similarity.with_cell_counts(
+                _overlay_wins(scoped, overlay, ["vec_id"])
+            )
+            save_embedding_index(merged, centroids, tmp)
+            _swap_partitions(
+                spark, tmp, base_path, [f"cell={c}" for c in touched]
+            )
+        else:
+            overlay = (
+                spark.read.parquet(*paths).select(*cols) if paths else None
+            )
+            merged = similarity.with_cell_counts(
+                _overlay_wins(base.select(*cols), overlay, ["vec_id"])
+            )
+            save_embedding_index(merged, centroids, tmp)
+            _swap_into(spark, tmp, base_path)
+        if bound is not None:
+            compaction.record_merged_bound(spark, epoch_root, bound)
+            compaction.gc_epoch_sink(spark, epoch_root)
+        return bound
 
 
 def merge_span_index(

@@ -176,8 +176,14 @@ def near_dup_probe_stream_to_parquet(
     # commits too — a concurrent merge/compaction/GC must refuse for
     # the drain's full wall clock. try/finally releases on any exit;
     # a killed driver leaves the lease, and the documented remedy
-    # (rerun the drain) re-acquires then releases it.
-    tag = f"appId={spark.sparkContext.applicationId} ckpt={checkpoint_dir}"
+    # (rerun the drain) re-acquires then releases it. The tag is the
+    # drain's IDENTITY — the checkpoint dir, stable across reruns —
+    # not the ephemeral appId: since r10 acquire_drain_lease refuses a
+    # FOREIGN live lease (two distinct drains may not share a root),
+    # and only a same-identity rerun may overwrite its own stale
+    # lease. Two live drains cannot share a checkpoint (Spark locks
+    # it), so a matching tag is always the crashed predecessor.
+    tag = f"ckpt={checkpoint_dir}"
     compaction.acquire_drain_lease(spark, idx_root, tag)
     compaction.acquire_drain_lease(spark, pairs_root, tag)
     try:
@@ -357,8 +363,9 @@ def embedding_probe_stream_to_parquet(
         ledger.record(epoch_id)
 
     # same whole-drain lease discipline as the MinHash twin (r9
-    # self-review): the ledger's cached paths are live between commits
-    tag = f"appId={spark.sparkContext.applicationId} ckpt={checkpoint_dir}"
+    # self-review): the ledger's cached paths are live between
+    # commits; checkpoint-identity tag for the same reasons
+    tag = f"ckpt={checkpoint_dir}"
     compaction.acquire_drain_lease(spark, idx_root, tag)
     compaction.acquire_drain_lease(spark, pairs_root, tag)
     try:

@@ -524,7 +524,8 @@ def test_drain_lease_blocks_all_maintenance(spark, tmp_path):
     lease for the whole drain, and EVERY maintenance entrypoint —
     merge, compaction, GC — refuses while it is held, naming the
     holder. The lease is released on drain completion (asserted on a
-    real drain) and re-acquire overwrites a stale one."""
+    real drain); a SAME-tag re-acquire overwrites a stale one (foreign
+    tags are refused — see test_lease_symmetry_and_maintenance_tripwire)."""
     import pytest
 
     docs = load_table(spark, SF, "documents").limit(120)
@@ -646,3 +647,236 @@ def test_merge_repair_after_takedown(spark, tmp_path):
     assert repaired.filter(
         F.col("id").isin([r.id for r in victims.collect()])
     ).count() == 0
+
+
+def test_lease_symmetry_and_maintenance_tripwire(spark, tmp_path):
+    """r9 advice: the quiescence contract must be symmetric. A foreign
+    live drain lease is REFUSED (not overwritten — two drains on one
+    root used to clobber each other's lease, and the first release
+    deleted the second drain's protection); a same-identity rerun may
+    overwrite its own stale lease. Maintenance holds a _maintaining
+    marker for its whole window that acquire_drain_lease refuses on
+    (the merge/GC can run for minutes after the entry check), the
+    marker is reentrant within the process (a merge wraps its inner
+    GC), and a crashed maintenance job's stale marker is overwritten
+    by the rerun."""
+    import pytest
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+
+    # same-tag re-acquire self-heals (a crashed drain's rerun); a
+    # FOREIGN tag is refused
+    compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+    compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+    with pytest.raises(ValueError, match="already leased"):
+        compaction.acquire_drain_lease(spark, root, "ckpt=/b")
+    compaction.release_drain_lease(spark, root)
+
+    # maintenance blocks drains for its WHOLE window, reentrantly
+    with compaction.maintenance_lease(spark, root, "outer maintenance"):
+        with pytest.raises(ValueError, match="under maintenance"):
+            compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+        with compaction.maintenance_lease(spark, root, "nested"):
+            pass
+        # the nested exit must NOT release the outer hold
+        with pytest.raises(ValueError, match="under maintenance"):
+            compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+    # released on exit — a drain may start again
+    compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+
+    # the pre-destructive-step re-check fires on a lease that appeared
+    # mid-maintenance (a writer bypassing the lease API)
+    with pytest.raises(ValueError, match="while unit probe was running"):
+        compaction._recheck_drain(spark, root, "unit probe")
+    compaction.release_drain_lease(spark, root)
+
+    # a crashed maintenance job's marker blocks drains but not the
+    # maintenance rerun (rerunning maintenance IS the crash repair)
+    marker = os.path.join(root, "_maintaining")
+    with open(marker, "w") as f:
+        f.write("dead job")
+    with pytest.raises(ValueError, match="under maintenance"):
+        compaction.acquire_drain_lease(spark, root, "ckpt=/a")
+    with compaction.maintenance_lease(spark, root, "rerun"):
+        pass
+    assert not os.path.exists(marker)
+
+
+def test_displaced_partition_repair(spark, tmp_path):
+    """r9 advice (medium): a swap crash between rename(dst→old) and
+    rename(src→dst) leaves the partition's ONLY copy in the displaced
+    dir. The pre-r10 code deleted it on rerun (silent data loss, and
+    the sibling `{part}.premerge` name poisoned partition discovery by
+    coercing the partition column to string). Now: the displaced name
+    is dot-prefixed (invisible to discovery), and the merges repair
+    before their base read — restore when the live partition is
+    missing, delete only when it exists (swap completed, leftover
+    superseded)."""
+    import shutil
+
+    from genai_batch_processor_spark.operators import clustering
+
+    emb = load_table(spark, SF, "embeddings").limit(400)
+    cents = clustering.centroids_from_cells(
+        clustering.kmeans_cells(emb, k=8, iters=3)
+    )
+    base = str(tmp_path / "base")
+    cell_index = similarity.embedding_cell_index(emb, cents)
+    index_store.save_embedding_index(cell_index, cents, base)
+    n_base = spark.read.parquet(base).count()
+    victim = sorted(
+        d for d in os.listdir(base) if d.startswith("cell=")
+    )[0]
+
+    # intra-swap crash state: displaced dir present, live dir missing.
+    # Discovery must NOT see the displaced dir (dot prefix).
+    os.rename(
+        os.path.join(base, victim), os.path.join(base, ".premerge." + victim)
+    )
+    spark.catalog.refreshByPath(base)
+    assert spark.read.parquet(base).count() < n_base
+    assert index_store.repair_displaced_partitions(spark, base) == [victim]
+    assert spark.read.parquet(base).count() == n_base
+
+    # completed-swap leftover: displaced dir + live dir → debris deleted
+    shutil.copytree(
+        os.path.join(base, victim), os.path.join(base, ".premerge." + victim)
+    )
+    assert index_store.repair_displaced_partitions(spark, base) == []
+    assert not os.path.exists(os.path.join(base, ".premerge." + victim))
+    spark.catalog.refreshByPath(base)
+    assert spark.read.parquet(base).count() == n_base
+
+    # the pre-r10 displaced spelling is healed the same way
+    os.rename(
+        os.path.join(base, victim), os.path.join(base, victim + ".premerge")
+    )
+    spark.catalog.refreshByPath(base)
+    assert index_store.repair_displaced_partitions(spark, base) == [victim]
+    spark.catalog.refreshByPath(base)
+    assert spark.read.parquet(base).count() == n_base
+
+    # end-to-end: a merge over a crashed base self-heals BEFORE its
+    # base read — no partition is rebuilt overlay-only
+    os.rename(
+        os.path.join(base, victim), os.path.join(base, ".premerge." + victim)
+    )
+    spark.catalog.refreshByPath(base)
+    target_cell = int(victim.split("=")[1])
+    batch = (
+        cell_index.filter(F.col("cell") == target_cell)
+        .select((F.col("vec_id") + OFFSET).alias("vec_id"), "embedding")
+        .limit(5)
+    )
+    overlay_rows = similarity.embedding_cell_index(batch, cents)
+    n_fold = overlay_rows.count()
+    root = str(tmp_path / "overlay")
+    for e in range(2):  # keep_last=1 folds epoch 0 only
+        overlay_rows.write.parquet(f"{root}/batch={e}")
+    (
+        spark.range(1)
+        .select(F.lit(similarity.centroid_fingerprint(cents)).alias("v"))
+        .coalesce(1)
+        .write.text(os.path.join(root, "_centroid_fp"))
+    )
+    assert index_store.merge_embedding_index(spark, base, root, cents) == 0
+    merged = index_store.load_embedding_index(spark, base, cents)
+    assert merged.count() == n_base + n_fold  # nothing lost
+
+
+def test_merge_fold_overlay_wins_deterministically(spark, tmp_path):
+    """r9 advice: the fold's dedup used to keep an ARBITRARY row per
+    natural key, so a re-ingested vector/document could silently lose
+    to its stale base row. Precedence is now deterministic
+    (index_store._overlay_wins): the overlay row survives, on both the
+    scoped path (same-cell re-ingest) and the MinHash band store."""
+    from genai_batch_processor_spark.operators import clustering
+
+    # -- embedding store, scoped path: same-cell re-ingest with a NEW
+    # embedding (the donor vector lives in the same cell, so the
+    # cross-cell guard keeps the fold scoped)
+    emb = load_table(spark, SF, "embeddings").limit(400)
+    cents = clustering.centroids_from_cells(
+        clustering.kmeans_cells(emb, k=8, iters=3)
+    )
+    base = str(tmp_path / "ebase")
+    cell_index = similarity.embedding_cell_index(emb, cents)
+    index_store.save_embedding_index(cell_index, cents, base)
+    two = (
+        cell_index.groupBy("cell")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .first()
+    )
+    victim_id, donor_id = int(two["ids"][0]), int(two["ids"][1])
+    donor_vec = (
+        emb.filter(F.col("vec_id") == donor_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    old_vec = (
+        emb.filter(F.col("vec_id") == victim_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    assert list(donor_vec) != list(old_vec)
+    batch = spark.createDataFrame(
+        [(victim_id, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    overlay_rows = similarity.embedding_cell_index(batch, cents)
+    assert overlay_rows.first()["cell"] == two["cell"]  # same cell
+    eroot = str(tmp_path / "eoverlay")
+    for e in range(2):
+        overlay_rows.write.parquet(f"{eroot}/batch={e}")
+    (
+        spark.range(1)
+        .select(F.lit(similarity.centroid_fingerprint(cents)).alias("v"))
+        .coalesce(1)
+        .write.text(os.path.join(eroot, "_centroid_fp"))
+    )
+    n_base = spark.read.parquet(base).count()
+    assert index_store.merge_embedding_index(spark, base, eroot, cents) == 0
+    merged = index_store.load_embedding_index(spark, base, cents)
+    survivor = merged.filter(F.col("vec_id") == victim_id).collect()
+    assert len(survivor) == 1
+    assert list(survivor[0]["embedding"]) == list(donor_vec)  # NEW row won
+    assert merged.count() == n_base  # replaced, never appended
+
+    # -- MinHash band store: re-ingested doc with NEW text; its (band,
+    # key, hs) rows must be the new text's, not the stale base rows
+    docs = load_table(spark, SF, "documents").limit(120)
+    mbase = str(tmp_path / "mbase")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), mbase
+    )
+    victim_doc = int(docs.select("doc_id").first()["doc_id"])
+    new_text = (
+        "entirely new replacement text for the re-ingested document "
+        "with enough words to shingle and band into every partition "
+        "of the minhash store after the rewrite happened here"
+    )
+    redoc = spark.createDataFrame(
+        [(victim_doc, new_text)], "doc_id long, text string"
+    )
+    new_rows = dedup.minhash_index(redoc, "doc_id", "text")
+    mroot = str(tmp_path / "moverlay")
+    for e in range(2):
+        new_rows.write.parquet(f"{mroot}/batch={e}")
+    (
+        spark.range(1)
+        .select(F.lit(dedup.minhash_scheme_fingerprint()).alias("v"))
+        .coalesce(1)
+        .write.text(os.path.join(mroot, "_minhash_fp"))
+    )
+    assert index_store.merge_minhash_index(spark, mbase, mroot) == 0
+    mmerged = index_store.load_minhash_index(spark, mbase)
+    got = {
+        (r["band"], r["key"], tuple(r["hs"]))
+        for r in mmerged.filter(F.col("id") == victim_doc).collect()
+    }
+    want = {
+        (r["band"], r["key"], tuple(r["hs"]))
+        for r in new_rows.collect()
+    }
+    assert got == want  # every band row is the NEW text's
