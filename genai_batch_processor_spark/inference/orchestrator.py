@@ -40,6 +40,12 @@ class JobManifest:
     state: str = "created"
     batch_ids: list[str] = field(default_factory=list)
     meta: dict = field(default_factory=dict)
+    # Submit provenance from the distributed upload path
+    # (providers.submit_spark): one {"shard", "file_id", "batch_id"}
+    # record per shard, so a crashed driver can map every provider
+    # artifact back to the shard that produced it. Empty on the
+    # sequential path and for backends without an upload step.
+    shards: list[dict] = field(default_factory=list)
 
     def save(self, manifest_dir: str) -> str:
         os.makedirs(manifest_dir, exist_ok=True)
@@ -176,8 +182,10 @@ def run_job(
     spark=None,
 ) -> JobManifest:
     """submit → poll-until-terminal → manifest; resumable by job_id.
-    Pass ``spark`` to download result shards on the executors
-    (:func:`fetch_results_spark`) instead of serially on the driver.
+    Pass ``spark`` to run both data-plane legs on the executors: shard
+    UPLOAD via the backend's ``submit_spark`` (if it has one) and
+    result DOWNLOAD via :func:`fetch_results_spark` — instead of
+    serially on the driver.
 
     Mirrors oai:262-303 / vtx:356-419 control flow with the vtx:204-236
     deadline semantics, minus the exception swallowing.
@@ -193,7 +201,15 @@ def run_job(
     # to resubmit — submitting first and crashing before save loses the
     # provider batch_ids, the exact failure the manifest exists to prevent.
     job.save(manifest_dir)
-    job.batch_ids = backend.submit(input_path, output_path, job.meta)
+    # Distributed submit (round-9 verdict item 1): backends exposing
+    # submit_spark upload shards on the executors and return per-shard
+    # provenance; everything else keeps the sequential driver loop.
+    submit_spark = getattr(backend, "submit_spark", None)
+    if spark is not None and submit_spark is not None:
+        job.shards = submit_spark(spark, input_path, output_path, job.meta)
+        job.batch_ids = [r["batch_id"] for r in job.shards]
+    else:
+        job.batch_ids = backend.submit(input_path, output_path, job.meta)
     job.state = "submitted"
     job.save(manifest_dir)
 

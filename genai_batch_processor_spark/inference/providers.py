@@ -391,50 +391,152 @@ class OpenAIBatchBackend:
         else:
             self._call("POST", "/chat/completions", payload=request_body)
 
+    def _maybe_preflight(self, shards: list[str]) -> None:
+        if self.preflight:
+            with open(shards[0], "rb") as f:
+                first = f.readline()
+            if first.strip():
+                self.validate(json.loads(first)["body"])
+
+    def upload_shard(self, shard_path: str) -> str:
+        """files.create(purpose="batch") for ONE shard → file id.
+
+        Upload is retry-safe (a duplicated file is an orphan, not a
+        duplicated spend) — safe both under the RetryPolicy and under
+        Spark task retry in :meth:`submit_spark`; make_body regenerates
+        the multipart boundary per attempt so a partially-consumed
+        stream can't poison the retry."""
+        with open(shard_path, "rb") as f:
+            data = f.read()
+        name = os.path.basename(shard_path)
+        return self._call(
+            "POST",
+            "/files",
+            make_body=lambda: _multipart(
+                {"purpose": "batch"}, "file", name, data
+            ),
+        )["id"]
+
+    def create_batch(self, file_id: str, meta: dict) -> str:
+        """batches.create for one uploaded shard file → batch id.
+
+        The one non-idempotent call: retry only 429 (the request was
+        definitively rejected — nothing ran) and never a network
+        failure (the job may exist). Always driver-side, even in the
+        distributed submit — a Spark task retry would blindly duplicate
+        provider spend."""
+        return self._call(
+            "POST",
+            "/batches",
+            payload={
+                "input_file_id": file_id,
+                "endpoint": self.endpoint,
+                "completion_window": self.completion_window,
+                "metadata": meta or None,
+            },
+            retry_statuses=frozenset({429}),
+            retry_network=False,
+        )["id"]
+
     def submit(
         self, input_path: str, output_path: str, meta: dict
     ) -> list[str]:
         shards = _local_shards(input_path)
         if not shards:
             raise ValueError(f"no JSONL shards under {input_path}")
-        if self.preflight:
-            with open(shards[0], "rb") as f:
-                first = f.readline()
-            if first.strip():
-                self.validate(json.loads(first)["body"])
-        batch_ids: list[str] = []
-        for shard in shards:
-            with open(shard, "rb") as f:
-                data = f.read()
-            name = os.path.basename(shard)
-            # Upload is retry-safe (a duplicated file is an orphan, not
-            # a duplicated spend); make_body regenerates the multipart
-            # boundary per attempt so a partially-consumed stream can't
-            # poison the retry.
-            file_id = self._call(
-                "POST",
-                "/files",
-                make_body=lambda: _multipart(
-                    {"purpose": "batch"}, "file", name, data
-                ),
-            )["id"]
-            # Batch create is the one non-idempotent call: retry only
-            # 429 (the request was definitively rejected — nothing ran)
-            # and never a network failure (the job may exist).
-            batch = self._call(
-                "POST",
-                "/batches",
-                payload={
-                    "input_file_id": file_id,
-                    "endpoint": self.endpoint,
-                    "completion_window": self.completion_window,
-                    "metadata": meta or None,
-                },
-                retry_statuses=frozenset({429}),
-                retry_network=False,
+        self._maybe_preflight(shards)
+        return [
+            self.create_batch(self.upload_shard(shard), meta)
+            for shard in shards
+        ]
+
+    def submit_spark(
+        self,
+        spark,
+        input_path: str,
+        output_path: str,
+        meta: dict,
+        parallelism: int | None = None,
+    ) -> list[dict]:
+        """Executor-side shard upload (round-9 verdict item 1) — the
+        submit-side twin of ``orchestrator.fetch_results_spark``. The
+        sequential :meth:`submit` reads every shard into DRIVER memory
+        and uploads one at a time; with thousands of planned shards
+        (``batch_shards`` plans many by design) that loop is the last
+        driver-sequential data-plane step. Here the uploads fan out as
+        one Spark stage — each task reads its shard locally and runs
+        the SAME RetryPolicy-wrapped files.create wire (this object
+        ships to workers by pickle: plain config + stdlib transport) —
+        and only the tiny (shard, file_id) relation returns to the
+        driver (one short row per shard: control-plane, not data).
+
+        Batch creates stay DRIVER-side, in sorted shard order: they are
+        non-idempotent (a retried executor task would duplicate
+        provider spend) and ordering keeps the create wire sequence
+        deterministic for golden transcripts and operators tailing
+        provider logs. Upload order across executors is inherently
+        racy, but each upload's bytes are independent of order.
+
+        All-or-nothing: if any shard's upload exhausts its retry
+        budget the stage fails and NO batch is created — orphaned
+        uploaded files are harmless (GC'able), half-submitted jobs are
+        not.
+
+        Returns ``[{"shard", "file_id", "batch_id"}, ...]`` in sorted
+        shard order — the provenance ``run_job`` persists into the
+        manifest so a crashed driver can map every provider artifact
+        back to its shard.
+
+        DEPLOYMENT REQUIREMENT (mirror of fetch_results_spark):
+        ``input_path`` must be readable from every executor — a shared
+        mount or local[*]. Worker-local shard paths would fail loudly
+        (FileNotFoundError on the task), never silently."""
+        shards = _local_shards(input_path)
+        if not shards:
+            raise ValueError(f"no JSONL shards under {input_path}")
+        self._maybe_preflight(shards)
+        n = parallelism or min(
+            len(shards), spark.sparkContext.defaultParallelism
+        )
+        bk = self
+
+        def _upload(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "shard": pdf["shard"],
+                        "file_id": [
+                            bk.upload_shard(s) for s in pdf["shard"]
+                        ],
+                    }
+                )
+
+        # round-robin repartition for the same balls-in-bins reason as
+        # fetch_results_spark; collect is bounded at one row per shard
+        uploaded = (
+            spark.createDataFrame([(s,) for s in shards], "shard string")
+            .repartition(n)
+            .mapInPandas(_upload, "shard string, file_id string")
+            .collect()
+        )
+        file_ids = {r["shard"]: r["file_id"] for r in uploaded}
+        missing = [s for s in shards if s not in file_ids]
+        if missing or len(uploaded) != len(shards):
+            raise RuntimeError(
+                f"distributed upload returned {len(uploaded)} rows for "
+                f"{len(shards)} shards (missing {missing[:3]}...): "
+                "input_path must be visible from every executor"
             )
-            batch_ids.append(batch["id"])
-        return batch_ids
+        return [
+            {
+                "shard": shard,
+                "file_id": file_ids[shard],
+                "batch_id": self.create_batch(file_ids[shard], meta),
+            }
+            for shard in shards
+        ]
 
     def status(self, batch_id: str) -> str:
         s = self._call("GET", f"/batches/{batch_id}")["status"]

@@ -240,6 +240,10 @@ class BatchPipeline:
             manifest_dir=os.path.join(self.work_dir, "manifests"),
             poll_interval_seconds=poll_interval_seconds,
             timeout_seconds=timeout_seconds,
+            # Distributed data plane: upload (submit_spark) and result
+            # fetch run on executors for backends that support them;
+            # the local mocks expose neither and are unaffected.
+            spark=self.spark,
         )
         self.last_metrics["job_id"] = job.job_id
         self.last_metrics["n_batches"] = len(job.batch_ids)

@@ -336,6 +336,219 @@ def test_distributed_fetch_matches_driver_bytes(spark, tmp_path):
     assert not any(".part-" in f for f in e_files)  # atomic publishes
 
 
+def _flaky_submit_transport_cls():
+    """Fake OpenAI wire for the SUBMIT leg, defined in a function so
+    cloudpickle ships it BY VALUE to Python workers. The first
+    files.create attempt per (instance, shard filename) returns 503 —
+    every executor upload task exercises the real RetryPolicy — and
+    EVERY files.create attempt spools its normalized wire bytes to one
+    file under ``spool_dir`` so the driver can diff per-upload bytes
+    after the distributed run (uploads race across tasks; per-upload
+    bytes, not global order, are the golden contract). Also serves the
+    driver-side batches.create / poll / fetch wire so run_job can run
+    end-to-end."""
+
+    class FlakySubmitTransport:
+        def __init__(self, spool_dir=None, fail_first=True):
+            self.spool_dir = spool_dir
+            self.fail_first = fail_first
+            self.failed_once: set[str] = set()
+            self.observed: list[tuple[str, str]] = []
+
+        @staticmethod
+        def _normalize(body: bytes) -> bytes:
+            import re as _re
+
+            return _re.sub(
+                rb"----spark-graft-[0-9a-f]{32}",
+                b"----spark-graft-BOUNDARY",
+                body,
+            )
+
+        def _spool(self, name: str, body: bytes) -> None:
+            if not self.spool_dir:
+                return
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.spool_dir, exist_ok=True)
+            p = _os.path.join(
+                self.spool_dir, f"{name}.{_uuid.uuid4().hex}.wire"
+            )
+            with open(p, "wb") as f:
+                f.write(self._normalize(body))
+
+        def request(self, method, url, headers, body=None):
+            import json as _json
+            import re as _re
+
+            path = url.split("/v1", 1)[1].split("?")[0]
+            self.observed.append((method, path))
+            if path == "/files":
+                name = _re.search(
+                    rb'filename="([^"]+)"', body or b""
+                ).group(1).decode()
+                self._spool(name, body)
+                if self.fail_first and name not in self.failed_once:
+                    self.failed_once.add(name)
+                    return 503, b"upstream hiccup", {}
+                return 200, _json.dumps({"id": f"file-{name}"}).encode()
+            if path == "/batches" and method == "POST":
+                fid = _json.loads(body)["input_file_id"]
+                return 200, _json.dumps(
+                    {"id": f"batch-{fid}", "status": "validating"}
+                ).encode()
+            if path.startswith("/batches/"):
+                b = path.rsplit("/", 1)[1]
+                return 200, _json.dumps(
+                    {
+                        "id": b,
+                        "status": "completed",
+                        "output_file_id": f"out-{b}",
+                    }
+                ).encode()
+            if path.endswith("/content"):
+                fid = path.split("/")[2]
+                return 200, f"result-for-{fid}\n".encode()
+            raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    return FlakySubmitTransport
+
+
+def test_distributed_submit_matches_driver_wire_bytes(spark, tmp_path):
+    """Round-9 verdict item 1: shard uploads run ON EXECUTORS
+    (submit_spark) under injected 503s per shard, every upload attempt's
+    multipart wire bytes are byte-identical (after boundary
+    normalization) to the sequential driver path's bytes for the same
+    shard, and batch creates stay driver-side in sorted shard order."""
+    from genai_batch_processor_spark.inference import providers
+    from genai_batch_processor_spark.sources import jsonl  # noqa: F401
+
+    import json
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    names = [f"part-{i:05d}.jsonl" for i in range(4)]
+    for i, name in enumerate(names):
+        (shard_dir / name).write_text(
+            json.dumps(
+                {
+                    "custom_id": f"request-{i}",
+                    "method": "POST",
+                    "url": "/v1/chat/completions",
+                    "body": {"model": "m", "messages": []},
+                }
+            )
+            + "\n"
+        )
+    transport_cls = _flaky_submit_transport_cls()
+    policy_kw = dict(
+        retry_policy=providers.RetryPolicy(
+            max_attempts=3, base_delay=0.0, max_delay=0.0
+        )
+    )
+
+    # Sequential driver path: no failures, spool per-shard wire bytes.
+    driver_spool = str(tmp_path / "driver_spool")
+    bk_seq = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=transport_cls(spool_dir=driver_spool, fail_first=False),
+        **policy_kw,
+    )
+    seq_ids = bk_seq.submit(str(shard_dir), "unused", {})
+
+    # Distributed path: injected 503 per shard + spooled attempts.
+    exec_spool = str(tmp_path / "exec_spool")
+    bk_dist = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=transport_cls(spool_dir=exec_spool, fail_first=True),
+        **policy_kw,
+    )
+    records = bk_dist.submit_spark(
+        spark, str(shard_dir), "unused", {}, parallelism=2
+    )
+
+    # Provenance: sorted shard order, deterministic ids, same batches
+    # as the sequential path.
+    assert [os.path.basename(r["shard"]) for r in records] == names
+    assert [r["file_id"] for r in records] == [f"file-{n}" for n in names]
+    assert [r["batch_id"] for r in records] == seq_ids
+
+    # Per-upload wire bytes: group spooled attempts by shard name; the
+    # distributed run has ≥2 attempts per shard (the injected 503 plus
+    # the retry), every attempt byte-identical to the driver path's.
+    def by_name(spool):
+        out: dict[str, set[bytes]] = {}
+        for f in os.listdir(spool):
+            name = f.split(".jsonl.", 1)[0] + ".jsonl"
+            with open(os.path.join(spool, f), "rb") as fh:
+                out.setdefault(name, set()).add(fh.read())
+        return out
+
+    seq_wire, dist_wire = by_name(driver_spool), by_name(exec_spool)
+    assert set(seq_wire) == set(dist_wire) == set(names)
+    dist_counts = {
+        n: len(
+            [f for f in os.listdir(exec_spool) if f.startswith(n + ".")]
+        )
+        for n in names
+    }
+    for n in names:
+        assert len(seq_wire[n]) == 1  # driver path: one deterministic body
+        assert dist_wire[n] == seq_wire[n]  # every attempt byte-identical
+        assert dist_counts[n] >= 2  # the 503 really fired per shard
+
+    # Batch creates ran on the DRIVER transport instance only.
+    assert [
+        p for m, p in bk_dist.transport.observed if p == "/batches"
+    ] == ["/batches"] * len(names)
+
+
+def test_run_job_distributed_submit_records_file_ids(spark, tmp_path):
+    """run_job(spark=...) with a submit_spark-capable backend must
+    route the upload through the distributed path and persist the
+    per-shard (shard, file_id, batch_id) provenance into the manifest
+    on disk — resumable provenance, not in-memory state."""
+    from genai_batch_processor_spark.inference import providers
+
+    import json
+
+    shard_dir = tmp_path / "in"
+    shard_dir.mkdir()
+    for i in range(3):
+        (shard_dir / f"part-{i:05d}.jsonl").write_text(
+            json.dumps({"custom_id": f"request-{i}"}) + "\n"
+        )
+    transport_cls = _flaky_submit_transport_cls()
+    backend = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=transport_cls(fail_first=True),
+        retry_policy=providers.RetryPolicy(
+            max_attempts=3, base_delay=0.0, max_delay=0.0
+        ),
+    )
+    manifest_dir = str(tmp_path / "manifests")
+    job = orchestrator.run_job(
+        backend,
+        input_path=str(shard_dir),
+        output_path=str(tmp_path / "out"),
+        manifest_dir=manifest_dir,
+        poll_interval_seconds=0.01,
+        spark=spark,
+    )
+    assert job.state == "completed"
+    assert len(job.shards) == 3
+    reloaded = orchestrator.JobManifest.load(manifest_dir, job.job_id)
+    assert reloaded.shards == job.shards
+    assert [r["file_id"] for r in reloaded.shards] == [
+        f"file-part-{i:05d}.jsonl" for i in range(3)
+    ]
+    assert reloaded.batch_ids == [r["batch_id"] for r in reloaded.shards]
+    # The distributed fetch then landed one result file per batch.
+    out_files = sorted(os.listdir(str(tmp_path / "out")))
+    assert out_files == sorted(f"{b}.jsonl" for b in reloaded.batch_ids)
+
+
 def test_run_job_spark_routes_fetch_through_executors(spark, tmp_path):
     """run_job(spark=...) must produce the same completed manifest and
     the same result files as the driver-side default — the distributed
