@@ -1131,6 +1131,43 @@ def test_bench_slow_flag_gate():
     assert bench.compute_slow_flags({}, frozen) == {}
 
 
+def test_bench_streaming_family_gate_trips_at_1_9x():
+    """Round-9 verdict item 3: the streaming family gets its own
+    calibration probe AND a tighter flag multiplier — a genuine 1.9x
+    streaming slowdown must TRIP the gate (under the generic 2x it read
+    as 'under 2x'), while the same 1.9x on a compute-bound query stays
+    under its 2x gate, and a streaming query within the tighter bound
+    stays quiet."""
+    import bench
+
+    frozen = {"events_hourly_stream": 4.0, "pricing_summary": 4.0}
+    flags = bench.compute_slow_flags(
+        {
+            "events_hourly_stream": 7.6,  # 1.9x > 1.75x stream gate
+            "pricing_summary": 7.6,       # 1.9x < 2x compute gate
+        },
+        frozen,
+    )
+    assert set(flags) == {"events_hourly_stream"}
+    assert flags["events_hourly_stream"] == {
+        "baseline": 4.0,
+        "now": 7.6,
+        "mult": bench.STREAM_FLAG_MULT,
+    }
+    # 1.7x streaming is inside the tighter bound -> quiet
+    assert (
+        bench.compute_slow_flags({"events_hourly_stream": 6.8}, frozen)
+        == {}
+    )
+    # the 0.3 s jitter floor still applies to tiny streaming baselines
+    assert (
+        bench.compute_slow_flags(
+            {"tiny_stream": 0.35}, {"tiny_stream": 0.1}
+        )
+        == {}
+    )
+
+
 def test_bench_shared_stage_stamp():
     """r8 verdict item 5: plan digests for shared-stage consumers must
     self-describe. A consumer captured COLD (no in-memory scan in the

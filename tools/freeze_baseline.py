@@ -25,6 +25,7 @@ import statistics
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def main() -> None:
@@ -42,17 +43,32 @@ def main() -> None:
     except OSError:
         load = None
     calib_ref = round(statistics.median(calib), 3)
+    # Streaming-family probe (round-9 verdict item 3): *_stream queries
+    # normalize by the micro-batch latency probe, everything else by
+    # the shuffle+agg probe. A pre-r10 side file has no stream reps —
+    # streams then fall back to the compute factor (old behavior).
+    calib_stream = side.get("calib_stream_reps") or []
+    calib_stream_ref = (
+        round(statistics.median(calib_stream), 3) if calib_stream else None
+    )
+    import bench
+
+    def _factors(name: str) -> list[float]:
+        if name.endswith(bench.STREAM_SUFFIX) and calib_stream_ref:
+            return [
+                (calib_stream_ref / c) if c > 0 else 1.0
+                for c in calib_stream
+            ]
+        return [(calib_ref / c) if c > 0 else 1.0 for c in calib]
+
     # TRUE normalized mins: rescale each rep's sample by that rep's own
-    # factor (calib_ref / calib_rep) BEFORE taking the min — freezing
-    # raw mins would bake the freeze run's own between-rep drift into
-    # the gate (a min that came from a slow rep sits below its true
-    # normalized value and fires the 2x flag early near the boundary).
+    # factor BEFORE taking the min — freezing raw mins would bake the
+    # freeze run's own between-rep drift into the gate (a min that came
+    # from a slow rep sits below its true normalized value and fires
+    # the flag early near the boundary).
     mins_norm = {
         name: round(
-            min(
-                t * (calib_ref / calib[i]) if calib[i] > 0 else t
-                for i, t in enumerate(reps)
-            ),
+            min(t * _factors(name)[i] for i, t in enumerate(reps)),
             3,
         )
         for name, reps in side["query_reps"].items()
@@ -61,6 +77,8 @@ def main() -> None:
         "sf": side.get("sf", 0.1),
         "calib_ref_sec": calib_ref,
         "calib_reps": calib,
+        "calib_stream_ref_sec": calib_stream_ref,
+        "calib_stream_reps": calib_stream,
         "query_mins_norm": mins_norm,
         "note": note,
         "load_avg_at_freeze": load,
