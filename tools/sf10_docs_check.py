@@ -7,13 +7,17 @@ distributions and injected near-dup structure via tools/gen_sf1):
 1. Worst-scaler queries: `simhash_near_dup` (r8: 94.7x @ 100x with
    896x output pairs — 32-bit ball saturation, now fixed by the
    adaptive 56-bit signature) and `ngram_jaccard` (33.7x @ 100x).
-2. Incremental-probe family (r8 verdict item 3): build the MinHash /
-   trained-cell embedding index at each scale, probe the SAME
-   fixed-size batch (500 docs / 200 vectors from sf0.1, re-keyed),
-   and time ONLY the probe. The 100 TB design claim is that probe
-   cost is batch-proportional; the term that can still grow with the
-   corpus is the single index scan the probe broadcasts into — this
-   measures it rather than assuming it.
+2. Incremental-probe family (r8 verdict item 3, probe batch fixed in
+   r10 per the r9 verdict item 2): build the MinHash / trained-cell
+   embedding index at each scale, probe a fixed-SIZE batch (500 docs
+   of calibrated near-dups perturbed from THAT scale's corpus /
+   200 vectors from sf0.1, re-keyed), and time ONLY the probe. The
+   100 TB design claim is that probe cost is batch-proportional; the
+   term that can still grow with the corpus is the single index scan
+   the probe broadcasts into — this measures it rather than assuming
+   it. Both legs hard-fail if the pair count at either scale is
+   trivial, so the flatness evidence always carries pair-generation
+   cost.
 
 A JVM collection runs between timed legs (same rationale as
 scale_check: a deferred full GC from the shingle explosion must not
@@ -115,33 +119,80 @@ def query_section(spark, sf10_dir: str) -> dict:
     return results
 
 
+N_PROBE_BATCH = 500
+PROBE_PAIR_FLOOR = 100  # loud non-triviality floor per scale
+
+
+def perturbed_probe_batch(
+    spark, corpus_dir: str, n_batch: int = N_PROBE_BATCH, seed: int = 77
+):
+    """Probe batch as calibrated near-dups of CORPUS docs (round-9
+    verdict item 2). The previous fixed sf0.1 batch shared almost no
+    near-dups with the independently generated sf10 corpus (3 pairs at
+    sf10 vs 561 at sf0.1), so the flat-probe claim was measured nearly
+    output-free on that leg. Here gen_sf1's similarity-preserving
+    perturbation (3% word mutation keeps shingle Jaccard above the LSH
+    threshold) is applied to a deterministic ``n_batch``-doc sample of
+    the corpus at THIS scale, re-keyed into a disjoint id space. The
+    batch stays fixed-SIZE across scales — the controlled variable of
+    the batch-proportional claim — while guaranteeing the probe
+    carries pair-generation cost at every scale."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        os.path.join(corpus_dir, "documents.parquet")
+    )
+    n_corpus = docs.count()
+    stride = max(1, n_corpus // n_batch)
+    sample = (
+        docs.filter(
+            (F.col("doc_id") % stride == 0)
+            & (F.col("doc_id") < stride * n_batch)
+        )
+        .select("doc_id", "text")
+        .collect()  # bounded: exactly n_batch rows
+    )
+    rng = np.random.default_rng(seed)
+    vocab = sorted({w for r in sample for w in r["text"].split(" ")})
+    rows = []
+    for i, r in enumerate(sorted(sample, key=lambda r: r["doc_id"])):
+        words = r["text"].split(" ")
+        muts = rng.random(len(words)) < 0.03
+        repl = rng.integers(0, len(vocab), size=int(muts.sum()))
+        k = 0
+        for j, m in enumerate(muts):
+            if m:
+                words[j] = vocab[repl[k]]
+                k += 1
+        rows.append((PROBE_ID_OFFSET + i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def probe_section(spark, sf10_dir: str) -> dict:
     """Fixed-size batch vs growing index: probe time should be ~flat
     (index-scan bounded); build time is reported alongside so the two
-    costs never get conflated."""
-    from pyspark.sql import functions as F
-
+    costs never get conflated. Both legs must find a non-trivial pair
+    count at BOTH scales (PROBE_PAIR_FLOOR) — a near-output-free probe
+    would measure only the scan and overstate flatness."""
     from genai_batch_processor_spark.operators import (
         clustering,
         dedup,
         similarity,
     )
+    from pyspark.sql import functions as F
 
     results: dict = {}
 
-    # -- MinHash: 500-doc batch (sf0.1's doc_id % 10 == 3, re-keyed) --
-    batch_docs = (
-        spark.read.parquet(os.path.join(SRC, "documents.parquet"))
-        .filter(F.col("doc_id") % 10 == 3)
-        .select(
-            (F.col("doc_id") + PROBE_ID_OFFSET).alias("doc_id"), "text"
-        )
-    )
-    batch_index = dedup.minhash_index(batch_docs, "doc_id", "text").persist()
-    n_batch = batch_index.select("id").distinct().count()
-    mh: dict = {"batch_docs": n_batch}
+    # -- MinHash: 500 calibrated near-dups of each scale's corpus ----
+    mh: dict = {"batch_docs": N_PROBE_BATCH}
     for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        batch_docs = perturbed_probe_batch(spark, d).persist()
+        batch_index = dedup.minhash_index(
+            batch_docs, "doc_id", "text"
+        ).persist()
+        batch_index.count()  # materialize OUTSIDE the timed probe
         _gc(spark)
         t0 = time.monotonic()
         index = dedup.minhash_index(docs, "doc_id", "text").persist()
@@ -155,7 +206,15 @@ def probe_section(spark, sf10_dir: str) -> dict:
         mh[f"probe_{label}"] = round(time.monotonic() - t0, 3)
         mh[f"pairs_{label}"] = n
         index.unpersist()
-    batch_index.unpersist()
+        batch_index.unpersist()
+        batch_docs.unpersist()
+        if n < PROBE_PAIR_FLOOR:
+            raise SystemExit(
+                f"minhash probe at {label} found only {n} pairs "
+                f"(floor {PROBE_PAIR_FLOOR}) — the leg is near-output-"
+                "free and the flat-probe evidence would be hollow; "
+                "check the perturbation calibration / fixture drift"
+            )
     mh["probe_ratio_100x"] = round(mh["probe_sf10"] / mh["probe_sf0.1"], 2)
     results["incremental_near_dup"] = mh
     print(
@@ -198,6 +257,12 @@ def probe_section(spark, sf10_dir: str) -> dict:
         ev[f"probe_{label}"] = round(time.monotonic() - t0, 3)
         ev[f"pairs_{label}"] = n
         index.unpersist()
+        if n < PROBE_PAIR_FLOOR:
+            raise SystemExit(
+                f"embedding probe at {label} found only {n} pairs "
+                f"(floor {PROBE_PAIR_FLOOR}) — near-output-free leg; "
+                "check fixture drift"
+            )
     batch_vecs.unpersist()
     ev["probe_ratio_100x"] = round(ev["probe_sf10"] / ev["probe_sf0.1"], 2)
     results["incremental_embedding_near_dup"] = ev
