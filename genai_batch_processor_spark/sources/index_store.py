@@ -560,6 +560,50 @@ def _swap_partitions(
     spark.catalog.refreshByPath(base_root)
 
 
+def _sized_for_fold(
+    spark: SparkSession,
+    merged: DataFrame,
+    part_col: str,
+    key_col: str,
+    base_part_dirs: list[str],
+    overlay_paths: list[str],
+) -> DataFrame:
+    """Byte-based output sizing for a fold's rewritten partitions
+    (round-9 verdict item 5): without it every fold writes
+    shuffle-partition-many files into each touched partition dir (up
+    to 32 tasks × B partitions of tiny files for a small fold), so
+    repeated small folds keep the base maximally FRAGMENTED — flat in
+    count but each probe pays one task per fragment. Reuses
+    ``compact_parquet``'s sizing rule: ≤ ``ceil(bytes_per_partition /
+    TARGET_BYTES_PER_FILE)`` files per touched partition, where bytes
+    are the touched base partitions' current size plus the overlay's
+    (an upper bound on the merged size — dedup only shrinks it).
+    ``repartition(k, part_col, key_col)`` spreads each partition's rows
+    over ≤ k tasks, so each rewritten partition dir lands at ≤ k
+    ~target-byte files and stays ~flat across N folds at constant
+    data."""
+    import math
+
+    from genai_batch_processor_spark.sources import compaction
+
+    _, _, fs = compaction._fs(spark, base_part_dirs[0])
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    total = 0
+    for p in base_part_dirs:
+        if fs.exists(hpath(p)):  # a new partition value has no base dir
+            total += compaction.dir_stats(spark, p)[1]
+    total += compaction._total_bytes(spark, overlay_paths)
+    k = max(
+        1,
+        math.ceil(
+            total
+            / max(1, len(base_part_dirs))
+            / compaction.TARGET_BYTES_PER_FILE
+        ),
+    )
+    return merged.repartition(k, F.col(part_col), F.col(key_col))
+
+
 def _overlay_wins(
     base_rel: DataFrame,
     overlay: DataFrame | None,
@@ -695,6 +739,16 @@ def merge_minhash_index(
             merged = dedup.with_bucket_counts(
                 _overlay_wins(scoped, overlay, ["band", "id"])
             )
+            # compact-after-fold (r9 verdict item 5): size the rewritten
+            # band partitions toward TARGET_BYTES_PER_FILE
+            merged = _sized_for_fold(
+                spark,
+                merged,
+                "band",
+                "key",
+                [base_path.rstrip("/") + f"/band={b}" for b in touched],
+                paths,
+            )
             save_minhash_index(merged, tmp)
             _swap_partitions(
                 spark, tmp, base_path, [f"band={b}" for b in touched]
@@ -809,6 +863,17 @@ def merge_embedding_index(
             scoped = base.filter(F.col("cell").isin(touched)).select(*cols)
             merged = similarity.with_cell_counts(
                 _overlay_wins(scoped, overlay, ["vec_id"])
+            )
+            # compact-after-fold (r9 verdict item 5) — see the MinHash
+            # twin; per-cell sizing keeps repeated small folds from
+            # fragmenting the touched cells
+            merged = _sized_for_fold(
+                spark,
+                merged,
+                "cell",
+                "vec_id",
+                [base_path.rstrip("/") + f"/cell={c}" for c in touched],
+                paths,
             )
             save_embedding_index(merged, centroids, tmp)
             _swap_partitions(

@@ -880,3 +880,83 @@ def test_merge_fold_overlay_wins_deterministically(spark, tmp_path):
         for r in new_rows.collect()
     }
     assert got == want  # every band row is the NEW text's
+
+
+def test_repeated_folds_keep_base_compact(spark, tmp_path):
+    """Band-store merge economics (round-9 verdict item 5): a fold must
+    leave the rewritten partitions at TARGET_BYTES_PER_FILE sizing, so
+    N repeated small folds at ~constant data keep the base's file count
+    ~flat instead of fragmenting each band into shuffle-partition-many
+    tiny files per fold. The same batch is re-ingested every round
+    (overlay-wins dedup keeps the merged row count constant after the
+    first fold), and the per-band data file count is asserted equal —
+    and tiny-data-sized, i.e. exactly one target-byte file per band —
+    across every fold.
+
+    AQE partition coalescing is disabled around the fold calls: at test
+    scale it collapses the dedup window's shuffle output to one
+    partition and masks the fragmentation, but at production scale the
+    merged slice exceeds the 64 MB advisory size and coalescing stops
+    producing target-byte files — the explicit byte-based repartition
+    must carry the sizing contract on its own (pre-fix, with coalescing
+    off, each fold leaves shuffle-partition-many files per band)."""
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    docs = load_table(spark, SF, "documents").limit(200)
+    base = str(tmp_path / "base")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    idx_root = os.path.join(out, "index")
+    index_store.save_minhash_index(
+        dedup.minhash_index(docs, "doc_id", "text"), base
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )
+
+    def band_file_counts():
+        return {
+            d: len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(base, d))
+                    if not f.startswith(("_", "."))
+                ]
+            )
+            for d in sorted(os.listdir(base))
+            if d.startswith("band=")
+        }
+
+    rows_per_fold = []
+    counts_per_fold = []
+    try:
+        spark.conf.set(coalesce_key, "false")
+        for fold in range(4):
+            index = index_store.load_minhash_index(spark, base).persist()
+            batch.coalesce(1).write.mode("append").parquet(shards)
+            _drain_minhash(spark, index, shards, ckpt, out)
+            index.unpersist()
+            bound = index_store.merge_minhash_index(spark, base, idx_root)
+            if fold == 0:
+                # one epoch so far; keep_last=1 leaves nothing to fold
+                assert bound is None
+                continue
+            assert bound == fold - 1
+            spark.catalog.refreshByPath(base)
+            rows_per_fold.append(
+                index_store.load_minhash_index(spark, base).count()
+            )
+            counts_per_fold.append(band_file_counts())
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
+    # constant data: every fold after the first absorbs only re-ingested
+    # duplicates, so the merged row count never grows
+    assert len(set(rows_per_fold)) == 1
+    # flat AND compact: every band dir holds exactly one data file at
+    # this (tiny) size — ceil(bytes / TARGET_BYTES_PER_FILE) — on every
+    # fold; pre-fix each fold left shuffle-partition-many files per band
+    assert counts_per_fold[0] == counts_per_fold[-1]
+    assert all(
+        n == 1 for c in counts_per_fold for n in c.values()
+    ), counts_per_fold
