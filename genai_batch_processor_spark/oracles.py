@@ -1513,7 +1513,13 @@ ORACLES["kmeans_assign_agreement"] = """
 # Trained-IVF search: the SAME unrolled training replayed as a derived
 # table (bit-identical centroids via scaled-integer means), then the
 # IVF assign/probe/score dataflow of embedding_topk_ivf over it.
-ORACLES["embedding_topk_ivf_trained"] = f"""
+# Parameterized by n_probe so the recall knob sweep (ivf_recall_sweep,
+# round-9 verdict item 6) replays the identical contract at each probe
+# setting instead of a hand-copied variant.
+
+
+def _ivf_trained_sql(n_probe: int) -> str:
+    return f"""
     WITH cent_long AS (
       SELECT * FROM ({_clu.sql_kmeans_cells()})
     ), cent AS (
@@ -1529,7 +1535,7 @@ ORACLES["embedding_topk_ivf_trained"] = f"""
       FROM embeddings q,
            LATERAL (
              SELECT c.cell FROM cent c
-             ORDER BY {_COS_CQ} DESC, c.cell LIMIT {_IVF_PROBES}
+             ORDER BY {_COS_CQ} DESC, c.cell LIMIT {n_probe}
            ) p
       WHERE q.vec_id < {_ANN_N_QUERIES}
     ), scored AS (
@@ -1546,6 +1552,9 @@ ORACLES["embedding_topk_ivf_trained"] = f"""
     FROM scored
     QUALIFY "rank" <= 5
 """
+
+
+ORACLES["embedding_topk_ivf_trained"] = _ivf_trained_sql(_IVF_PROBES)
 
 # Stream-stream interval join twin: plain batch self-join in micros
 # (both engines compare micros-truncated event times).
@@ -2046,6 +2055,37 @@ ORACLES["embedding_ann_recall"] = f"""
     LEFT JOIN truth t
       ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
     GROUP BY g.method
+"""
+
+# IVF recall/cost knob sweep (round-9 verdict item 6): the trained-IVF
+# contract replayed at n_probe ∈ {1, 2, 4} against the same brute-force
+# truth — the measured data a 100 TB operator reads before choosing a
+# probe setting. Deterministic trained cells make every recall exact.
+ORACLES["ivf_recall_sweep"] = f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({ORACLES["embedding_topk"]})
+    ), tagged AS (
+      SELECT 1 AS n_probe, query_id, neighbor_id
+      FROM ({_ivf_trained_sql(1)})
+      UNION ALL
+      SELECT 2, query_id, neighbor_id
+      FROM ({_ivf_trained_sql(2)})
+      UNION ALL
+      SELECT 4, query_id, neighbor_id
+      FROM ({_ivf_trained_sql(4)})
+    )
+    SELECT CAST(g.n_probe AS INT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    FROM tagged g
+    LEFT JOIN truth t
+      ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+    GROUP BY g.n_probe
 """
 
 # -- submit-side batching (operators/batching.py) -----------------------------

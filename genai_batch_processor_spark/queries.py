@@ -891,6 +891,60 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost knob sweep for trained IVF (round-9 verdict item 6):
+    recall@5 vs the brute-force truth at n_probe ∈ {1, 2, 4} — the
+    measured tradeoff curve a 100 TB operator reads BEFORE choosing a
+    probe setting (embedding_ann_recall pins only the default).
+    Deterministic trained cells make every point exact, so the DuckDB
+    oracle pins each recall to the bit and monotonicity in n_probe is
+    verified data, not an assumption. Same bounded shape as
+    embedding_ann_recall: persisted truth computed once, broadcast hit
+    join, denominator as a broadcast 1-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    truth = (
+        similarity.topk_bruteforce(emb, qs)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
+    tagged = None
+    for n_probe in (1, 2, 4):
+        part = similarity.topk_ivf(
+            emb, qs, centroids=cents, n_probe=n_probe
+        ).select(
+            F.lit(n_probe).cast("int").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    return (
+        hits.groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+        .crossJoin(n_truth)
+        .select(
+            "n_probe",
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click joined to the user's most recent prior (or
     simultaneous) purchase; age of that purchase in micros."""
@@ -4238,6 +4292,7 @@ QUERIES: dict[str, callable] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
     "embedding_ann_recall": q_embedding_ann_recall,
+    "ivf_recall_sweep": q_ivf_recall_sweep,
     "events_asof": q_events_asof,
     "vertex_responses": q_vertex_responses,
     "lang_source_rollup": q_lang_source_rollup,

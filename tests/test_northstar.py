@@ -1018,3 +1018,23 @@ def test_embedding_index_mixed_generation_guard(spark, sf_dir, tmp_path):
     index_store.save_embedding_index(mixed, cents, path)
     with pytest.raises(ValueError, match="STALE"):
         index_store.load_embedding_index(spark, path, cents)
+
+
+def test_ivf_recall_sweep_monotone(spark, sf_dir):
+    """Round-9 verdict item 6: the trained-IVF recall/cost knob sweep
+    must report one exact recall row per n_probe ∈ {1, 2, 4}, monotone
+    non-decreasing in n_probe (more probed cells can only grow the
+    candidate superset toward the brute-force truth), each probing
+    returning the full k rows per query."""
+    from genai_batch_processor_spark import queries
+
+    rows = (
+        queries.QUERIES["ivf_recall_sweep"](spark, sf_dir)
+        .orderBy("n_probe")
+        .collect()
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)  # monotone in n_probe
+    assert all(0.0 < r <= 1.0 for r in recalls)
+    assert len({r["n_truth"] for r in rows}) == 1  # shared denominator
