@@ -383,6 +383,48 @@ def fetch_results_spark(
         )
 
 
+def gc_job_files(
+    backend: BatchBackend,
+    *,
+    manifest_dir: str,
+    job_id: str,
+) -> list[str]:
+    """Provider-side upload GC: delete every input file the job's
+    manifest provenance records (the ``shards`` field the distributed
+    submit persists). The reference leaks its uploaded file on every
+    run; this engine plans thousands of shards per job, so the leak is
+    a storage-quota problem at scale — and the manifest makes cleanup
+    exact instead of a pattern-match over the provider's file listing.
+
+    Only TERMINAL jobs (completed / cancelled / failed): deleting a
+    live job's input would starve in-flight batches. Results are
+    unaffected — provider output/error files are separate objects (and
+    already fetched for a completed job before its manifest flips).
+    Backends without a ``delete_file`` wire (the local mocks, Vertex —
+    whose inputs live in the caller's own GCS/BQ) return []. Deletion
+    is idempotent at the wire (404 == success), so a rerun after a
+    crash converges; the manifest records ``files_gc: true`` so an
+    operator can see cleanup happened."""
+    job = JobManifest.load(manifest_dir, job_id)
+    delete_file = getattr(backend, "delete_file", None)
+    if delete_file is None or not job.shards:
+        return []
+    if job.state not in TERMINAL_STATES and job.state != "timeout":
+        raise RuntimeError(
+            f"{job_id}: refusing to GC input files of a job in state "
+            f"{job.state!r} — in-flight batches still read them"
+        )
+    deleted = []
+    for rec in job.shards:
+        fid = rec.get("file_id")
+        if fid:
+            delete_file(fid)
+            deleted.append(fid)
+    job.meta["files_gc"] = True
+    job.save(manifest_dir)
+    return deleted
+
+
 def cancel_job(
     backend: BatchBackend,
     *,

@@ -326,6 +326,7 @@ class OpenAIBatchBackend:
         make_body: Callable[[], tuple[bytes, str]] | None = None,
         retry_statuses: frozenset[int] | None = None,
         retry_network: bool = True,
+        accept_statuses: frozenset[int] = frozenset(),
     ) -> dict:
         if payload is not None:
             body = json.dumps(payload).encode()
@@ -346,6 +347,8 @@ class OpenAIBatchBackend:
             retry_statuses=retry_statuses,
             retry_network=retry_network,
         )
+        if status in accept_statuses:
+            return {}
         if status == 400:
             raise BadRequest(f"{path}: {raw[:500].decode(errors='replace')}")
         if not 200 <= status < 300:
@@ -541,6 +544,21 @@ class OpenAIBatchBackend:
     def status(self, batch_id: str) -> str:
         s = self._call("GET", f"/batches/{batch_id}")["status"]
         return "in_progress" if s in _OPENAI_PENDING else s
+
+    def delete_file(self, file_id: str) -> None:
+        """files.delete — uploaded-shard GC, the OpenAI twin of the
+        Vertex resource GC the reference performs (``vtx:334-338``;
+        the reference never deletes its OpenAI upload, ``oai:150-161``,
+        so every run leaks one file — this engine plans thousands of
+        shards per job, where the leak is a storage-quota problem).
+        Target-state idempotent like :meth:`VertexBatchBackend.delete`:
+        a 404 counts as success, because a retry after a lost success
+        response must not report a completed cleanup as failed."""
+        self._call(
+            "DELETE",
+            f"/files/{file_id}",
+            accept_statuses=frozenset({404}),
+        )
 
     def cancel(self, batch_id: str) -> None:
         """batches.cancel — the provider finishes in-flight requests and

@@ -210,6 +210,22 @@ def test_golden_openai_poll_fetch_cancel(tmp_path):
     _check("openai_poll_fetch_cancel", t, responses)
 
 
+def test_golden_openai_file_delete(tmp_path):
+    """Uploaded-shard GC wire (files.delete): a live file deletes with
+    a 200; a repeat delete's 404 is accepted silently (target-state
+    idempotence — a retry after a lost success response must not
+    report a completed cleanup as failed)."""
+    responses = [
+        (200, {"id": "file-1", "deleted": True}),
+        (404, {"error": {"message": "No such File object: file-1"}}),
+    ]
+    t = GoldenTransport(responses)
+    b = OpenAIBatchBackend("sk-test", transport=t)
+    b.delete_file("file-1")
+    b.delete_file("file-1")  # idempotent rerun
+    _check("openai_file_delete", t, responses)
+
+
 def test_golden_azure_submit(tmp_path):
     responses = [
         (200, {"id": "file-1"}),

@@ -549,6 +549,65 @@ def test_run_job_distributed_submit_records_file_ids(spark, tmp_path):
     assert out_files == sorted(f"{b}.jsonl" for b in reloaded.batch_ids)
 
 
+def test_gc_job_files_deletes_manifest_provenance(tmp_path):
+    """gc_job_files must delete exactly the input file_ids the manifest
+    provenance records, only for terminal jobs, via the backend's
+    idempotent delete wire; backends without a delete_file wire (and
+    manifests without provenance) are a no-op."""
+    deleted: list[str] = []
+
+    class DeletingBackend:
+        def submit(self, input_path, output_path, meta):
+            raise AssertionError("not used")
+
+        def status(self, batch_id):
+            return "completed"
+
+        def delete_file(self, file_id):
+            deleted.append(file_id)
+
+    manifest_dir = str(tmp_path / "m")
+    job = orchestrator.JobManifest(
+        job_id="job-gc",
+        input_path="in",
+        output_path="out",
+        state="submitted",
+        shards=[
+            {"shard": "a.jsonl", "file_id": "file-a", "batch_id": "b-a"},
+            {"shard": "b.jsonl", "file_id": "file-b", "batch_id": "b-b"},
+        ],
+    )
+    job.save(manifest_dir)
+    # live job -> refuse (in-flight batches still read the inputs)
+    with pytest.raises(RuntimeError, match="refusing to GC"):
+        orchestrator.gc_job_files(
+            DeletingBackend(), manifest_dir=manifest_dir, job_id="job-gc"
+        )
+    assert deleted == []
+    job.state = "completed"
+    job.save(manifest_dir)
+    got = orchestrator.gc_job_files(
+        DeletingBackend(), manifest_dir=manifest_dir, job_id="job-gc"
+    )
+    assert got == deleted == ["file-a", "file-b"]
+    reloaded = orchestrator.JobManifest.load(manifest_dir, "job-gc")
+    assert reloaded.meta["files_gc"] is True
+    # no delete wire (the local mocks) -> no-op, not an error
+    class NoDelete:
+        def submit(self, i, o, m):
+            raise AssertionError("not used")
+
+        def status(self, b):
+            return "completed"
+
+    assert (
+        orchestrator.gc_job_files(
+            NoDelete(), manifest_dir=manifest_dir, job_id="job-gc"
+        )
+        == []
+    )
+
+
 def test_run_job_spark_routes_fetch_through_executors(spark, tmp_path):
     """run_job(spark=...) must produce the same completed manifest and
     the same result files as the driver-side default — the distributed
