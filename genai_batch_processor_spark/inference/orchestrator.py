@@ -409,7 +409,10 @@ def gc_job_files(
     delete_file = getattr(backend, "delete_file", None)
     if delete_file is None or not job.shards:
         return []
-    if job.state not in TERMINAL_STATES and job.state != "timeout":
+    # "timeout" is NOT eligible: the local deadline passed but the
+    # provider batches may still be running and reading their inputs —
+    # resume_job (or cancel_job) must move the job terminal first.
+    if job.state not in TERMINAL_STATES:
         raise RuntimeError(
             f"{job_id}: refusing to GC input files of a job in state "
             f"{job.state!r} — in-flight batches still read them"

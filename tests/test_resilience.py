@@ -583,6 +583,14 @@ def test_gc_job_files_deletes_manifest_provenance(tmp_path):
         orchestrator.gc_job_files(
             DeletingBackend(), manifest_dir=manifest_dir, job_id="job-gc"
         )
+    # timeout -> refuse too: the LOCAL deadline passed but provider
+    # batches may still be running and reading their inputs
+    job.state = "timeout"
+    job.save(manifest_dir)
+    with pytest.raises(RuntimeError, match="refusing to GC"):
+        orchestrator.gc_job_files(
+            DeletingBackend(), manifest_dir=manifest_dir, job_id="job-gc"
+        )
     assert deleted == []
     job.state = "completed"
     job.save(manifest_dir)
