@@ -760,6 +760,19 @@ def merge_minhash_index(
             merged = dedup.with_bucket_counts(
                 _overlay_wins(base.select(*cols), overlay, ["band", "id"])
             )
+            # the full rewrite gets the same per-band byte sizing — a
+            # repair must not leave the base fragmented either
+            merged = _sized_for_fold(
+                spark,
+                merged,
+                "band",
+                "key",
+                [
+                    base_path.rstrip("/") + f"/band={b}"
+                    for b in range(dedup.LSH_BANDS)
+                ],
+                paths,
+            )
             save_minhash_index(merged, tmp)
             _swap_into(spark, tmp, base_path)
         if bound is not None:
@@ -885,6 +898,19 @@ def merge_embedding_index(
             )
             merged = similarity.with_cell_counts(
                 _overlay_wins(base.select(*cols), overlay, ["vec_id"])
+            )
+            # full rewrite (repair / cross-cell fallback): same per-cell
+            # byte sizing as the scoped fold
+            merged = _sized_for_fold(
+                spark,
+                merged,
+                "cell",
+                "vec_id",
+                [
+                    base_path.rstrip("/") + f"/cell={c}"
+                    for c, _ in centroids
+                ],
+                paths,
             )
             save_embedding_index(merged, centroids, tmp)
             _swap_into(spark, tmp, base_path)
