@@ -186,6 +186,29 @@ def _trained_centroids_shared(
     return cents
 
 
+_ANN_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ann_truth_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted brute-force ANN truth set (query_id, neighbor_id)
+    per (session, sf_dir), shared by embedding_ann_recall and
+    ivf_recall_sweep — both audits score approximate paths against the
+    SAME exact top-k, and the brute-force scan is the expensive term
+    in each. Bounded state: n_queries × k rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ANN_TRUTH_CACHE.get(key)
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        df = (
+            similarity.topk_bruteforce(emb, qs)
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        _stage_cache_put(_ANN_TRUTH_CACHE, key, df)
+    return df
+
+
 def _request_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ids → prompt → typed request struct (#3-#6, #33-34)."""
     docs = _documents_with_ids(spark, sf_dir)
@@ -841,15 +864,11 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared per-session trainer cache)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-    # The truth relation is referenced twice (hit join + denominator);
-    # persist it so the brute-force scan runs ONCE. Bounded state:
-    # n_queries × k rows — the same footprint the broadcast already
-    # ships to every executor.
-    truth = (
-        similarity.topk_bruteforce(emb, qs)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
+    # The truth relation is referenced twice (hit join + denominator)
+    # and by ivf_recall_sweep: one persisted session-shared brute-force
+    # scan serves every consumer. Bounded state: n_queries × k rows —
+    # the same footprint the broadcast already ships to every executor.
+    truth = _ann_truth_shared(spark, sf_dir)
     cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
     methods = {
         "int8": similarity.topk_int8(emb, qs),
@@ -903,11 +922,7 @@ def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, denominator as a broadcast 1-row aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-    truth = (
-        similarity.topk_bruteforce(emb, qs)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
+    truth = _ann_truth_shared(spark, sf_dir)
     cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
     tagged = None
     for n_probe in (1, 2, 4):
@@ -4547,6 +4562,7 @@ _SHARED_STAGE_HELPERS = (
     "_trained_centroids_shared",
     "_emb_index_shared",
     "_part_pairs_shared",
+    "_ann_truth_shared",
 )
 
 
@@ -4582,6 +4598,7 @@ _DF_STAGE_CACHES: dict[str, dict] = {
     "emb_index": _EMB_INDEX_CACHE,
     "span_index": _SPAN_INDEX_CACHE,
     "semdedup_assigned": _SEMDEDUP_ASSIGNED_CACHE,
+    "ann_truth": _ANN_TRUTH_CACHE,
 }
 _SCALAR_STAGE_CACHES: dict[str, dict] = {
     "centroids": _CENTROID_CACHE,
