@@ -230,9 +230,34 @@ def run_openai() -> bool:
             "NOT REACHED (submit/status shapes validated)"
         )
 
+    # 4. uploaded-shard GC (live resource hygiene + validates the
+    # files.delete wire against its golden): the input file id comes
+    # off the batch resource, deletion is 404-idempotent.
+    deleted_shape = None
+    try:
+        fid = backend._call("GET", f"/batches/{batch_ids[0]}").get(
+            "input_file_id"
+        )
+        if fid:
+            n_before = len(rec.requests)
+            backend.delete_file(fid)
+            deleted_shape = [
+                request_shape(r) for r in rec.requests[n_before:]
+            ]
+            print(f"  deleted input file {fid}")
+    except Exception as e:  # noqa: BLE001 — cleanup must not fail smoke
+        print(f"  input-file GC skipped: {e}")
+
     observed = [request_shape(r) for r in rec.requests]
     golden = golden_shapes("openai_preflight.json")
     ok = diff_shapes(observed, golden, "openai preflight+submit")
+    if deleted_shape:
+        gold_del = [
+            s
+            for s in golden_shapes("openai_file_delete.json")
+            if s["method"] == "DELETE"
+        ]
+        ok &= diff_shapes(deleted_shape[:1], gold_del[:1], "openai delete")
     if fetched:
         # poll/fetch tail: compare against the poll-fetch golden's
         # GET shapes (ignore count — live polls vary)
