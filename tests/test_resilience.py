@@ -549,6 +549,53 @@ def test_run_job_distributed_submit_records_file_ids(spark, tmp_path):
     assert out_files == sorted(f"{b}.jsonl" for b in reloaded.batch_ids)
 
 
+def test_distributed_submit_is_all_or_nothing(spark, tmp_path):
+    """If any shard's upload exhausts its retry budget the whole
+    submit_spark stage must fail with NO batch created — orphaned
+    uploaded files are harmless, half-submitted jobs are not."""
+    import json
+
+    from genai_batch_processor_spark.inference import providers
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(3):
+        (shard_dir / f"part-{i:05d}.jsonl").write_text(
+            json.dumps({"custom_id": f"request-{i}"}) + "\n"
+        )
+
+    class AlwaysFailUploads:
+        """Permanent 503 on files.create; records /batches calls to a
+        spool file so a driver-side assertion sees executor state."""
+
+        def __init__(self, spool):
+            self.spool = spool
+
+        def request(self, method, url, headers, body=None):
+            path = url.split("/v1", 1)[1].split("?")[0]
+            if path == "/files":
+                return 503, b"upstream down", {}
+            if path == "/batches":
+                with open(self.spool, "a") as f:
+                    f.write("batch-create\n")
+                return 200, b'{"id": "batch-x"}', {}
+            raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    spool = str(tmp_path / "spool.txt")
+    backend = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=AlwaysFailUploads(spool),
+        retry_policy=providers.RetryPolicy(
+            max_attempts=2, base_delay=0.0, max_delay=0.0
+        ),
+    )
+    with pytest.raises(Exception, match="503|upstream|failed|TransportError"):
+        backend.submit_spark(
+            spark, str(shard_dir), "unused", {}, parallelism=2
+        )
+    assert not os.path.exists(spool)  # zero batch creates happened
+
+
 def test_gc_job_files_deletes_manifest_provenance(tmp_path):
     """gc_job_files must delete exactly the input file_ids the manifest
     provenance records, only for terminal jobs, via the backend's
