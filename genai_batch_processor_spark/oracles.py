@@ -2732,6 +2732,11 @@ ORACLES["incremental_span_dup"] = f"""
     GROUP BY s.doc_id
 """
 
+# The streamed span probe has NO probe-then-extend (only corpus spans
+# count as known), so its union of per-epoch reports must equal the
+# one-shot probe exactly — same oracle, like the other stream twins.
+ORACLES["incremental_span_dup_stream"] = ORACLES["incremental_span_dup"]
+
 from genai_batch_processor_spark.operators import sampling as _smp4  # noqa: E402
 
 # Split-leakage audit: the verified near-dup pair SQL labeled with the

@@ -3915,6 +3915,68 @@ def q_incremental_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.probe_span_index(index, new_docs)
 
 
+def q_incremental_span_dup_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-ingest twin of incremental_span_dup, completing
+    stream ingest across all three persisted index stores (band /
+    cell / span): the same tail-construction batch arrives as a file
+    STREAM (1 file per trigger → multiple micro-batches), each
+    micro-batch probes the persisted span index and sinks its per-doc
+    containment report to an idempotent per-epoch parquet directory
+    (streaming/ingest.span_probe_stream_to_parquet). No
+    probe-then-extend: the one-shot contract counts only CORPUS spans
+    as known, so the streamed union of reports equals the one-shot
+    probe exactly — SAME ORACLE as incremental_span_dup, no cap
+    nuance."""
+    import os
+    import shutil
+    import tempfile
+
+    from genai_batch_processor_spark.streaming import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = _span_index_shared(spark, sf_dir)
+    ws = tx.words(F.col("text"))
+    tail_text = F.concat_ws(
+        " ",
+        F.slice(ws, 4, F.greatest(F.size(ws) - 3, F.lit(1))),
+        F.concat(F.lit("zz"), F.col("doc_id").cast("string")),
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"),
+        tail_text.alias("text"),
+    )
+    shards = tempfile.mkdtemp(prefix="inc_span_shards_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_inc_span_")
+    out = tempfile.mkdtemp(prefix="inc_span_out_")
+    try:
+        new_docs.repartition(2).write.mode("overwrite").parquet(shards)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.span_probe_stream_to_parquet(stream, index, out, ckpt)
+        reports_root = os.path.join(out, "reports")
+        if not os.path.isdir(reports_root):
+            return spark.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.col("id").alias("n_spans"),
+                F.col("id").alias("n_known_spans"),
+                F.col("id").alias("known_ppm"),
+            )
+        return (
+            spark.read.parquet(reports_root)
+            .select("doc_id", "n_spans", "n_known_spans", "known_ppm")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(shards, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _SEMDEDUP_ASSIGNED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -4271,6 +4333,7 @@ QUERIES: dict[str, callable] = {
     "token_fertility": q_token_fertility,
     "split_leakage": q_split_leakage,
     "incremental_span_dup": q_incremental_span_dup,
+    "incremental_span_dup_stream": q_incremental_span_dup_stream,
     "semdedup_survivors": q_semdedup_survivors,
     "rrf_fusion": q_rrf_fusion,
     "span_dedup_stats": q_span_dedup_stats,

@@ -379,3 +379,89 @@ def embedding_probe_stream_to_parquet(
     finally:
         compaction.release_drain_lease(spark, idx_root)
         compaction.release_drain_lease(spark, pairs_root)
+
+
+def span_probe_stream_to_parquet(
+    stream_df: DataFrame,
+    index: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int | None = None,
+) -> None:
+    """Sink-based incremental SPAN-containment probe — the
+    exact-containment twin of :func:`near_dup_probe_stream_to_parquet`,
+    completing stream ingest across all three persisted index stores
+    (band / cell / span). Drains a document stream against a prebuilt
+    span index (operators/curation.py:span_index), writing each
+    micro-batch's per-doc containment report to
+    ``{out_dir}/reports/batch={epoch}`` and its distinct span hashes —
+    the admitted-span overlay a later ``merge_span_index`` fold reads —
+    to ``{out_dir}/spans/batch={epoch}``.
+
+    Unlike the pair probes there is NO probe-then-extend: the one-shot
+    contract (``curation.probe_span_index``, which is also the oracle)
+    counts only CORPUS spans as known — batch-internal sharing is not
+    containment — so every micro-batch probes the same static index
+    and the streamed union of reports equals the one-shot probe
+    exactly, with no cap nuance at all.
+
+    Same durability contract as the twins: idempotent
+    overwrite-into-epoch-dir writes (an at-least-once ``foreachBatch``
+    replay rewrites identical content), zero driver accumulation,
+    restart-from-checkpoint safe; read back via
+    ``sources.compaction.read_epoch_sink`` on ``{out_dir}/reports``.
+    The spans root carries a ``_span_fp`` marker (the span-scheme
+    canary fingerprint: width + live hash + live shingling) so a
+    restart under a retuned span scheme fails loudly, and both sink
+    roots hold the drain lease for the whole drain so maintenance
+    (merge/compact/GC) refuses to run underneath."""
+    from genai_batch_processor_spark.operators import curation
+    from genai_batch_processor_spark.sources import index_store
+
+    if span_words is None:
+        span_words = curation.SPAN_WORDS_DEFAULT
+    spark = index.sparkSession
+    spans_root = out_dir.rstrip("/") + "/spans"
+    reports_root = out_dir.rstrip("/") + "/reports"
+    _assert_scheme_marker(
+        spark,
+        spans_root,
+        index_store._span_scheme_fingerprint(spark, span_words),
+        "_span_fp",
+        "span scheme",
+        "span scheme",
+        "The span width / hash / shingling changed since the sink was "
+        "started; start a fresh out_dir/checkpoint and re-probe.",
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = curation.probe_span_index(
+            index, batch_df, id_col, text_col, span_words
+        )
+        report.write.mode("overwrite").parquet(
+            reports_root + f"/batch={epoch_id}"
+        )
+        curation.span_index(
+            batch_df, text_col, span_words
+        ).write.mode("overwrite").parquet(
+            spans_root + f"/batch={epoch_id}"
+        )
+
+    tag = f"ckpt={checkpoint_dir}"
+    compaction.acquire_drain_lease(spark, spans_root, tag)
+    compaction.acquire_drain_lease(spark, reports_root, tag)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        compaction.release_drain_lease(spark, spans_root)
+        compaction.release_drain_lease(spark, reports_root)

@@ -622,3 +622,77 @@ def test_embedding_sink_probe_empty_marker_recovery(spark, tmp_path):
     assert (
         spark.read.parquet(os.path.join(out, "pairs")).count() >= 50
     )  # every re-keyed copy pairs its original
+
+
+def test_span_sink_probe_restart_across_checkpoint(spark, tmp_path):
+    """Span twin of the sink-probe restart test (stream ingest now
+    covers all three index stores): drain wave 1 of tail-batch docs,
+    restart the SAME checkpoint over wave 1 + wave 2, and the on-disk
+    report union equals the one-shot probe_span_index over both waves
+    (no probe-then-extend — corpus spans only, so equality is exact by
+    construction). A third restart with nothing new writes nothing,
+    and the spans root carries the scheme marker plus one admitted-
+    span epoch per micro-batch for a later merge_span_index fold."""
+    from genai_batch_processor_spark.operators import curation
+    from genai_batch_processor_spark.queries import INC_DEDUP_OFFSET
+    from genai_batch_processor_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    index = curation.span_index(docs).persist()
+    ws = F.split(F.col("text"), " ")
+    tail_text = F.concat_ws(
+        " ",
+        F.slice(ws, 4, F.greatest(F.size(ws) - 3, F.lit(1))),
+        F.concat(F.lit("zz"), F.col("doc_id").cast("string")),
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + INC_DEDUP_OFFSET).alias("doc_id"),
+        tail_text.alias("text"),
+    )
+    wave1 = new_docs.filter(F.col("doc_id") % 20 == 3)
+    wave2 = new_docs.filter(F.col("doc_id") % 20 == 13)
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        ingest.span_probe_stream_to_parquet(stream, index, out, ckpt)
+
+    try:
+        assert wave1.count() > 0 and wave2.count() > 0
+        wave1.repartition(2).write.mode("append").parquet(shards)
+        drain()
+        wave2.repartition(2).write.mode("append").parquet(shards)
+        drain()  # restart picks up only wave-2 files from the checkpoint
+        got = {
+            (r.doc_id, r.n_spans, r.n_known_spans, r.known_ppm)
+            for r in spark.read.parquet(
+                os.path.join(out, "reports")
+            ).collect()
+        }
+        want = {
+            (r.doc_id, r.n_spans, r.n_known_spans, r.known_ppm)
+            for r in curation.probe_span_index(index, new_docs).collect()
+        }
+        assert got == want and len(want) > 0
+        # partial containment really exercised: strictly between 0 and 1e6
+        assert all(0 < ppm < 1_000_000 for _, _, _, ppm in got)
+        # admitted-span epochs sunk beside the reports, scheme-marked
+        spans_root = os.path.join(out, "spans")
+        epochs = [d for d in os.listdir(spans_root) if d.startswith("batch=")]
+        assert len(epochs) == len(
+            os.listdir(os.path.join(out, "reports"))
+        ) > 0
+        assert os.path.isdir(os.path.join(spans_root, "_span_fp"))
+
+        before = sorted(os.listdir(os.path.join(out, "reports")))
+        drain()  # nothing new: no new epoch directories
+        assert sorted(os.listdir(os.path.join(out, "reports"))) == before
+    finally:
+        index.unpersist()
