@@ -4534,78 +4534,81 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
 }
 
-# Round-10 front (rotation policy, round-7 verdict item 6): each round,
+# Round-11 front (rotation policy, round-7 verdict item 6): each round,
 # the registry front is re-ordered OLDEST-GATED-FIRST via
-# `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the 150
-# names by the round of their newest green driver-gate row, takes 50).
-# The driver gates the first 50 dict entries, so with a 150-query
+# `python tools/rotation.py` (reads CORRECTNESS_r*.json, sorts the
+# registry by the round of their newest green driver-gate row, takes
+# 50). The driver gates the first 50 dict entries, so with a 152-query
 # registry every query re-passes the driver's own oracle gate at most
-# every 3 rounds even as the code under it evolves; queries added
-# mid-round are never-gated and sort first automatically. The r10
-# window is exactly the 50 r7-gated cohort (r8 gated 50, r9 gated the
-# 42 r5 + 8 r6 remainders; r7's 50 are now the oldest).
-_R10_FRONT = [
-    "above_avg_balance",  # last gated r7
-    "balance_quartiles",  # last gated r7
-    "chunk_packing",  # last gated r7
-    "click_purchase_stream",  # last gated r7
-    "daily_new_users",  # last gated r7
-    "decontaminate",  # last gated r7
-    "doc_attr_map",  # last gated r7
-    "doc_chunks",  # last gated r7
-    "doc_repetition",  # last gated r7
-    "doc_sample",  # last gated r7
-    "doc_word_filters",  # last gated r7
-    "embedding_centroids",  # last gated r7
-    "embedding_dedup_survivors",  # last gated r7
-    "embedding_quantization",  # last gated r7
-    "embedding_topk_int8",  # last gated r7
-    "events_asof_forward",  # last gated r7
-    "events_daily_rollup",  # last gated r7
-    "events_dedup_stream",  # last gated r7
-    "events_rolling",  # last gated r7
-    "events_sliding",  # last gated r7
-    "events_sliding_stream",  # last gated r7
-    "incremental_embedding_near_dup",  # last gated r7
-    "incremental_embedding_stream",  # last gated r7
-    "kmeans_assign_agreement",  # last gated r7
-    "kmeans_cells",  # last gated r7
-    "lang_distinct_sketch",  # last gated r7
-    "lone_return_suppliers",  # last gated r7
-    "market_share",  # last gated r7
-    "min_cost_supplier",  # last gated r7
-    "nation_revenue_pareto",  # last gated r7
-    "nation_trade",  # last gated r7
-    "part_match_blocking_recall",  # last gated r7
-    "part_match_multikey",  # last gated r7
-    "pii_redaction",  # last gated r7
-    "price_moments",  # last gated r7
-    "quality_unpivot",  # last gated r7
-    "runner_responses",  # last gated r7
-    "salted_event_totals",  # last gated r7
-    "salted_nation_balance",  # last gated r7
-    "small_qty_revenue",  # last gated r7
-    "source_diversity",  # last gated r7
-    "source_lang_pivot",  # last gated r7
-    "source_quota",  # last gated r7
-    "split_counts",  # last gated r7
-    "tfidf_top_terms",  # last gated r7
-    "top_balance_percentile",  # last gated r7
-    "user_funnel",  # last gated r7
-    "user_sessions_stream",  # last gated r7
-    "user_value_share",  # last gated r7
-    "video_frames",  # last gated r7
+# every ~3 rounds even as the code under it evolves; queries added
+# mid-round are never-gated and sort FIRST unconditionally (r10
+# verdict item 8: tools/rotation.py hard-fails if a registered query
+# has no driver row and is absent from the upcoming window). The r11
+# window front-loads the 2 never-gated r10 additions
+# (incremental_span_dup_stream, ivf_recall_sweep — r10 verdict item 1)
+# followed by 48 of the 50 r8-gated cohort, now the oldest.
+_R11_FRONT = [
+    "incremental_span_dup_stream",  # last gated r0
+    "ivf_recall_sweep",  # last gated r0
+    "assign_ids",  # last gated r8
+    "audio_windows",  # last gated r8
+    "azure_model_rewrite",  # last gated r8
+    "batch_shards",  # last gated r8
+    "bm25_scores",  # last gated r8
+    "build_requests",  # last gated r8
+    "chunk_dedup_stats",  # last gated r8
+    "chunk_vote",  # last gated r8
+    "curriculum_mix",  # last gated r8
+    "customer_order_setops",  # last gated r8
+    "customers_without_orders",  # last gated r8
+    "dedup_cluster_stats",  # last gated r8
+    "dedup_components",  # last gated r8
+    "dedup_components_star",  # last gated r8
+    "dedup_survivors",  # last gated r8
+    "doc_logprob",  # last gated r8
+    "doc_stats",  # last gated r8
+    "dsir_weights",  # last gated r8
+    "embedding_ann_recall",  # last gated r8
+    "embedding_label_stats",  # last gated r8
+    "embedding_topk",  # last gated r8
+    "error_split",  # last gated r8
+    "exact_dedup",  # last gated r8
+    "extract_answer",  # last gated r8
+    "incremental_inference",  # last gated r8
+    "joinback",  # last gated r8
+    "label_distribution",  # last gated r8
+    "lang_source_grouping_sets",  # last gated r8
+    "lsh_candidates",  # last gated r8
+    "minhash_signatures",  # last gated r8
+    "mixture_plan",  # last gated r8
+    "mixture_sample",  # last gated r8
+    "mock_responses",  # last gated r8
+    "near_dup_pairs",  # last gated r8
+    "order_revenue_topk",  # last gated r8
+    "prompt_dedup_fanout",  # last gated r8
+    "prompt_dedup_requests",  # last gated r8
+    "quality_weighted_sample",  # last gated r8
+    "question_preview",  # last gated r8
+    "request_cost_estimate",  # last gated r8
+    "response_joinback_stream",  # last gated r8
+    "retry_responses",  # last gated r8
+    "simhash",  # last gated r8
+    "simhash_near_dup",  # last gated r8
+    "snapshot_changes",  # last gated r8
+    "supplier_balance",  # last gated r8
+    "training_order",  # last gated r8
+    "user_stats_stream",  # last gated r8
 ]
 # Unconditional and BEFORE the rebuild (assert would vanish under
 # `python -O`): a mis-sized front pasted from tools/rotation.py must
 # fail import, not silently shrink or overflow the driver-gate window.
-if len(_R10_FRONT) != 50:
+if len(_R11_FRONT) != 50:
     raise ValueError(
-        f"driver-gate window must be exactly 50 entries, got {len(_R10_FRONT)}"
+        f"driver-gate window must be exactly 50 entries, got {len(_R11_FRONT)}"
     )
 QUERIES = {
-    **{k: QUERIES[k] for k in _R10_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)},
+    **{k: QUERIES[k] for k in _R11_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_FRONT)},
 }
 
 

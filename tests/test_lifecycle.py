@@ -1195,3 +1195,61 @@ def test_bench_shared_stage_stamp():
     # not a shared-stage consumer: no stamp at all
     assert "cache_bypassed" not in plans["pricing_summary"]
     assert "shared_stages" not in plans["pricing_summary"]
+
+
+def test_rotation_front_loads_never_gated_queries():
+    """r10 verdict item 8: a freshly-registered (never-gated) query must
+    land at the FRONT of the next driver window unconditionally, and the
+    tool must refuse a registry state that would leave any query outside
+    every gate."""
+    import importlib
+
+    rotation = importlib.import_module("tools.rotation")
+
+    latest = {"old_a": 7, "old_b": 8, "old_c": 9}
+    names = ["old_b", "brand_new", "old_a", "old_c"]
+    front = rotation.compute_front(names, latest, window=3)
+    # never-gated first, then oldest-gated-first; window truncates tail
+    assert front == ["brand_new", "old_a", "old_b"]
+
+    # never-gated overflow of the window is a hard failure, not a trim
+    import pytest as _pytest
+
+    many_new = [f"new_{i}" for i in range(4)]
+    with _pytest.raises(SystemExit):
+        rotation.compute_front(many_new, {}, window=3)
+
+
+def test_registry_has_no_query_outside_every_gate():
+    """Structural guard behind the rotation discipline: every registered
+    query must have a green driver CORRECTNESS row in some round OR sit
+    in the upcoming 50-entry driver window (the first 50 QUERIES
+    entries). The r10 near-miss — 2 queries silently outside every
+    window — can't recur without failing this test."""
+    import importlib
+
+    rotation = importlib.import_module("tools.rotation")
+
+    latest = rotation.latest_green_rounds()
+    names = list(entrymod.queries())
+    window = names[:50]
+    uncovered = [n for n in names if n not in latest and n not in window]
+    assert uncovered == [], (
+        f"queries with no driver row and outside the upcoming window: "
+        f"{uncovered} — run tools/rotation.py and repaste the front"
+    )
+
+
+def test_tools_reject_option_like_positional_args():
+    """r10 verdict item 5: `python tools/check_parity.py --help` must be
+    a usage error, not an sf_dir named '--help' written into the repo."""
+    import pytest as _pytest
+
+    from tools._args import positional
+
+    assert positional(["prog"]) == []
+    assert positional(["prog", "/tmp/x", "q1"]) == ["/tmp/x", "q1"]
+    with _pytest.raises(SystemExit):
+        positional(["prog", "--help"])
+    with _pytest.raises(SystemExit):
+        positional(["prog", "/tmp/x", "-v"])

@@ -43,7 +43,10 @@ from genai_batch_processor_spark.sources.tables import load_table
 
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_real"
+    from tools._args import positional
+
+    args = positional(usage="usage: aqe_skew_check.py [sf1_dir]")
+    sf1_dir = args[0] if args else "/tmp/sf1_real"
     if not os.path.exists(os.path.join(sf1_dir, "events.parquet")):
         from tools import gen_sf1
 

@@ -74,8 +74,11 @@ def compare(name, sdf, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    from tools._args import positional
+
+    args = positional(usage="usage: check_parity.py [sf_dir] [query ...]")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("parity_check")
     con = duck_con(sf_dir)
     qs = entrymod.queries()

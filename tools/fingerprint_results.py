@@ -48,8 +48,11 @@ def fingerprint(df) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "RESULTS_FINGERPRINT.json"
+    from tools._args import positional
+
+    args = positional(usage="usage: fingerprint_results.py [sf_dir] [out_json]")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "RESULTS_FINGERPRINT.json"
     spark = get_spark("fingerprint")
     manifest: dict = {"sf_dir": sf_dir, "queries": {}}
     # Carry forward evidence notes (e.g. the partition-count-invariance

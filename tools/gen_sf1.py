@@ -37,6 +37,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
 SEED = 421
 F = 10  # growth factor over sf0.1
@@ -352,6 +354,9 @@ def gen(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_real"
+    from tools._args import positional
+
+    args = positional(usage="usage: gen_sf1.py [out_dir]")
+    out = args[0] if args else "/tmp/sf1_real"
     gen(out)
     print(f"sf1 fixture written to {out}", file=sys.stderr)

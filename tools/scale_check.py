@@ -140,8 +140,11 @@ def build(spark, factor: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
+    from tools._args import positional
+
+    args = positional(usage="usage: scale_check.py [factor] [out_json]")
+    factor = int(args[0]) if args else 10
+    out_json = args[1] if len(args) > 1 else "BENCH_SCALE.json"
     scaled_dir = f"/tmp/sfscale_{factor}x"
     spark = get_spark("scale_check")
 

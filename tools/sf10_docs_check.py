@@ -277,10 +277,11 @@ def probe_section(spark, sf10_dir: str) -> dict:
 
 
 def main() -> None:
-    sf10_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_docs"
-    out_json = (
-        sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_SF10.json"
-    )
+    from tools._args import positional
+
+    args = positional(usage="usage: sf10_docs_check.py [sf10_dir] [out_json]")
+    sf10_dir = args[0] if args else "/tmp/sf10_docs"
+    out_json = args[1] if len(args) > 1 else "BENCH_SCALE_SF10.json"
     ensure_fixture(sf10_dir)
     spark = get_spark("sf10_docs_check")
     results = query_section(spark, sf10_dir)

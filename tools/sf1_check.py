@@ -28,8 +28,11 @@ from tools.scale_check import SRC, TOP
 
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_real"
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_SF1.json"
+    from tools._args import positional
+
+    args = positional(usage="usage: sf1_check.py [sf1_dir] [out_json]")
+    sf1_dir = args[0] if args else "/tmp/sf1_real"
+    out_json = args[1] if len(args) > 1 else "BENCH_SCALE_SF1.json"
     if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
         from tools import gen_sf1
 
