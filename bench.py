@@ -189,7 +189,9 @@ def streaming_calibration_workload(spark) -> float:
 
 
 def compute_slow_flags(
-    mins_norm: dict[str, float], frozen: dict[str, float]
+    mins_norm: dict[str, float],
+    frozen: dict[str, float],
+    stream_norm_active: bool = True,
 ) -> dict[str, dict]:
     """Per-query regression gate (round-7 verdict item 3): flag queries
     whose calibration-normalized min exceeds max(mult x, +0.3 s) of the
@@ -197,16 +199,23 @@ def compute_slow_flags(
     STREAM_FLAG_MULT for the *_stream family (their own calibration
     probe absorbs scheduler drift, so the remaining headroom is for
     real regressions; a 1.9x streaming slowdown must flag, round-9
-    verdict item 3). The 0.3 s absolute floor keeps sub-second queries
-    from flagging on scheduler jitter; queries without a frozen entry
-    (new this round) are skipped until the next freeze. Factored out of
-    main() so the gate logic is unit-testable without a bench run."""
+    verdict item 3). ``stream_norm_active`` must be False when the
+    frozen baseline predates ``calib_stream_ref_sec`` (r10 ADVICE):
+    in that fallback window *_stream mins are normalized by the
+    COMPUTE probe, which leaves 1.4-1.6x scheduler drift on
+    latency-bound queries — applying the tight 1.75x gate there would
+    false-flag healthy streams, so they get the 2x compute multiplier
+    until the next freeze. The 0.3 s absolute floor keeps sub-second
+    queries from flagging on scheduler jitter; queries without a
+    frozen entry (new this round) are skipped until the next freeze.
+    Factored out of main() so the gate logic is unit-testable without
+    a bench run."""
     flags = {}
     for name, t in mins_norm.items():
         b = frozen.get(name)
         if b is None:
             continue
-        is_stream = name.endswith(STREAM_SUFFIX)
+        is_stream = name.endswith(STREAM_SUFFIX) and stream_norm_active
         mult = STREAM_FLAG_MULT if is_stream else 2.0
         if t > max(mult * b, b + 0.3):
             flags[name] = {"baseline": b, "now": t}
@@ -416,7 +425,9 @@ def main() -> None:
     baseline_sf = (baseline_q or {}).get("sf", 0.1)
     slow_vs_baseline = (
         compute_slow_flags(
-            mins_norm, baseline_q.get("query_mins_norm", {})
+            mins_norm,
+            baseline_q.get("query_mins_norm", {}),
+            stream_norm_active=bool(calib_stream_ref),
         )
         if baseline_q and float(sf) == baseline_sf
         else {}

@@ -206,7 +206,24 @@ def run_job(
     # provenance; everything else keeps the sequential driver loop.
     submit_spark = getattr(backend, "submit_spark", None)
     if spark is not None and submit_spark is not None:
-        job.shards = submit_spark(spark, input_path, output_path, job.meta)
+        # Incremental provenance (r10 ADVICE, medium): the backend calls
+        # back with the full record list after the upload stage and after
+        # each (non-idempotent) create_batch; persisting HERE means a
+        # crash mid-create leaves shard→file_id and every created
+        # batch_id in the on-disk manifest — recoverable via
+        # cancel_job/resume_job + gc_job_files instead of a blind
+        # resubmit that duplicates provider spend over unrecorded,
+        # unreclaimable uploads.
+        def _persist(records: list[dict]) -> None:
+            job.shards = records
+            job.batch_ids = [
+                r["batch_id"] for r in records if r.get("batch_id")
+            ]
+            job.save(manifest_dir)
+
+        job.shards = submit_spark(
+            spark, input_path, output_path, job.meta, on_progress=_persist
+        )
         job.batch_ids = [r["batch_id"] for r in job.shards]
     else:
         job.batch_ids = backend.submit(input_path, output_path, job.meta)

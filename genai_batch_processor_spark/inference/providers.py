@@ -460,6 +460,7 @@ class OpenAIBatchBackend:
         output_path: str,
         meta: dict,
         parallelism: int | None = None,
+        on_progress=None,
     ) -> list[dict]:
         """Executor-side shard upload (round-9 verdict item 1) — the
         submit-side twin of ``orchestrator.fetch_results_spark``. The
@@ -484,6 +485,21 @@ class OpenAIBatchBackend:
         budget the stage fails and NO batch is created — orphaned
         uploaded files are harmless (GC'able), half-submitted jobs are
         not.
+
+        The create loop, however, CANNOT be all-or-nothing: each
+        create_batch is non-idempotent (retry_network=False by design),
+        so a network fault at create i leaves batches 0..i-1 live at
+        the provider. ``on_progress`` (r10 ADVICE, medium) closes the
+        provenance gap that used to open there: it is called with the
+        full record list once after the upload stage (every file_id
+        known, every batch_id still None) and again after EVERY
+        successful create — run_job persists the manifest in that
+        callback, so a crash mid-create leaves shard→file_id AND the
+        already-created batch_ids on disk (gc_job_files can reclaim
+        the uploads; the operator can cancel/resume the created
+        batches instead of blindly resubmitting and double-spending).
+        If create i raises, the exception propagates with records
+        0..i-1 already persisted — NOT lost in a local variable.
 
         Returns ``[{"shard", "file_id", "batch_id"}, ...]`` in sorted
         shard order — the provenance ``run_job`` persists into the
@@ -532,14 +548,17 @@ class OpenAIBatchBackend:
                 f"{len(shards)} shards (missing {missing[:3]}...): "
                 "input_path must be visible from every executor"
             )
-        return [
-            {
-                "shard": shard,
-                "file_id": file_ids[shard],
-                "batch_id": self.create_batch(file_ids[shard], meta),
-            }
+        records = [
+            {"shard": shard, "file_id": file_ids[shard], "batch_id": None}
             for shard in shards
         ]
+        if on_progress is not None:
+            on_progress(records)  # upload provenance BEFORE any create
+        for rec in records:
+            rec["batch_id"] = self.create_batch(rec["file_id"], meta)
+            if on_progress is not None:
+                on_progress(records)
+        return records
 
     def status(self, batch_id: str) -> str:
         s = self._call("GET", f"/batches/{batch_id}")["status"]

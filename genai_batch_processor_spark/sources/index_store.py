@@ -586,6 +586,12 @@ def _sized_for_fold(
 
     from genai_batch_processor_spark.sources import compaction
 
+    if not base_part_dirs:
+        # A committed-but-empty overlay epoch touches no partitions
+        # (r10 ADVICE): sizing has nothing to size — degrade to the
+        # pre-sizing no-op instead of IndexError on base_part_dirs[0].
+        return merged
+
     _, _, fs = compaction._fs(spark, base_part_dirs[0])
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     total = 0

@@ -960,3 +960,19 @@ def test_repeated_folds_keep_base_compact(spark, tmp_path):
     assert all(
         n == 1 for c in counts_per_fold for n in c.values()
     ), counts_per_fold
+
+
+def test_sized_for_fold_empty_overlay_epoch_is_noop(spark):
+    """r10 ADVICE: a committed-but-empty overlay epoch derives zero
+    touched partitions; byte sizing must degrade to a no-op (return the
+    merged frame unchanged) rather than IndexError on base_part_dirs[0]
+    — the pre-sizing behavior was a harmless no-op rewrite."""
+    from genai_batch_processor_spark.sources import index_store
+
+    df = spark.range(3).selectExpr(
+        "cast(id as string) as band", "id as doc_id"
+    )
+    out = index_store._sized_for_fold(
+        spark, df, "band", "doc_id", base_part_dirs=[], overlay_paths=[]
+    )
+    assert out is df

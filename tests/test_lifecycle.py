@@ -1166,6 +1166,23 @@ def test_bench_streaming_family_gate_trips_at_1_9x():
         )
         == {}
     )
+    # r10 ADVICE: while the frozen baseline predates the streaming
+    # calibration probe, *_stream mins are compute-normalized (1.4-1.6x
+    # scheduler drift left in) — the tight 1.75x gate must relax to the
+    # 2x compute multiplier, and 1.9x stays quiet instead of
+    # false-flagging a healthy stream.
+    assert (
+        bench.compute_slow_flags(
+            {"events_hourly_stream": 7.6}, frozen, stream_norm_active=False
+        )
+        == {}
+    )
+    # ... but a real >2x streaming regression still flags in fallback,
+    # without the stream-gate "mult" stamp (it flagged as compute).
+    fb = bench.compute_slow_flags(
+        {"events_hourly_stream": 8.5}, frozen, stream_norm_active=False
+    )
+    assert fb == {"events_hourly_stream": {"baseline": 4.0, "now": 8.5}}
 
 
 def test_bench_shared_stage_stamp():

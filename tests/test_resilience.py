@@ -693,3 +693,86 @@ def test_run_job_spark_routes_fetch_through_executors(spark, tmp_path):
     )
     assert job.state == "completed"
     assert os.listdir(str(tmp_path / "out"))
+
+
+def test_mid_create_crash_persists_provenance(spark, tmp_path):
+    """r10 ADVICE (medium): batch creates are non-idempotent, so a fault
+    at create i must NOT leave batches 0..i-1 live-but-unrecorded. The
+    on_progress callback persists the manifest after the upload stage
+    and after every create — a crash mid-create leaves shard→file_id
+    for ALL shards plus every created batch_id on disk, so the operator
+    can cancel/GC instead of double-submitting."""
+    import json
+
+    from genai_batch_processor_spark.inference import orchestrator, providers
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(3):
+        (shard_dir / f"part-{i:05d}.jsonl").write_text(
+            json.dumps({"custom_id": f"request-{i}"}) + "\n"
+        )
+
+    class DiesOnSecondCreate:
+        """Uploads succeed; the 2nd /batches POST returns a hard 500
+        (create retries only 429, so this is terminal immediately)."""
+
+        def __init__(self, spool):
+            self.spool = spool  # cross-process create counter
+
+        def request(self, method, url, headers, body=None):
+            import json as _json
+            import os as _os
+            import re as _re
+
+            path = url.split("/v1", 1)[1].split("?")[0]
+            if path == "/files":
+                name = _re.search(
+                    rb'filename="([^"]+)"', body or b""
+                ).group(1).decode()
+                return 200, _json.dumps({"id": f"file-{name}"}).encode(), {}
+            if path == "/batches" and method == "POST":
+                with open(self.spool, "a") as f:
+                    f.write("x")
+                n = _os.path.getsize(self.spool)
+                if n >= 2:
+                    return 500, b"provider exploded", {}
+                fid = _json.loads(body)["input_file_id"]
+                return 200, _json.dumps({"id": f"batch-{fid}"}).encode(), {}
+            raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    backend = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=DiesOnSecondCreate(str(tmp_path / "spool.txt")),
+        retry_policy=providers.RetryPolicy(
+            max_attempts=2, base_delay=0.0, max_delay=0.0
+        ),
+    )
+    manifest_dir = str(tmp_path / "manifests")
+    with pytest.raises(providers.TransportError, match="HTTP 500"):
+        orchestrator.run_job(
+            backend,
+            input_path=str(shard_dir),
+            output_path=str(tmp_path / "out"),
+            manifest_dir=manifest_dir,
+            poll_interval_seconds=0.01,
+            spark=spark,
+        )
+
+    # One manifest on disk, still pre-"submitted", with FULL upload
+    # provenance and the one batch that really was created.
+    names = sorted(os.listdir(manifest_dir))
+    assert len(names) == 1
+    job = orchestrator.JobManifest.load(
+        manifest_dir, names[0].removesuffix(".json")
+    )
+    assert job.state == "created"
+    assert [r["file_id"] for r in job.shards] == [
+        f"file-part-{i:05d}.jsonl" for i in range(3)
+    ]
+    assert [r["batch_id"] for r in job.shards] == [
+        "batch-file-part-00000.jsonl",
+        None,
+        None,
+    ]
+    assert job.batch_ids == ["batch-file-part-00000.jsonl"]

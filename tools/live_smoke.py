@@ -232,19 +232,30 @@ def run_openai() -> bool:
 
     # 4. uploaded-shard GC (live resource hygiene + validates the
     # files.delete wire against its golden): the input file id comes
-    # off the batch resource, deletion is 404-idempotent.
+    # off the batch resource, deletion is 404-idempotent. Terminal-only
+    # (r10 ADVICE): after a poll-cap cancel the batch may sit in
+    # 'cancelling' with in-flight requests still READING the input —
+    # the same hazard gc_job_files refuses for non-terminal jobs — so
+    # skip GC unless one post-cancel status read comes back terminal.
     deleted_shape = None
     try:
-        fid = backend._call("GET", f"/batches/{batch_ids[0]}").get(
-            "input_file_id"
-        )
-        if fid:
-            n_before = len(rec.requests)
-            backend.delete_file(fid)
-            deleted_shape = [
-                request_shape(r) for r in rec.requests[n_before:]
-            ]
-            print(f"  deleted input file {fid}")
+        state = backend.status(batch_ids[0])
+        if state in ("in_progress", "cancelling"):
+            print(
+                f"  input-file GC skipped: batch still {state!r} "
+                "(non-terminal after cancel; provider may read input)"
+            )
+        else:
+            fid = backend._call("GET", f"/batches/{batch_ids[0]}").get(
+                "input_file_id"
+            )
+            if fid:
+                n_before = len(rec.requests)
+                backend.delete_file(fid)
+                deleted_shape = [
+                    request_shape(r) for r in rec.requests[n_before:]
+                ]
+                print(f"  deleted input file {fid}")
     except Exception as e:  # noqa: BLE001 — cleanup must not fail smoke
         print(f"  input-file GC skipped: {e}")
 

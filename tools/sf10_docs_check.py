@@ -140,19 +140,35 @@ def perturbed_probe_batch(
     import numpy as np
     from pyspark.sql import functions as F
 
+    from pyspark.sql import Window
+
     docs = spark.read.parquet(
         os.path.join(corpus_dir, "documents.parquet")
     )
     n_corpus = docs.count()
     stride = max(1, n_corpus // n_batch)
+    # Deterministic row_number over ordered doc_id, NOT modulo over raw
+    # ids (r10 ADVICE): with sparse or offset ids the id-stride filter
+    # silently under-fills the batch while results still report
+    # batch_docs = N_PROBE_BATCH — the fixed-size controlled variable
+    # of the flat-probe claim would shrink per scale. The 1-partition
+    # window is bounded: this is a diagnostic tool ranking doc_id only.
     sample = (
-        docs.filter(
-            (F.col("doc_id") % stride == 0)
-            & (F.col("doc_id") < stride * n_batch)
+        docs.select("doc_id", "text")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy("doc_id")) - 1,
         )
-        .select("doc_id", "text")
-        .collect()  # bounded: exactly n_batch rows
+        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") < stride * n_batch))
+        .drop("_rn")
+        .collect()  # bounded: exactly n_batch rows (asserted below)
     )
+    if len(sample) != n_batch:
+        raise SystemExit(
+            f"probe batch under-filled: {len(sample)} of {n_batch} docs "
+            f"(corpus={n_corpus}, stride={stride}) — the flat-probe "
+            "claim's controlled variable must not shrink silently"
+        )
     rng = np.random.default_rng(seed)
     vocab = sorted({w for r in sample for w in r["text"].split(" ")})
     rows = []
