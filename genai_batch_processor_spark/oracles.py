@@ -2840,3 +2840,69 @@ ORACLES["eval_decontamination"] = f"""
     FROM d LEFT JOIN ev USING (doc_id)
     GROUP BY split
 """
+
+
+# ---- BPE token accounting (r10 verdict item 3) --------------------------
+# The oracle replays the committed recorded-count relation
+# (functions/bpe_counts.parquet), generated by tools/gen_bpe_fixtures.py's
+# INDEPENDENT Sennrich-formulation encoder from the same committed merges
+# table — so a green row means two different BPE implementations agree on
+# every document, joined on md5(text) (text-keyed, not doc_id-keyed, so
+# the same relation serves every sf fixture).
+from genai_batch_processor_spark.functions import bpe as _bpe  # noqa: E402
+from genai_batch_processor_spark import queries as _qbpe  # noqa: E402
+
+_BPE_COUNTS_PATH = _bpe.MERGES_PATH.replace(
+    "bpe_merges.json", "bpe_counts.parquet"
+)
+
+_BPE_SIZED = f"""
+  sized AS (
+    SELECT d.doc_id, d.lang, d.source, l.n_bpe_tokens
+    FROM documents d
+    JOIN read_parquet('{_BPE_COUNTS_PATH}') l
+      ON md5(d.text) = l.text_md5
+  )
+"""
+
+ORACLES["bpe_token_counts"] = f"""
+    WITH {_BPE_SIZED},
+    words AS (
+      SELECT doc_id, {tx.sql_token_count('text')} AS n_words
+      FROM documents
+    )
+    SELECT s.doc_id, s.lang,
+           CAST(s.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CAST(s.n_bpe_tokens * 1000 // nullif(w.n_words, 0) AS BIGINT)
+             AS fertility_milli
+    FROM sized s JOIN words w USING (doc_id)
+"""
+
+
+def _bpe_mix_target_sql() -> str:
+    out = "CAST(0 AS BIGINT)"
+    for stratum, w in sorted(_MIX_W.items()):
+        out = (
+            f"(CASE WHEN source = '{stratum}' "
+            f"THEN CAST({int(_qbpe.BPE_MIX_TOKEN_BUDGET * w)} AS BIGINT) "
+            f"ELSE {out} END)"
+        )
+    return out
+
+
+ORACLES["mixture_plan_bpe"] = f"""
+    WITH {_BPE_SIZED},
+    plan AS (
+      SELECT source,
+             CAST(sum(n_bpe_tokens) AS BIGINT) AS available_tokens,
+             {_bpe_mix_target_sql()} AS target_tokens,
+             least(
+               CAST(1000000 AS BIGINT),
+               CAST(CAST({_bpe_mix_target_sql()} AS HUGEINT) * 1000000
+                    // sum(n_bpe_tokens) AS BIGINT)
+             ) AS rate_ppm
+      FROM sized GROUP BY source
+    )
+    SELECT source, available_tokens, target_tokens, rate_ppm FROM plan
+"""

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from genai_batch_processor_spark.functions import bpe as bpefn
 from genai_batch_processor_spark.functions import hashing, ids, text as tx
 from genai_batch_processor_spark.inference import mock
 from genai_batch_processor_spark.operators import (
@@ -3040,6 +3041,51 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MIX_TOKEN_BUDGET = 1200  # separate budget for the subword-priced
+                             # plan: BPE fertility > 1 inflates
+                             # available_tokens vs the word-count plan
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-EXACT accounting via the vendored byte-level BPE
+    (functions/bpe.py, r10 verdict item 3): per-document subword token
+    count (Arrow-batched pandas_udf, per-executor pre-token memo), the
+    regex word count it replaces, and their ratio in integer milli —
+    the real fertility a 100 TB mixture must price, per doc. Oracle:
+    the committed recorded-count relation produced by an INDEPENDENT
+    encoder implementation (tools/gen_bpe_fixtures.py, Sennrich
+    formulation vs the engine's priority formulation) joined on
+    md5(text) — two algorithms agreeing, not one checking itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bpefn.token_count_bpe("text").alias("n_bpe_tokens"),
+        tx.token_count("text").cast("long").alias("n_words"),
+    ).withColumn(
+        "fertility_milli",
+        F.expr("n_bpe_tokens * 1000 div nullif(n_words, 0)").cast("long"),
+    )
+
+
+def q_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_plan re-keyed on REAL subword tokens (r10 verdict item
+    3): identical integer plan derivation, but available/target/rate
+    are priced in BPE tokens instead of regex words — the unit training
+    budgets and context windows are actually denominated in. Same tiny
+    |strata|-row output a planner broadcasts onto the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.withColumn("n_tokens", bpefn.token_count_bpe("text"))
+    return sampling.mixture_plan(
+        sized,
+        "doc_id",
+        "source",
+        "n_tokens",
+        MIX_WEIGHTS,
+        BPE_MIX_TOKEN_BUDGET,
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level containment dedup via winnowing fingerprints
     (operators/dedup.py:winnow_pairs): documents sharing ≥2 winnowed
@@ -4327,6 +4373,8 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's own gate (tools/check_parity.py covers all of them every
 # session regardless).
 QUERIES: dict[str, callable] = {
+    "bpe_token_counts": q_bpe_token_counts,
+    "mixture_plan_bpe": q_mixture_plan_bpe,
     "eval_decontamination": q_eval_decontamination,
     "minhash_calibration": q_minhash_calibration,
     "chunk_dedup_stats": q_chunk_dedup_stats,
@@ -4548,8 +4596,10 @@ QUERIES = {
 # (incremental_span_dup_stream, ivf_recall_sweep — r10 verdict item 1)
 # followed by 48 of the 50 r8-gated cohort, now the oldest.
 _R11_FRONT = [
-    "incremental_span_dup_stream",  # last gated r0
-    "ivf_recall_sweep",  # last gated r0
+    "bpe_token_counts",  # last gated NEVER — front-loaded
+    "incremental_span_dup_stream",  # last gated NEVER — front-loaded
+    "ivf_recall_sweep",  # last gated NEVER — front-loaded
+    "mixture_plan_bpe",  # last gated NEVER — front-loaded
     "assign_ids",  # last gated r8
     "audio_windows",  # last gated r8
     "azure_model_rewrite",  # last gated r8
@@ -4596,8 +4646,6 @@ _R11_FRONT = [
     "simhash_near_dup",  # last gated r8
     "snapshot_changes",  # last gated r8
     "supplier_balance",  # last gated r8
-    "training_order",  # last gated r8
-    "user_stats_stream",  # last gated r8
 ]
 # Unconditional and BEFORE the rebuild (assert would vanish under
 # `python -O`): a mis-sized front pasted from tools/rotation.py must
