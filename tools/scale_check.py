@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
+import bench
 from genai_batch_processor_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
@@ -147,6 +148,10 @@ def main() -> None:
     out_json = args[1] if len(args) > 1 else "BENCH_SCALE.json"
     scaled_dir = f"/tmp/sfscale_{factor}x"
     spark = get_spark("scale_check")
+    # Untimed warm-up: the session's FIRST calibration pays JIT/codegen
+    # warm-up (~3x steady-state) and would skew the first leg's
+    # ratio_norm if it landed in a stored calib.
+    bench.calibration_workload(spark)
 
     t0 = time.monotonic()
     build(spark, factor, scaled_dir)
@@ -166,11 +171,20 @@ def main() -> None:
             # (82 s with the pause, 14-19 s without) that reads as a
             # fake scaling cliff.
             spark._jvm.System.gc()
+            # Per-leg calibration bracket (r10 verdict item 7): a
+            # loaded box inflating one leg reads as a fake scaling
+            # cliff unless each ratio carries its own calib pair.
+            times[f"calib_{label}"] = bench.calibration_workload(spark)
             t1 = time.monotonic()
             n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times[f"{factor}x"] / times["sf0.1"], 2)
+        if times["calib_sf0.1"] > 0 and times[f"calib_{factor}x"] > 0:
+            times["ratio_norm"] = round(
+                times["ratio"]
+                * times["calib_sf0.1"] / times[f"calib_{factor}x"], 2
+            )
         results[name] = times
         print(f"{name:28s} sf0.1={times['sf0.1']:7.2f}s "
               f"{factor}x={times[f'{factor}x']:7.2f}s "

@@ -97,13 +97,23 @@ def _gc(spark) -> None:
     spark._jvm.System.gc()
 
 
+def _leg_calib(spark) -> float:
+    """GC + the shared bench calibration workload (r10 verdict item
+    7): every timed leg stores its own calib next to its ratio so a
+    loaded box can't fake a scaling cliff (this bit round 7)."""
+    _gc(spark)
+    import bench
+
+    return bench.calibration_workload(spark)
+
+
 def query_section(spark, sf10_dir: str) -> dict:
     qs = entrymod.queries()
     results = {}
     for name in QUERIES:
         times = {}
         for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
-            _gc(spark)
+            times[f"calib_{label}"] = _leg_calib(spark)
             t1 = time.monotonic()
             n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)
@@ -209,7 +219,7 @@ def probe_section(spark, sf10_dir: str) -> dict:
             batch_docs, "doc_id", "text"
         ).persist()
         batch_index.count()  # materialize OUTSIDE the timed probe
-        _gc(spark)
+        mh[f"calib_{label}"] = _leg_calib(spark)
         t0 = time.monotonic()
         index = dedup.minhash_index(docs, "doc_id", "text").persist()
         index.count()
@@ -253,7 +263,7 @@ def probe_section(spark, sf10_dir: str) -> dict:
     ev: dict = {"batch_vecs": batch_vecs.count()}
     for label, d in (("sf0.1", SRC), ("sf10", sf10_dir)):
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
-        _gc(spark)
+        ev[f"calib_{label}"] = _leg_calib(spark)
         t0 = time.monotonic()
         k = clustering.adaptive_k(emb.count())
         cents = clustering.centroids_from_cells(
@@ -300,6 +310,7 @@ def main() -> None:
     out_json = args[1] if len(args) > 1 else "BENCH_SCALE_SF10.json"
     ensure_fixture(sf10_dir)
     spark = get_spark("sf10_docs_check")
+    _leg_calib(spark)  # untimed JIT warm-up for the calib workload
     results = query_section(spark, sf10_dir)
     payload = {
         "n_docs_sf01": 5_000,

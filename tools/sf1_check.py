@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+import bench
 from genai_batch_processor_spark.session import get_spark
 from tools.scale_check import SRC, TOP
 
@@ -43,6 +44,7 @@ def main() -> None:
             file=sys.stderr,
         )
     spark = get_spark("sf1_check")
+    bench.calibration_workload(spark)  # untimed JIT warm-up
     qs = entrymod.queries()
     results = {}
     recall_row = None
@@ -53,6 +55,8 @@ def main() -> None:
             # a deferred full GC from an earlier allocation-heavy leg
             # must not land inside this one's wall clock.
             spark._jvm.System.gc()
+            # Per-leg calibration bracket (r10 verdict item 7).
+            times[f"calib_{label}"] = bench.calibration_workload(spark)
             t1 = time.monotonic()
             if name == "part_match_blocking_recall":
                 # 1-row audit: collect it here so the recall gate below
@@ -67,6 +71,11 @@ def main() -> None:
             times[label] = round(time.monotonic() - t1, 3)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times["sf1"] / times["sf0.1"], 2)
+        if times["calib_sf0.1"] > 0 and times["calib_sf1"] > 0:
+            times["ratio_norm"] = round(
+                times["ratio"] * times["calib_sf0.1"] / times["calib_sf1"],
+                2,
+            )
         results[name] = times
         print(
             f"{name:28s} sf0.1={times['sf0.1']:7.2f}s "
