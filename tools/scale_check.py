@@ -174,7 +174,15 @@ def main() -> None:
             # Per-leg calibration bracket (r10 verdict item 7): a
             # loaded box inflating one leg reads as a fake scaling
             # cliff unless each ratio carries its own calib pair.
-            times[f"calib_{label}"] = bench.calibration_workload(spark)
+            # Streaming queries get the micro-batch probe — their wall
+            # time is scheduler/checkpoint latency the compute probe
+            # can't see (same per-family split as bench.py's gate).
+            probe = (
+                bench.streaming_calibration_workload
+                if name.endswith("_stream")
+                else bench.calibration_workload
+            )
+            times[f"calib_{label}"] = probe(spark)
             t1 = time.monotonic()
             n = qs[name](spark, d).count()
             times[label] = round(time.monotonic() - t1, 3)

@@ -55,8 +55,15 @@ def main() -> None:
             # a deferred full GC from an earlier allocation-heavy leg
             # must not land inside this one's wall clock.
             spark._jvm.System.gc()
-            # Per-leg calibration bracket (r10 verdict item 7).
-            times[f"calib_{label}"] = bench.calibration_workload(spark)
+            # Per-leg calibration bracket (r10 verdict item 7);
+            # *_stream legs use the micro-batch latency probe (the
+            # compute probe can't see scheduler/checkpoint drift).
+            probe = (
+                bench.streaming_calibration_workload
+                if name.endswith("_stream")
+                else bench.calibration_workload
+            )
+            times[f"calib_{label}"] = probe(spark)
             t1 = time.monotonic()
             if name == "part_match_blocking_recall":
                 # 1-row audit: collect it here so the recall gate below
