@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 import bench
 from genai_batch_processor_spark.session import get_spark
-from tools.scale_check import SRC, TOP
+from tools.scale_check import SRC, TOP, timed_action
 
 
 def main() -> None:
@@ -74,7 +74,7 @@ def main() -> None:
                 if label == "sf1" and rows:
                     recall_row = rows[0]
             else:
-                n = qs[name](spark, d).count()
+                n = timed_action(qs[name](spark, d), name)
             times[label] = round(time.monotonic() - t1, 3)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times["sf1"] / times["sf0.1"], 2)
