@@ -597,3 +597,24 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
     # fanout duplicating rows or a dropped hot key, which the bare
     # 5-group row count cannot
     assert plain["groups"] == aqe["groups"] == salted["groups"]
+
+
+def test_count_prunes_project_only_python_work(spark, sf_dir):
+    """The count-pruning hazard behind scale_check.FORCE_MATERIALIZE
+    (r11): for a Project-only query, Catalyst prunes the per-row work —
+    including the Arrow-batched BPE UDF — under .count(), so a
+    count-timed leg measures a bare scan. Pin both halves: the query's
+    own plan carries ArrowEvalPython; its count plan does not."""
+    df = queries.QUERIES["bpe_token_counts"](spark, sf_dir)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in full
+    cnt = spark._jvm.PythonSQLUtils.explainString(
+        df.groupBy().count()._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in cnt
+    # and the tool routes the query through the noop-sink path
+    from tools.scale_check import FORCE_MATERIALIZE
+
+    assert "bpe_token_counts" in FORCE_MATERIALIZE
