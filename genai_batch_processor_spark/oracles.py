@@ -2906,3 +2906,27 @@ ORACLES["mixture_plan_bpe"] = f"""
     )
     SELECT source, available_tokens, target_tokens, rate_ppm FROM plan
 """
+
+ORACLES["length_buckets_bpe"] = f"""
+    WITH {_BPE_SIZED},
+    t_sized AS (
+      SELECT n_bpe_tokens AS t FROM sized
+    ), th AS (
+      SELECT quantile_cont(t, 0.25) AS q1,
+             quantile_cont(t, 0.50) AS q2,
+             quantile_cont(t, 0.75) AS q3
+      FROM t_sized
+    ), bucketed AS (
+      SELECT t,
+             CAST(CASE WHEN t <= q1 THEN 0
+                       WHEN t <= q2 THEN 1
+                       WHEN t <= q3 THEN 2
+                       ELSE 3 END AS INT) AS bucket
+      FROM t_sized CROSS JOIN th
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(t) AS BIGINT) AS max_tokens,
+           CAST(max(t) * count(*) - sum(t) AS BIGINT) AS padding_tokens
+    FROM bucketed GROUP BY bucket
+"""

@@ -3086,6 +3086,51 @@ def q_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_buckets_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length_buckets re-keyed on REAL subword tokens (r11, extends
+    the r10-verdict BPE family): padding waste is paid in the tokens
+    the accelerator actually pads, and word-count buckets mis-bucket
+    exactly the high-fertility documents whose padding dominates. Same
+    engine-exact shape as length_buckets (exact percentile thresholds,
+    broadcast 1-row aggregate, integer padding arithmetic); the BPE
+    column is the Arrow-batched count, oracle replayed from the
+    recorded independent-encoder relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(bpefn.token_count_bpe("text").alias("t"))
+    thresholds = F.broadcast(
+        sized.agg(
+            F.percentile("t", 0.25).alias("q1"),
+            F.percentile("t", 0.50).alias("q2"),
+            F.percentile("t", 0.75).alias("q3"),
+        )
+    )
+    bucketed = sized.crossJoin(thresholds).select(
+        "t",
+        F.when(F.col("t") <= F.col("q1"), 0)
+        .when(F.col("t") <= F.col("q2"), 1)
+        .when(F.col("t") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("t").cast("long").alias("max_tokens"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_tokens",
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+        )
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level containment dedup via winnowing fingerprints
     (operators/dedup.py:winnow_pairs): documents sharing ≥2 winnowed
@@ -4375,6 +4420,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, callable] = {
     "bpe_token_counts": q_bpe_token_counts,
     "mixture_plan_bpe": q_mixture_plan_bpe,
+    "length_buckets_bpe": q_length_buckets_bpe,
     "eval_decontamination": q_eval_decontamination,
     "minhash_calibration": q_minhash_calibration,
     "chunk_dedup_stats": q_chunk_dedup_stats,
@@ -4592,13 +4638,15 @@ QUERIES = {
 # mid-round are never-gated and sort FIRST unconditionally (r10
 # verdict item 8: tools/rotation.py hard-fails if a registered query
 # has no driver row and is absent from the upcoming window). The r11
-# window front-loads the 2 never-gated r10 additions
+# window front-loads all 5 never-gated queries — the 2 r10 additions
 # (incremental_span_dup_stream, ivf_recall_sweep — r10 verdict item 1)
-# followed by 48 of the 50 r8-gated cohort, now the oldest.
+# plus the 3 r11 BPE queries — followed by 45 of the r8-gated cohort,
+# now the oldest.
 _R11_FRONT = [
     "bpe_token_counts",  # last gated NEVER — front-loaded
     "incremental_span_dup_stream",  # last gated NEVER — front-loaded
     "ivf_recall_sweep",  # last gated NEVER — front-loaded
+    "length_buckets_bpe",  # last gated NEVER — front-loaded
     "mixture_plan_bpe",  # last gated NEVER — front-loaded
     "assign_ids",  # last gated r8
     "audio_windows",  # last gated r8
@@ -4645,7 +4693,6 @@ _R11_FRONT = [
     "simhash",  # last gated r8
     "simhash_near_dup",  # last gated r8
     "snapshot_changes",  # last gated r8
-    "supplier_balance",  # last gated r8
 ]
 # Unconditional and BEFORE the rebuild (assert would vanish under
 # `python -O`): a mis-sized front pasted from tools/rotation.py must
