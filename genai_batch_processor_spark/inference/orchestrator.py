@@ -495,6 +495,23 @@ def resume_job(
         raise RuntimeError(f"{job_id}: job was cancelled; resubmit to rerun")
     if not job.batch_ids:
         raise ValueError(f"{job_id}: no batch_ids persisted; resubmit")
+    # Half-submitted guard (r11 review): the incremental mid-create
+    # provenance can leave a manifest with SOME batch_ids and shard
+    # records whose batch_id is still None (crash between creates).
+    # Resuming such a job would poll only the created subset, fetch a
+    # fraction of the results, and flip the manifest to 'completed' —
+    # a silent partial completion. Refuse loudly: the operator must
+    # cancel_job + gc_job_files (or create the missing batches) first.
+    missing = [
+        r["shard"] for r in job.shards if not r.get("batch_id")
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{job_id}: half-submitted — {len(missing)} of "
+            f"{len(job.shards)} shards have no provider batch "
+            f"(first: {missing[:3]}); cancel_job + gc_job_files, then "
+            "resubmit, instead of resuming a partial job"
+        )
 
     deadline = time.monotonic() + timeout_seconds
     pending = set(job.batch_ids)

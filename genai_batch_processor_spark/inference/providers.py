@@ -242,6 +242,11 @@ def _local_shards(input_path: str) -> list[str]:
 # the oai:199 set the orchestrator polls for).
 _OPENAI_PENDING = {"validating", "in_progress", "finalizing", "cancelling"}
 
+# submit_spark's create loop persists provenance every K creates (plus
+# once on the exception path and once after the loop via run_job) —
+# see the throttling note inside submit_spark.
+_CREATE_PROGRESS_EVERY = 25
+
 
 class OpenAIBatchBackend:
     """OpenAI (or Azure OpenAI) Files+Batches over the raw REST wire.
@@ -492,10 +497,11 @@ class OpenAIBatchBackend:
         the provider. ``on_progress`` (r10 ADVICE, medium) closes the
         provenance gap that used to open there: it is called with the
         full record list once after the upload stage (every file_id
-        known, every batch_id still None) and again after EVERY
-        successful create — run_job persists the manifest in that
-        callback, so a crash mid-create leaves shard→file_id AND the
-        already-created batch_ids on disk (gc_job_files can reclaim
+        known, every batch_id still None), every
+        ``_CREATE_PROGRESS_EVERY`` successful creates, and — crucially
+        — once more on ANY exception before it propagates. run_job
+        persists the manifest in that callback, so a crash mid-create
+        leaves shard→file_id AND the already-created batch_ids on disk (gc_job_files can reclaim
         the uploads; the operator can cancel/resume the created
         batches instead of blindly resubmitting and double-spending).
         If create i raises, the exception propagates with records
@@ -554,10 +560,28 @@ class OpenAIBatchBackend:
         ]
         if on_progress is not None:
             on_progress(records)  # upload provenance BEFORE any create
-        for rec in records:
-            rec["batch_id"] = self.create_batch(rec["file_id"], meta)
+        # Throttled persistence (r11 review): each on_progress rewrites
+        # the FULL manifest, so per-create callbacks are O(n²) in shard
+        # count — real at the thousands of shards this engine plans.
+        # Every-K saves bound that to O(n²/K), and the except-path
+        # flush keeps the crash contract exact for every PYTHON-level
+        # failure (the mid-create 500, a driver exception): the raised
+        # path always persists everything created so far. The residual
+        # window is a hard kill (SIGKILL/power) between throttled
+        # saves, losing at most K-1 batch_id records — recoverable via
+        # the provider's batch listing, and far cheaper than 2.5 GB of
+        # cumulative manifest rewrites at 5k shards.
+        try:
+            for i, rec in enumerate(records):
+                rec["batch_id"] = self.create_batch(rec["file_id"], meta)
+                if on_progress is not None and (
+                    i % _CREATE_PROGRESS_EVERY == _CREATE_PROGRESS_EVERY - 1
+                ):
+                    on_progress(records)
+        except BaseException:
             if on_progress is not None:
                 on_progress(records)
+            raise
         return records
 
     def status(self, batch_id: str) -> str:

@@ -2343,12 +2343,15 @@ ORACLES["curriculum_mix"] = f"""
 """
 
 
-def _mix_target_sql() -> str:
+def _mix_target_sql(budget: int = _MIX_BUDGET) -> str:
+    """Nested-CASE per-stratum token target; shared by the word-count
+    and BPE mixture oracles (r11 review: two copies diverging silently
+    is how oracle pairs rot)."""
     out = "CAST(0 AS BIGINT)"
     for stratum, w in sorted(_MIX_W.items()):
         out = (
             f"(CASE WHEN source = '{stratum}' "
-            f"THEN CAST({int(_MIX_BUDGET * w)} AS BIGINT) ELSE {out} END)"
+            f"THEN CAST({int(budget * w)} AS BIGINT) ELSE {out} END)"
         )
     return out
 
@@ -2880,26 +2883,16 @@ ORACLES["bpe_token_counts"] = f"""
 """
 
 
-def _bpe_mix_target_sql() -> str:
-    out = "CAST(0 AS BIGINT)"
-    for stratum, w in sorted(_MIX_W.items()):
-        out = (
-            f"(CASE WHEN source = '{stratum}' "
-            f"THEN CAST({int(_qbpe.BPE_MIX_TOKEN_BUDGET * w)} AS BIGINT) "
-            f"ELSE {out} END)"
-        )
-    return out
-
-
 ORACLES["mixture_plan_bpe"] = f"""
     WITH {_BPE_SIZED},
     plan AS (
       SELECT source,
              CAST(sum(n_bpe_tokens) AS BIGINT) AS available_tokens,
-             {_bpe_mix_target_sql()} AS target_tokens,
+             {_mix_target_sql(_qbpe.BPE_MIX_TOKEN_BUDGET)} AS target_tokens,
              least(
                CAST(1000000 AS BIGINT),
-               CAST(CAST({_bpe_mix_target_sql()} AS HUGEINT) * 1000000
+               CAST(CAST({_mix_target_sql(_qbpe.BPE_MIX_TOKEN_BUDGET)}
+                         AS HUGEINT) * 1000000
                     // sum(n_bpe_tokens) AS BIGINT)
              ) AS rate_ppm
       FROM sized GROUP BY source

@@ -3086,17 +3086,15 @@ def q_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_length_buckets_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """length_buckets re-keyed on REAL subword tokens (r11, extends
-    the r10-verdict BPE family): padding waste is paid in the tokens
-    the accelerator actually pads, and word-count buckets mis-bucket
-    exactly the high-fertility documents whose padding dominates. Same
-    engine-exact shape as length_buckets (exact percentile thresholds,
-    broadcast 1-row aggregate, integer padding arithmetic); the BPE
-    column is the Arrow-batched count, oracle replayed from the
-    recorded independent-encoder relation."""
-    docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(bpefn.token_count_bpe("text").alias("t"))
+
+def _length_buckets_of(sized) -> DataFrame:
+    """Shared percentile-bucket/padding pipeline for the word-count and
+    BPE length_buckets twins (r11 review: the 30-line body must live
+    once — a threshold or padding fix that misses one twin breaks its
+    oracle parity). ``sized`` is a single-column ("t") token-count
+    relation; engine-exact thresholds via F.percentile (== DuckDB
+    quantile_cont), integer padding arithmetic, broadcast 1-row
+    threshold aggregate."""
     thresholds = F.broadcast(
         sized.agg(
             F.percentile("t", 0.25).alias("q1"),
@@ -3128,6 +3126,21 @@ def q_length_buckets_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("padding_tokens"),
         )
+    )
+
+
+def q_length_buckets_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length_buckets re-keyed on REAL subword tokens (r11, extends
+    the r10-verdict BPE family): padding waste is paid in the tokens
+    the accelerator actually pads, and word-count buckets mis-bucket
+    exactly the high-fertility documents whose padding dominates. Same
+    engine-exact shape as length_buckets (exact percentile thresholds,
+    broadcast 1-row aggregate, integer padding arithmetic); the BPE
+    column is the Arrow-batched count, oracle replayed from the
+    recorded independent-encoder relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _length_buckets_of(
+        docs.select(bpefn.token_count_bpe("text").alias("t"))
     )
 
 
@@ -3795,38 +3808,8 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass for lengths, a broadcast 1-row threshold aggregate,
     one shuffle on the 4-value bucket key with map-side partials."""
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(tx.token_count("text").alias("t"))
-    thresholds = F.broadcast(
-        sized.agg(
-            F.percentile("t", 0.25).alias("q1"),
-            F.percentile("t", 0.50).alias("q2"),
-            F.percentile("t", 0.75).alias("q3"),
-        )
-    )
-    bucketed = sized.crossJoin(thresholds).select(
-        "t",
-        F.when(F.col("t") <= F.col("q1"), 0)
-        .when(F.col("t") <= F.col("q2"), 1)
-        .when(F.col("t") <= F.col("q3"), 2)
-        .otherwise(3)
-        .cast("int")
-        .alias("bucket"),
-    )
-    return (
-        bucketed.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.max("t").cast("long").alias("max_tokens"),
-            F.sum("t").cast("long").alias("sum_tokens"),
-        )
-        .select(
-            "bucket",
-            "n_docs",
-            "max_tokens",
-            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
-            .cast("long")
-            .alias("padding_tokens"),
-        )
+    return _length_buckets_of(
+        docs.select(tx.token_count("text").alias("t"))
     )
 
 

@@ -776,3 +776,14 @@ def test_mid_create_crash_persists_provenance(spark, tmp_path):
         None,
     ]
     assert job.batch_ids == ["batch-file-part-00000.jsonl"]
+
+    # r11 review: resuming a half-submitted job must refuse loudly —
+    # polling only the created subset would fetch a fraction of the
+    # results and flip the manifest to 'completed' silently.
+    with pytest.raises(RuntimeError, match="half-submitted"):
+        orchestrator.resume_job(
+            backend,
+            manifest_dir=manifest_dir,
+            job_id=job.job_id,
+            poll_interval_seconds=0.01,
+        )

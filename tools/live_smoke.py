@@ -239,8 +239,10 @@ def run_openai() -> bool:
     # skip GC unless one post-cancel status read comes back terminal.
     deleted_shape = None
     try:
+        # status() collapses every pending wire state (validating /
+        # finalizing / cancelling / in_progress) to 'in_progress'.
         state = backend.status(batch_ids[0])
-        if state in ("in_progress", "cancelling"):
+        if state == "in_progress":
             print(
                 f"  input-file GC skipped: batch still {state!r} "
                 "(non-terminal after cancel; provider may read input)"

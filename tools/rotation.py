@@ -89,7 +89,7 @@ def compute_front(
 
 
 def main() -> None:
-    if any(a.startswith("-") for a in sys.argv[1:]) or len(sys.argv) > 1:
+    if len(sys.argv) > 1:  # the tool takes no arguments, option-like or not
         raise SystemExit("usage: python tools/rotation.py  (no arguments)")
     latest = latest_green_rounds()
     names = registered_names()

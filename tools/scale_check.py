@@ -64,14 +64,20 @@ SMALL = ["region", "nation"]  # fixed-cardinality dims: copy once
 FORCE_MATERIALIZE = {"bpe_token_counts"}
 
 
-def timed_action(df, name: str) -> int:
-    """Run the leg's timed action; returns the row count."""
+def timed_leg(df, name: str) -> tuple[float, int]:
+    """Run one leg and time ONLY its real work; returns (sec, rows).
+    Owning the clock here matters (r11 review): for FORCE_MATERIALIZE
+    queries the row count is a second, pruned scan — taken AFTER the
+    stopwatch stops, so it can't inflate the leg it reports on."""
+    import time as _time
+
+    t0 = _time.monotonic()
     if name in FORCE_MATERIALIZE:
         df.write.format("noop").mode("overwrite").save()
-        # row count afterwards IS the pruned cheap path — fine, the
-        # expensive part was timed by the noop write above.
-        return df.count()
-    return df.count()
+        dt = _time.monotonic() - t0
+        return round(dt, 3), df.count()
+    n = df.count()
+    return round(_time.monotonic() - t0, 3), n
 
 # The most expensive queries from the idle round-4 bench run, plus
 # the round's new families (incremental probe, BM25, linkage,
@@ -206,9 +212,7 @@ def main() -> None:
                 else bench.calibration_workload
             )
             times[f"calib_{label}"] = probe(spark)
-            t1 = time.monotonic()
-            n = timed_action(qs[name](spark, d), name)
-            times[label] = round(time.monotonic() - t1, 3)
+            times[label], n = timed_leg(qs[name](spark, d), name)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times[f"{factor}x"] / times["sf0.1"], 2)
         if times["calib_sf0.1"] > 0 and times[f"calib_{factor}x"] > 0:

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 import bench
 from genai_batch_processor_spark.session import get_spark
-from tools.scale_check import SRC, TOP, timed_action
+from tools.scale_check import SRC, TOP, timed_leg
 
 
 def main() -> None:
@@ -64,18 +64,18 @@ def main() -> None:
                 else bench.calibration_workload
             )
             times[f"calib_{label}"] = probe(spark)
-            t1 = time.monotonic()
             if name == "part_match_blocking_recall":
                 # 1-row audit: collect it here so the recall gate below
                 # reads the row this timed execution already produced
                 # instead of re-running the quadratic pair-set count.
+                t1 = time.monotonic()
                 rows = qs[name](spark, d).collect()
+                times[label] = round(time.monotonic() - t1, 3)
                 n = len(rows)
                 if label == "sf1" and rows:
                     recall_row = rows[0]
             else:
-                n = timed_action(qs[name](spark, d), name)
-            times[label] = round(time.monotonic() - t1, 3)
+                times[label], n = timed_leg(qs[name](spark, d), name)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times["sf1"] / times["sf0.1"], 2)
         if times["calib_sf0.1"] > 0 and times["calib_sf1"] > 0:
