@@ -64,14 +64,22 @@ SMALL = ["region", "nation"]  # fixed-cardinality dims: copy once
 FORCE_MATERIALIZE = {"bpe_token_counts"}
 
 
-def timed_leg(df, name: str) -> tuple[float, int]:
-    """Run one leg and time ONLY its real work; returns (sec, rows).
-    Owning the clock here matters (r11 review): for FORCE_MATERIALIZE
-    queries the row count is a second, pruned scan — taken AFTER the
-    stopwatch stops, so it can't inflate the leg it reports on."""
+def timed_leg(make_df, name: str) -> tuple[float, int]:
+    """Run one leg and time its real work; returns (sec, rows).
+    Owning the clock here matters, twice over (r11 review + the bug
+    the first fix introduced): ``make_df`` is a THUNK invoked inside
+    the stopwatch, because query functions do real eager driver-side
+    work — streaming twins run their whole micro-batch drain via
+    awaitTermination, shared-stage helpers persist+materialize, some
+    paths localCheckpoint — and an already-built DataFrame argument
+    would leave all of that untimed (observed: click_purchase_stream
+    "0.15 s"). For FORCE_MATERIALIZE queries the row count is a
+    second, pruned scan — taken AFTER the stopwatch stops, so it
+    can't inflate the leg it reports on."""
     import time as _time
 
     t0 = _time.monotonic()
+    df = make_df()
     if name in FORCE_MATERIALIZE:
         df.write.format("noop").mode("overwrite").save()
         dt = _time.monotonic() - t0
@@ -212,7 +220,9 @@ def main() -> None:
                 else bench.calibration_workload
             )
             times[f"calib_{label}"] = probe(spark)
-            times[label], n = timed_leg(qs[name](spark, d), name)
+            times[label], n = timed_leg(
+                lambda: qs[name](spark, d), name
+            )
             times[f"rows_{label}"] = n
         times["ratio"] = round(times[f"{factor}x"] / times["sf0.1"], 2)
         if times["calib_sf0.1"] > 0 and times[f"calib_{factor}x"] > 0:

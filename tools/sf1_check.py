@@ -75,7 +75,9 @@ def main() -> None:
                 if label == "sf1" and rows:
                     recall_row = rows[0]
             else:
-                times[label], n = timed_leg(qs[name](spark, d), name)
+                times[label], n = timed_leg(
+                    lambda: qs[name](spark, d), name
+                )
             times[f"rows_{label}"] = n
         times["ratio"] = round(times["sf1"] / times["sf0.1"], 2)
         if times["calib_sf0.1"] > 0 and times["calib_sf1"] > 0:
