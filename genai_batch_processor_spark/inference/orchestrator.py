@@ -494,6 +494,19 @@ def resume_job(
         # completed/failed, undoing the operator's explicit decision.
         raise RuntimeError(f"{job_id}: job was cancelled; resubmit to rerun")
     if not job.batch_ids:
+        # A crash after the upload stage but before the FIRST create
+        # leaves full shard→file_id provenance with batch_ids=[] — the
+        # half-submitted guard below never sees that state, and a bare
+        # "resubmit" would orphan every recorded upload. Route the
+        # operator through gc_job_files first, same as half-submitted.
+        uploaded = [r["shard"] for r in job.shards if r.get("file_id")]
+        if uploaded:
+            raise ValueError(
+                f"{job_id}: no batch_ids persisted, but {len(uploaded)} "
+                f"of {len(job.shards)} shards have uploaded files "
+                f"(first: {uploaded[:3]}); run gc_job_files before "
+                "resubmitting, or the uploads are orphaned"
+            )
         raise ValueError(f"{job_id}: no batch_ids persisted; resubmit")
     # Half-submitted guard (r11 review): the incremental mid-create
     # provenance can leave a manifest with SOME batch_ids and shard

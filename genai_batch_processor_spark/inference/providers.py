@@ -579,8 +579,15 @@ class OpenAIBatchBackend:
                 ):
                     on_progress(records)
         except BaseException:
+            # Best-effort flush only: if the manifest save itself raises
+            # (disk full, permissions), the PRIMARY provider failure must
+            # still propagate — a masked create_batch error is strictly
+            # worse than losing the last throttle window of provenance.
             if on_progress is not None:
-                on_progress(records)
+                try:
+                    on_progress(records)
+                except Exception:  # noqa: BLE001 — deliberate: flush only
+                    pass
             raise
         return records
 

@@ -2859,11 +2859,24 @@ _BPE_COUNTS_PATH = _bpe.MERGES_PATH.replace(
     "bpe_merges.json", "bpe_counts.parquet"
 )
 
+# LEFT JOIN + per-row error(): if the testdata fixtures are regenerated
+# without rerunning tools/gen_bpe_fixtures.py, unmatched documents must
+# fail LOUDLY naming the stale relation — an inner join would silently
+# drop them and surface as opaque row-count/quantile mismatches instead
+# (r11 ADVICE).
+_BPE_STALE_MSG = (
+    "bpe_counts.parquet stale (document text not in the recorded BPE "
+    "relation); rerun tools/gen_bpe_fixtures.py"
+)
+
 _BPE_SIZED = f"""
   sized AS (
-    SELECT d.doc_id, d.lang, d.source, l.n_bpe_tokens
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN l.text_md5 IS NULL
+                THEN CAST(error('{_BPE_STALE_MSG}') AS BIGINT)
+                ELSE l.n_bpe_tokens END AS n_bpe_tokens
     FROM documents d
-    JOIN read_parquet('{_BPE_COUNTS_PATH}') l
+    LEFT JOIN read_parquet('{_BPE_COUNTS_PATH}') l
       ON md5(d.text) = l.text_md5
   )
 """

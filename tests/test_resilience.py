@@ -787,3 +787,97 @@ def test_mid_create_crash_persists_provenance(spark, tmp_path):
             job_id=job.job_id,
             poll_interval_seconds=0.01,
         )
+
+
+def test_resume_uploaded_but_unsubmitted_directs_gc(tmp_path):
+    """r11 ADVICE: a crash AFTER the upload stage but BEFORE the first
+    create leaves full shard→file_id provenance with batch_ids=[] —
+    the half-submitted guard never sees that state, and the plain
+    'resubmit' advice would orphan every recorded upload. The
+    empty-batch_ids branch must route the operator through
+    gc_job_files instead."""
+    backend = object()  # never reached: the guard fires before any wire
+    mdir = str(tmp_path / "manifests")
+    job = orchestrator.JobManifest(
+        job_id="job-uploaded-only",
+        input_path="x",
+        output_path="y",
+        shards=[
+            {"shard": f"part-{i:05d}.jsonl",
+             "file_id": f"file-{i}",
+             "batch_id": None}
+            for i in range(3)
+        ],
+    )
+    job.save(mdir)
+    with pytest.raises(ValueError, match="gc_job_files"):
+        orchestrator.resume_job(
+            backend, manifest_dir=mdir, job_id="job-uploaded-only",
+            poll_interval_seconds=0.01,
+        )
+    # truly-unsubmitted manifests (no uploads either) keep the plain
+    # resubmit advice
+    bare = orchestrator.JobManifest(
+        job_id="job-bare", input_path="x", output_path="y"
+    )
+    bare.save(mdir)
+    with pytest.raises(ValueError, match="resubmit") as ei:
+        orchestrator.resume_job(
+            backend, manifest_dir=mdir, job_id="job-bare",
+            poll_interval_seconds=0.01,
+        )
+    assert "gc_job_files" not in str(ei.value)
+
+
+def test_flush_failure_does_not_mask_create_error(spark, tmp_path):
+    """r11 ADVICE: submit_spark's exception-path manifest flush calls
+    on_progress before re-raising; if that save itself raises (disk
+    full), the PRIMARY provider failure must still propagate — not be
+    replaced by the save error."""
+    import json
+
+    from genai_batch_processor_spark.inference import providers
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(2):
+        (shard_dir / f"part-{i:05d}.jsonl").write_text(
+            json.dumps({"custom_id": f"request-{i}"}) + "\n"
+        )
+
+    class UploadsOkCreatesDie:
+        def request(self, method, url, headers, body=None):
+            import json as _json
+            import re as _re
+
+            path = url.split("/v1", 1)[1].split("?")[0]
+            if path == "/files":
+                name = _re.search(
+                    rb'filename="([^"]+)"', body or b""
+                ).group(1).decode()
+                return 200, _json.dumps({"id": f"file-{name}"}).encode(), {}
+            if path == "/batches" and method == "POST":
+                return 500, b"provider exploded", {}
+            raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    backend = providers.OpenAIBatchBackend(
+        api_key="test-key",
+        transport=UploadsOkCreatesDie(),
+        retry_policy=providers.RetryPolicy(
+            max_attempts=2, base_delay=0.0, max_delay=0.0
+        ),
+    )
+
+    calls = {"n": 0}
+
+    def dying_save(records):
+        calls["n"] += 1
+        if calls["n"] > 1:  # upload-provenance save succeeds; flush dies
+            raise OSError("disk full while saving manifest")
+
+    with pytest.raises(providers.TransportError, match="HTTP 500"):
+        backend.submit_spark(
+            spark, str(shard_dir), str(tmp_path / "out"), {},
+            on_progress=dying_save,
+        )
+    assert calls["n"] == 2  # the flush WAS attempted, then swallowed
