@@ -30,6 +30,11 @@ from genai_batch_processor_spark.functions import text as tx
 CHUNK_WORDS = 64
 CHUNK_OVERLAP = 16
 PACK_BUDGET = 512
+# Subword-token packing budget: context windows are denominated in BPE
+# tokens, not words (fertility > 1 means a 512-WORD bin overflows a
+# 512-TOKEN window on exactly the high-fertility documents). The BPE
+# twin packs on token_count_bpe(chunk_text) against this budget.
+PACK_BUDGET_BPE = 1024
 
 
 def chunk_documents(
@@ -104,11 +109,14 @@ def pack_chunks(
     order_cols: list[str],
     budget_words: int = PACK_BUDGET,
     n_words_col: str = "n_words",
+    packed_col: str = "packed_words",
 ) -> DataFrame:
-    """Assign each chunk to a bin by cumulative word offset within its
+    """Assign each chunk to a bin by cumulative size offset within its
     pack group: bin = floor(offset_before_chunk / budget). Returns the
-    per-(group, bin) packing relation: chunk count, packed words, fill
-    ratio (exact int/int division in double)."""
+    per-(group, bin) packing relation: chunk count, packed size, fill
+    ratio (exact int/int division in double). The size column is any
+    integer length — regex words or BPE tokens (``packed_col`` names
+    the output accordingly)."""
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     cum = F.sum(n_words_col).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -123,15 +131,15 @@ def pack_chunks(
         binned.groupBy(group_col, "__bin")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(n_words_col).cast("long").alias("packed_words"),
+            F.sum(n_words_col).cast("long").alias(packed_col),
         )
         .select(
             group_col,
             F.col("__bin").alias("bin"),
             "n_chunks",
-            "packed_words",
+            packed_col,
             (
-                F.col("packed_words").cast("double")
+                F.col(packed_col).cast("double")
                 / F.lit(float(budget_words))
             ).alias("fill_ratio"),
         )

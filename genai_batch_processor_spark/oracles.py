@@ -2936,3 +2936,66 @@ ORACLES["length_buckets_bpe"] = f"""
            CAST(max(t) * count(*) - sum(t) AS BIGINT) AS padding_tokens
     FROM bucketed GROUP BY bucket
 """
+
+# chunk_packing re-keyed on BPE tokens (r11 verdict item 1): chunk
+# geometry comes from the operator-owned SQL twin; per-chunk token
+# counts replay the recorded relation keyed on md5(chunk_text), with
+# the same loud staleness guard as _BPE_SIZED.
+ORACLES["chunk_packing_bpe"] = f"""
+    WITH chunks AS (
+      {_chk.sql_chunk_documents()}
+    ), csized AS (
+      SELECT c.doc_id, c.chunk_idx, d.source,
+             CASE WHEN l.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_STALE_MSG}') AS BIGINT)
+                  ELSE l.n_bpe_tokens END AS n_bpe
+      FROM chunks c
+      JOIN documents d USING (doc_id)
+      LEFT JOIN read_parquet('{_BPE_COUNTS_PATH}') l
+        ON md5(c.chunk_text) = l.text_md5
+    ), binned AS (
+      SELECT source,
+             CAST(floor((sum(n_bpe) OVER w - n_bpe)
+                        / {_chk.PACK_BUDGET_BPE}) AS BIGINT) AS bin,
+             n_bpe
+      FROM csized
+      WINDOW w AS (
+        PARTITION BY source ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_bpe) AS BIGINT) AS packed_tokens,
+           CAST(sum(n_bpe) AS DOUBLE) / {_chk.PACK_BUDGET_BPE}.0
+             AS fill_ratio
+    FROM binned
+    GROUP BY source, bin
+"""
+
+# request_cost_estimate re-keyed on BPE tokens (r11 verdict item 1):
+# same hash routing and integer nano-USD arithmetic as the word twin;
+# prompt token counts replay the recorded relation keyed on the md5 of
+# the rebuilt prompt text (shared CLASSIFY_TEMPLATE constant).
+ORACLES["request_cost_bpe"] = f"""
+    WITH prices(model, in_per_1k, out_per_1k) AS (
+      VALUES {_PRICE_ROWS}
+    ), routed AS (
+      SELECT {_MODEL_ARR}[
+               ({sql_hash32('CAST(d.doc_id AS VARCHAR)')} % 3)::INT + 1
+             ] AS model,
+             CASE WHEN l.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_STALE_MSG}') AS BIGINT)
+                  ELSE l.n_bpe_tokens END AS n_tokens
+      FROM documents d
+      LEFT JOIN read_parquet('{_BPE_COUNTS_PATH}') l
+        ON md5({_prompt_sql('d.text')}) = l.text_md5
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens * in_per_1k) AS BIGINT)
+             AS input_cost_nano_usd
+    FROM routed JOIN prices USING (model)
+    GROUP BY model
+"""

@@ -3144,6 +3144,36 @@ def q_length_buckets_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_packing re-keyed on REAL subword tokens (r11 verdict item
+    1 — completes the BPE family): context windows are denominated in
+    BPE tokens, and a 512-WORD bin overflows a fixed-token window on
+    exactly the high-fertility documents bpe_token_counts quantifies.
+    Same offset-packing shape as chunk_packing (cumulative window
+    within source, integer bin arithmetic), sized by the Arrow-batched
+    token_count_bpe over each chunk text against the PACK_BUDGET_BPE
+    token budget. Oracle: chunk texts from the operator-owned SQL twin
+    joined to the recorded independent-encoder relation on
+    md5(chunk_text) — loud error if the relation is stale."""
+    from genai_batch_processor_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sized = chunks.withColumn(
+        "n_bpe_tokens", bpefn.token_count_bpe("chunk_text")
+    )
+    return chunking.pack_chunks(
+        sized,
+        group_col="source",
+        order_cols=["doc_id", "chunk_idx"],
+        budget_words=chunking.PACK_BUDGET_BPE,
+        n_words_col="n_bpe_tokens",
+        packed_col="packed_tokens",
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level containment dedup via winnowing fingerprints
     (operators/dedup.py:winnow_pairs): documents sharing ≥2 winnowed
@@ -3219,6 +3249,41 @@ def q_request_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = docs.select(
         F.element_at(mapping, model_idx.cast("int") + 1).alias("model"),
         tx.token_count(
+            requests.classification_prompt("text", LABELS)
+        ).alias("n_tokens"),
+    )
+    return (
+        routed.join(F.broadcast(prices), "model")
+        .groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tokens") * F.col("in_per_1k"))
+            .cast("long")
+            .alias("input_cost_nano_usd"),
+        )
+    )
+
+
+def q_request_cost_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """request_cost_estimate re-keyed on REAL subword tokens (r11
+    verdict item 1): provider billing is denominated in BPE tokens, and
+    word-count pricing under-bills exactly the high-fertility prompts.
+    Identical routing (portable doc_id hash → 3-row broadcast price
+    dim) and integer nano-USD arithmetic; the token column is the
+    Arrow-batched token_count_bpe over the full prompt text. Oracle:
+    prompt texts rebuilt from the shared CLASSIFY_TEMPLATE constant,
+    joined to the recorded independent-encoder relation on
+    md5(prompt)."""
+    docs = _documents_with_ids(spark, sf_dir)
+    prices = spark.createDataFrame(
+        list(MODEL_PRICES), "model string, in_per_1k long, out_per_1k long"
+    )
+    model_idx = hashing.portable_hash32(F.col("doc_id").cast("string")) % 3
+    mapping = F.array(*[F.lit(m) for m, _, _ in MODEL_PRICES])
+    routed = docs.select(
+        F.element_at(mapping, model_idx.cast("int") + 1).alias("model"),
+        bpefn.token_count_bpe(
             requests.classification_prompt("text", LABELS)
         ).alias("n_tokens"),
     )
@@ -4556,6 +4621,8 @@ QUERIES: dict[str, callable] = {
     "click_purchase_stream": q_click_purchase_stream,
     "nation_trade": q_nation_trade,
     "market_share": q_market_share,
+    "chunk_packing_bpe": q_chunk_packing_bpe,
+    "request_cost_bpe": q_request_cost_bpe,
 }
 
 # Round-6 driver-sample rotation (round-5 verdict item 3): the driver
@@ -4687,6 +4754,70 @@ if len(_R11_FRONT) != 50:
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_FRONT},
     **{k: v for k, v in QUERIES.items() if k not in set(_R11_FRONT)},
+}
+
+# Round-12 front (`python tools/rotation.py`): the 2 queries new this
+# round (never gated, front-loaded unconditionally) + the 5 r8-gated
+# remainders + the oldest r9-gated cohort.
+_R12_FRONT = [
+    "chunk_packing_bpe",  # last gated NEVER — front-loaded
+    "request_cost_bpe",  # last gated NEVER — front-loaded
+    "supplier_balance",  # last gated r8
+    "training_order",  # last gated r8
+    "user_stats_stream",  # last gated r8
+    "vertex_requests",  # last gated r8
+    "winnow_pairs",  # last gated r8
+    "bigram_followers",  # last gated r9
+    "daily_activity_full_outer",  # last gated r9
+    "distinct_buyers_daily",  # last gated r9
+    "embedding_near_dup",  # last gated r9
+    "embedding_topk_ivf",  # last gated r9
+    "embedding_topk_ivf_trained",  # last gated r9
+    "embedding_topk_lsh",  # last gated r9
+    "embedding_topk_pandas",  # last gated r9
+    "eval_decontamination",  # last gated r9
+    "event_key_skew",  # last gated r9
+    "events_asof",  # last gated r9
+    "events_cube",  # last gated r9
+    "events_daily_spine",  # last gated r9
+    "events_hourly",  # last gated r9
+    "events_hourly_stream",  # last gated r9
+    "events_json_props",  # last gated r9
+    "events_value_percentiles",  # last gated r9
+    "hourly_value_change",  # last gated r9
+    "image_features",  # last gated r9
+    "incremental_near_dup",  # last gated r9
+    "incremental_near_dup_stream",  # last gated r9
+    "incremental_span_dup",  # last gated r9
+    "lang_id_confusion",  # last gated r9
+    "lang_source_rollup",  # last gated r9
+    "lang_vocab",  # last gated r9
+    "length_buckets",  # last gated r9
+    "minhash_calibration",  # last gated r9
+    "multimodal_requests",  # last gated r9
+    "near_dup_method_agreement",  # last gated r9
+    "ngram_jaccard",  # last gated r9
+    "order_priority_returns",  # last gated r9
+    "part_match_candidates",  # last gated r9
+    "price_bracket_join",  # last gated r9
+    "pricing_summary",  # last gated r9
+    "quality_filter_funnel",  # last gated r9
+    "regional_revenue",  # last gated r9
+    "rrf_fusion",  # last gated r9
+    "semdedup_survivors",  # last gated r9
+    "source_quality",  # last gated r9
+    "span_dedup_stats",  # last gated r9
+    "split_leakage",  # last gated r9
+    "temperature_mixture",  # last gated r9
+    "term_frequencies",  # last gated r9
+]
+if len(_R12_FRONT) != 50:
+    raise ValueError(
+        f"driver-gate window must be exactly 50 entries, got {len(_R12_FRONT)}"
+    )
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_FRONT)},
 }
 
 

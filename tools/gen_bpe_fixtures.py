@@ -8,9 +8,14 @@ Two outputs, both committed:
    tokenizer is fully defined by it plus the shared pre-token regex.
 
 2. ``genai_batch_processor_spark/functions/bpe_counts.parquet`` — the
-   recorded per-document count relation the DuckDB oracle replays:
-   ``(text_md5, n_bpe_tokens)`` for every distinct document text across
-   sf0.001 / sf0.01 / sf0.1. The counts here are produced by THIS
+   recorded count relation the DuckDB oracle replays:
+   ``(text_md5, n_bpe_tokens)`` for every distinct text the BPE oracles
+   price across sf0.001 / sf0.01 / sf0.1 — document texts, chunk texts
+   (materialized via the operator-owned ``sql_chunk_documents`` twin,
+   so the window geometry lives in exactly one place), and
+   classification-prompt texts (the shared ``CLASSIFY_TEMPLATE``
+   constant applied in Python, same ``format_string`` %s semantics).
+   The counts here are produced by THIS
    file's INDEPENDENT encoder — the Sennrich formulation (apply merge
    rules sequentially in rank order), deliberately a different
    algorithm from the engine's priority formulation
@@ -81,19 +86,55 @@ def main() -> None:
     bpe.save_merges(merges, bpe.MERGES_PATH)
     print(f"wrote {bpe.MERGES_PATH}: {len(merges)} merges")
 
+    import duckdb
+
+    from genai_batch_processor_spark.inference import mock
+    from genai_batch_processor_spark.operators import chunking, requests
+
+    def classify_prompt(text: str) -> str:
+        # same %s semantics as F.format_string / classification_prompt
+        return requests.CLASSIFY_TEMPLATE % (
+            ", ".join(mock.DEFAULT_LABELS),
+            text,
+        )
+
     seen: dict[str, int] = {}
+
+    def record(t: str) -> None:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        c = sennrich_count(t, merges)
+        if h in seen and seen[h] != c:
+            raise SystemExit(f"md5 collision with divergent counts: {h}")
+        seen[h] = c
+
     for sf in SF_DIRS:
         texts = (
             pq.read_table(os.path.join(root, sf, "documents.parquet"))
             .column("text")
             .to_pylist()
         )
+        # chunk texts: materialize via the operator's own SQL twin —
+        # the chunk geometry is defined once (operators/chunking.py)
+        # and already oracle-checked by doc_chunks/chunk_packing
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(root, sf, 'documents.parquet')}'"
+        )
+        chunk_texts = [
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT chunk_text FROM ("
+                + chunking.sql_chunk_documents()
+                + ")"
+            ).fetchall()
+        ]
+        con.close()
         for t in texts:
-            h = hashlib.md5(t.encode("utf-8")).hexdigest()
-            c = sennrich_count(t, merges)
-            if h in seen and seen[h] != c:
-                raise SystemExit(f"md5 collision with divergent counts: {h}")
-            seen[h] = c
+            record(t)
+            record(classify_prompt(t))
+        for t in chunk_texts:
+            record(t)
     out = os.path.join(os.path.dirname(bpe.MERGES_PATH), "bpe_counts.parquet")
     items = sorted(seen.items())
     pq.write_table(
