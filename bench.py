@@ -512,6 +512,44 @@ def main() -> None:
         "load_avg_start": load_start,
         "load_avg_end": load_end,
     }
+    # Load context (r11 verdict item 5): the committed per-round artifact
+    # kept being taken on a loaded box while the idle closing reading
+    # lived only in BENCH_NOTES prose. The artifact now names the box
+    # state AND carries the committed idle reference reading
+    # (BENCH_IDLE.json, written by an idle closing run with
+    # SPARK_GRAFT_BENCH_WRITE_IDLE=1) so raw round-over-round
+    # comparisons have the idle number in-band.
+    summary["load_context"] = (
+        "idle" if load_start and load_start[0] < 1.0 else "loaded"
+    )
+    idle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE.json"
+    )
+    if os.path.exists(idle_path):
+        try:
+            with open(idle_path) as f:
+                summary["idle_reference"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_WRITE_IDLE") == "1"
+        and summary["load_context"] == "idle"
+    ):
+        with open(idle_path, "w") as f:
+            json.dump(
+                {
+                    "value_median": summary["value_median"],
+                    "value_median_norm": summary["value_median_norm"],
+                    "full_total_median": summary["full_total_median"],
+                    "calib_sec": summary["calib_sec"],
+                    "n_queries": summary["n_queries"],
+                    "reps": summary["reps"],
+                    "load_avg_start": load_start,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     if slow_vs_baseline:
         summary["slow_vs_baseline"] = dict(
             sorted(
