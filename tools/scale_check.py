@@ -121,6 +121,11 @@ TOP = [
     # hot path — pin that the pandas_udf + per-executor memo scales
     # ~linearly in rows (the memo makes repeated vocab nearly free).
     "bpe_token_counts",
+    # r12: the token-denominated packer (per-source window over 10x
+    # chunks — per-key sort growth is the scale question) and the
+    # BPE-priced billing aggregate (Arrow count + broadcast dim join).
+    "chunk_packing_bpe",
+    "request_cost_bpe",
 ]
 
 
