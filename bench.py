@@ -518,9 +518,21 @@ def main() -> None:
     # state AND carries the committed idle reference reading
     # (BENCH_IDLE.json, written by an idle closing run with
     # SPARK_GRAFT_BENCH_WRITE_IDLE=1) so raw round-over-round
-    # comparisons have the idle number in-band.
+    # comparisons have the idle number in-band. "Idle" needs BOTH
+    # sensors: 1-min load < 1 at start (a box still DRAINING load
+    # passes this alone) and the in-sweep calibration median within
+    # 15% of the frozen idle reference — the calibration probe is the
+    # sensor that actually rode along with the queries, so a load
+    # spike mid-sweep (which load_avg_start cannot see and load_avg_end
+    # conflates with the bench's own 32-thread work) flips the label.
+    calib_idle = (
+        calib_ref is None
+        or statistics.median(calib_reps) <= 1.15 * calib_ref
+    )
     summary["load_context"] = (
-        "idle" if load_start and load_start[0] < 1.0 else "loaded"
+        "idle"
+        if (load_start and load_start[0] < 1.0 and calib_idle)
+        else "loaded"
     )
     idle_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE.json"

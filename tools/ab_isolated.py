@@ -39,8 +39,14 @@ def child(root: str, query: str, sf: str) -> None:
     bench.calibration_workload(spark)  # untimed JIT warm-up (fresh JVM)
     calib = bench.calibration_workload(spark)
     t0 = time.monotonic()
-    n = entry.queries()[query](spark, sf).count()
+    # noop sink, NOT count(): Catalyst prunes Project-only work
+    # (ArrowEvalPython included) under count() — the repo's documented
+    # hazard (tools/scale_check.py FORCE_MATERIALIZE) — and bench.py
+    # times via the same sink, so A/B numbers stay bench-comparable.
+    df = entry.queries()[query](spark, sf)
+    df.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
+    n = df.count()  # after the clock: a second, possibly pruned, pass
     print(json.dumps({"calib": round(calib, 3), "sec": round(dt, 3), "rows": n}))
 
 
@@ -53,7 +59,17 @@ def run_side(root: str, query: str, sf: str) -> dict:
     )
     if out.returncode != 0:
         raise RuntimeError(f"{root}: {out.stderr[-2000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # last JSON line, skipping Spark banners/log noise on stdout
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    raise RuntimeError(
+        f"{root}: child exited 0 with no JSON line; "
+        f"stdout tail: {out.stdout[-500:]!r} stderr: {out.stderr[-500:]!r}"
+    )
 
 
 def main() -> None:

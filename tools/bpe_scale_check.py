@@ -133,6 +133,11 @@ def main() -> None:
             [(i, t) for i, t in enumerate(texts)],
             "doc_id long, text string",
         )
+        # same parquet-scan input shape as the main leg (not an
+        # ExistingRDD plan), so the merges/min numbers compare directly
+        rich_path = "/tmp/bpe_scale_rich_corpus.parquet"
+        rich.write.mode("overwrite").parquet(rich_path)
+        rich = spark.read.parquet(rich_path)
         sec, rich_merges = timed(
             lambda: bpe.train_merges_distributed(
                 rich, "text", n_rich, n_partitions=8, incremental=True
@@ -143,13 +148,20 @@ def main() -> None:
             "sec": round(sec, 2),
             "merges_per_min": round(len(rich_merges) / (sec / 60), 1),
         }
-        # bit-for-bit cross-check against the committed full-recount
-        # artifact from the main run, if present
+        # bit-for-bit cross-check against the full-recount artifact from
+        # the main run — only when the two runs trained the SAME merge
+        # count (a --quick main run vs a full --rich-incr run would
+        # read as a false trainer "mismatch" on length alone)
         main_path = "/tmp/bpe_rich_merges.json"
         if os.path.exists(main_path):
-            out["matches_full_recount"] = (
-                rich_merges == bpe.load_merges(main_path)
-            )
+            prior = bpe.load_merges(main_path)
+            if len(prior) == len(rich_merges):
+                out["matches_full_recount"] = rich_merges == prior
+            else:
+                out["matches_full_recount"] = (
+                    f"incomparable: prior run trained {len(prior)} "
+                    f"merges, this run {len(rich_merges)}"
+                )
         print(json.dumps(out))
         return
 
