@@ -2973,6 +2973,36 @@ ORACLES["chunk_packing_bpe"] = f"""
     GROUP BY source, bin
 """
 
+# Tokenizer compression rate per language: bytes per BPE token in
+# integer milli, replayed from the recorded relation.
+ORACLES["bpe_compression"] = f"""
+    WITH {_BPE_SIZED},
+    b AS (
+      SELECT d.lang,
+             octet_length(encode(d.text)) AS n_bytes,
+             s.n_bpe_tokens
+      FROM sized s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_bytes) * 1000 // sum(n_bpe_tokens) AS BIGINT)
+             AS bytes_per_token_milli
+    FROM b GROUP BY lang
+"""
+
+# Streaming twin of the per-lang BPE accounting: the availableNow
+# drain's final complete-mode snapshot must equal the batch per-lang
+# totals — same recorded relation.
+ORACLES["bpe_token_counts_stream"] = f"""
+    WITH {_BPE_SIZED}
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens
+    FROM sized GROUP BY lang
+"""
+
 # request_cost_estimate re-keyed on BPE tokens (r11 verdict item 1):
 # same hash routing and integer nano-USD arithmetic as the word twin;
 # prompt token counts replay the recorded relation keyed on the md5 of

@@ -3068,6 +3068,85 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression rate per language — the standard
+    tokenizer-quality metric (bytes per BPE token; a tokenizer that
+    compresses one language worse makes its documents pay more context
+    window per byte of content). Pure aggregate over octet_length (JVM)
+    and the Arrow-batched BPE count; integer milli ratio so no float
+    crosses the oracle boundary. Oracle replays the recorded
+    independent-encoder relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        bpefn.token_count_bpe("text").alias("n_tok"),
+    )
+    return (
+        sized.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_tok").cast("long").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "bytes_per_token_milli",
+            F.expr("total_bytes * 1000 div total_bpe_tokens").cast(
+                "long"
+            ),
+        )
+    )
+
+
+def q_bpe_token_counts_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the per-lang BPE token accounting: documents
+    arrive as a file STREAM (1 file per trigger → multiple
+    micro-batches), the Arrow-batched token_count_bpe runs inside each
+    micro-batch, and a complete-mode streaming aggregation maintains
+    per-lang running totals — live token accounting over an ingest
+    stream (what a 100 TB pipeline's intake dashboard actually
+    watches). Drained availableNow into the memory sink; the final
+    snapshot must equal the batch answer exactly (same
+    recorded-relation oracle as the batch BPE family)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from genai_batch_processor_spark.streaming import windows as sw
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    name = f"bpe_counts_stream_{uuid.uuid4().hex[:8]}"
+    shards = tempfile.mkdtemp(prefix="bpe_stream_shards_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_bpe_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(shards)
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+        )
+        agg = (
+            stream.select(
+                "lang", bpefn.token_count_bpe("text").alias("n_tok")
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("total_bpe_tokens"),
+            )
+        )
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(agg, name, "complete", ckpt)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(shards, ignore_errors=True)
+
+
 def q_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_plan re-keyed on REAL subword tokens (r10 verdict item
     3): identical integer plan derivation, but available/target/rate
@@ -4623,6 +4702,8 @@ QUERIES: dict[str, callable] = {
     "market_share": q_market_share,
     "chunk_packing_bpe": q_chunk_packing_bpe,
     "request_cost_bpe": q_request_cost_bpe,
+    "bpe_compression": q_bpe_compression,
+    "bpe_token_counts_stream": q_bpe_token_counts_stream,
 }
 
 # Round-6 driver-sample rotation (round-5 verdict item 3): the driver
@@ -4760,6 +4841,8 @@ QUERIES = {
 # round (never gated, front-loaded unconditionally) + the 5 r8-gated
 # remainders + the oldest r9-gated cohort.
 _R12_FRONT = [
+    "bpe_compression",  # last gated NEVER — front-loaded
+    "bpe_token_counts_stream",  # last gated NEVER — front-loaded
     "chunk_packing_bpe",  # last gated NEVER — front-loaded
     "request_cost_bpe",  # last gated NEVER — front-loaded
     "supplier_balance",  # last gated r8
@@ -4808,8 +4891,6 @@ _R12_FRONT = [
     "source_quality",  # last gated r9
     "span_dedup_stats",  # last gated r9
     "split_leakage",  # last gated r9
-    "temperature_mixture",  # last gated r9
-    "term_frequencies",  # last gated r9
 ]
 if len(_R12_FRONT) != 50:
     raise ValueError(
