@@ -193,3 +193,17 @@ def test_readme_quick_start_snippet(spark, sf_dir, capsys):
     assert n_results + n_errors == ns["docs"].count()
     assert n_results > 0 and n_errors > 0
     assert ns["answered"].columns == ["doc_id", "answer"]
+
+
+def test_token_accounting_example(spark, sf_dir):
+    import run_token_accounting
+
+    per_source, fill = run_token_accounting.main(spark, sf_dir)
+    rows = {r["source"]: r for r in per_source.collect()}
+    assert rows and all(r["available_tokens"] > 0 for r in rows.values())
+    # byte-level BPE: a token is at least one byte, so bytes/token >= 1
+    assert all(
+        r["bytes_per_token_milli"] >= 1000 for r in rows.values()
+    )
+    f = fill.collect()[0]
+    assert f["n_bins"] > 0 and 0 < f["avg_fill"] <= 1.001
