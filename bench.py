@@ -537,31 +537,34 @@ def main() -> None:
     idle_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE.json"
     )
-    if os.path.exists(idle_path):
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_WRITE_IDLE") == "1"
+        and summary["load_context"] == "idle"
+    ):
+        # Freezing run: this run IS the idle reference — embed the
+        # freshly written payload, not the stale previous file (r12
+        # ADVICE: loading before overwriting embedded the OLD
+        # reference in the freezing run's own artifact).
+        idle_payload = {
+            "value_median": summary["value_median"],
+            "value_median_norm": summary["value_median_norm"],
+            "full_total_median": summary["full_total_median"],
+            "calib_sec": summary["calib_sec"],
+            "n_queries": summary["n_queries"],
+            "reps": summary["reps"],
+            "load_avg_start": load_start,
+        }
+        with open(idle_path, "w") as f:
+            json.dump(idle_payload, f, indent=1, sort_keys=True)
+        summary["idle_reference"] = dict(
+            idle_payload, note="this run wrote the idle reference"
+        )
+    elif os.path.exists(idle_path):
         try:
             with open(idle_path) as f:
                 summary["idle_reference"] = json.load(f)
         except (OSError, ValueError):
             pass
-    if (
-        os.environ.get("SPARK_GRAFT_BENCH_WRITE_IDLE") == "1"
-        and summary["load_context"] == "idle"
-    ):
-        with open(idle_path, "w") as f:
-            json.dump(
-                {
-                    "value_median": summary["value_median"],
-                    "value_median_norm": summary["value_median_norm"],
-                    "full_total_median": summary["full_total_median"],
-                    "calib_sec": summary["calib_sec"],
-                    "n_queries": summary["n_queries"],
-                    "reps": summary["reps"],
-                    "load_avg_start": load_start,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
     if slow_vs_baseline:
         summary["slow_vs_baseline"] = dict(
             sorted(

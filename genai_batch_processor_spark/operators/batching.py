@@ -12,11 +12,16 @@ things become first-class relational problems:
    representative per distinct prompt key and ``fan_out_responses``
    restores per-row results afterwards — an exact-dedup + join-back
    sandwich around the provider boundary.
-2. **Providers cap batch files** (the public OpenAI Batch limit is
-   50,000 requests / 200 MB per file). ``plan_shards`` assigns every
-   row a shard honoring BOTH caps, using a bucket-parallel exclusive
-   prefix sum over the request-byte column — no single-reducer window
-   (same two-job offset composition as ``functions.ids.assign_ids``).
+2. **Providers cap batch files AND queued tokens** (the public OpenAI
+   Batch limits are 50,000 requests / 200 MB per file, plus a
+   per-model cap on ENQUEUED PROMPT TOKENS across the batch queue — a
+   line/byte-legal file can still be token-illegal to enqueue).
+   ``plan_shards`` assigns every row a shard honoring all caps, using
+   bucket-parallel exclusive prefix sums over the request-byte (and
+   optionally request-token) columns — no single-reducer window (same
+   two-job offset composition as ``functions.ids.assign_ids``). With a
+   token budget, each shard's total is ≤ ``max_tokens``, so an
+   orchestrator controls enqueued tokens by bounding in-flight shards.
 3. **Training consumption needs a deterministic global shuffle.**
    ``training_order`` derives (shard, position) from a portable hash of
    (seed, key): reproducible on any engine, re-runnable without RNG
@@ -125,38 +130,65 @@ def exclusive_prefix_sum(
     — the same two-job composition as ``functions.ids.assign_ids``, so
     parallelism is ``buckets``, not 1.
     """
+    return exclusive_prefix_sums(
+        df, order_col=order_col, cols=[(value_col, out_col)],
+        buckets=buckets,
+    )
+
+
+def exclusive_prefix_sums(
+    df: DataFrame,
+    *,
+    order_col: str,
+    cols: list[tuple[str, str]],
+    buckets: int | None = None,
+) -> DataFrame:
+    """:func:`exclusive_prefix_sum` over SEVERAL value columns in one
+    pass: one bucket assignment, one per-bucket totals job (all sums
+    aggregated together), one shared per-bucket window — so a planner
+    capping on bytes AND tokens pays one prefix-sum pass, not two.
+    ``cols`` is ``[(value_col, out_col), ...]``."""
     spark = df.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism * 2
     n = df.agg(F.max(order_col)).first()[0]
     if n is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        out = df
+        for _, out_col in cols:
+            out = out.withColumn(out_col, F.lit(None).cast("long"))
+        return out
     span = max(1, (int(n) + buckets) // buckets)
     bucket = (F.col(order_col) / F.lit(span)).cast("long")
     bucketed = df.withColumn("__psb", bucket)
-    totals = {
-        r["__psb"]: r["tot"]
-        for r in bucketed.groupBy("__psb")
-        .agg(F.sum(value_col).cast("long").alias("tot"))
+    totals_rows = (
+        bucketed.groupBy("__psb")
+        .agg(
+            *[
+                F.sum(vc).cast("long").alias(f"__tot{i}")
+                for i, (vc, _) in enumerate(cols)
+            ]
+        )
         .collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    offset_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
     )
     w = (
         Window.partitionBy("__psb")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = F.coalesce(F.sum(value_col).over(w).cast("long"), F.lit(0))
-    return bucketed.withColumn(
-        out_col, local + offset_map[F.col("__psb")]
-    ).drop("__psb")
+    out = bucketed
+    for i, (vc, out_col) in enumerate(cols):
+        totals = {r["__psb"]: r[f"__tot{i}"] for r in totals_rows}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in sorted(totals):
+            offsets[b] = acc
+            acc += totals[b]
+        offset_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        local = F.coalesce(F.sum(vc).over(w).cast("long"), F.lit(0))
+        out = out.withColumn(out_col, local + offset_map[F.col("__psb")])
+    return out.drop("__psb")
 
 
 def plan_shards(
@@ -166,10 +198,12 @@ def plan_shards(
     bytes_col: str = "n_bytes",
     max_lines: int = OPENAI_MAX_LINES,
     max_bytes: int = OPENAI_MAX_BYTES,
+    tokens_col: str | None = None,
+    max_tokens: int | None = None,
     buckets: int | None = None,
 ) -> DataFrame:
-    """Assign every row a (byte_shard, line_shard, shard_key) honoring
-    both provider caps STRICTLY, in input-id order.
+    """Assign every row a (byte_shard[, token_shard], line_shard,
+    shard_key) honoring every provider cap STRICTLY, in input-id order.
 
     ``byte_shard`` = floor(exclusive-prefix-bytes / budget) where
     ``budget = max_bytes - max_row_bytes``: prefix-floor packing puts
@@ -181,12 +215,35 @@ def plan_shards(
     than half the cap shrinks the budget materially (shards get
     smaller, never larger than the cap); a row that cannot fit under
     the cap at all is an error — the provider would reject its file.
-    ``line_shard`` then splits each byte shard into runs of at most
-    ``max_lines`` rows via a window PARTITIONED by byte_shard — a byte
-    shard is cap-bounded, so no partition is unbounded. ``shard_key``
+
+    ``tokens_col``/``max_tokens`` (r12 verdict item 2) add the SAME
+    strict-cap construction over a per-row token count (e.g.
+    ``functions.bpe.token_count_bpe`` over the prompt text): OpenAI
+    batch queues are also capped in enqueued prompt TOKENS per model,
+    so a line/byte-legal file can still be token-illegal to enqueue.
+    ``token_shard`` = floor(exclusive-prefix-tokens / token budget);
+    a shard is then a maximal run with BOTH floors constant — both
+    floors are nondecreasing in id order, so runs stay contiguous, and
+    each run's byte and token totals are ≤ their caps by the same
+    budget-shrinking argument applied per dimension. Both prefix sums
+    share one bucket pass (:func:`exclusive_prefix_sums`). An
+    orchestrator holding at most Q/max_tokens shards in flight then
+    never exceeds a queue-wide quota Q.
+
+    ``line_shard`` splits each (byte[, token]) shard into runs of at
+    most ``max_lines`` rows via a window PARTITIONED by those shards —
+    each is cap-bounded, so no partition is unbounded. ``shard_key``
     is the stable file label the JSONL sink shards by.
     """
-    max_row = df.agg(F.max(bytes_col)).first()[0]
+    if (tokens_col is None) != (max_tokens is None):
+        raise ValueError(
+            "plan_shards: tokens_col and max_tokens go together"
+        )
+    maxes = [F.max(bytes_col)]
+    if tokens_col is not None:
+        maxes.append(F.max(tokens_col))
+    max_rows = df.agg(*maxes).first()
+    max_row = max_rows[0]
     if max_row is None:
         max_row = 0
     if max_row >= max_bytes:
@@ -195,26 +252,46 @@ def plan_shards(
             f"{max_bytes}-byte shard cap"
         )
     budget = max(1, max_bytes - int(max_row))
-    with_cum = exclusive_prefix_sum(
-        df,
-        order_col=id_col,
-        value_col=bytes_col,
-        out_col="__cum_bytes",
-        buckets=buckets,
+    sums = [(bytes_col, "__cum_bytes")]
+    if tokens_col is not None:
+        max_row_tok = max_rows[1] or 0
+        if max_row_tok >= max_tokens:
+            raise ValueError(
+                f"plan_shards: a {max_row_tok}-token row cannot fit "
+                f"under the {max_tokens}-token shard cap"
+            )
+        tok_budget = max(1, max_tokens - int(max_row_tok))
+        sums.append((tokens_col, "__cum_toks"))
+    with_cum = exclusive_prefix_sums(
+        df, order_col=id_col, cols=sums, buckets=buckets
     )
     byte_shard = (F.col("__cum_bytes") / F.lit(budget)).cast("long")
     with_bs = with_cum.withColumn("byte_shard", byte_shard)
-    w = Window.partitionBy("byte_shard").orderBy(id_col)
+    shard_cols = ["byte_shard"]
+    if tokens_col is not None:
+        with_bs = with_bs.withColumn(
+            "token_shard",
+            (F.col("__cum_toks") / F.lit(tok_budget)).cast("long"),
+        )
+        shard_cols.append("token_shard")
+    w = Window.partitionBy(*shard_cols).orderBy(id_col)
     line_shard = ((F.row_number().over(w) - 1) / F.lit(max_lines)).cast(
         "long"
     )
+    key = (
+        F.format_string("shard-%05d-%03d", "byte_shard", "line_shard")
+        if tokens_col is None
+        else F.format_string(
+            "shard-%05d-%05d-%03d",
+            "byte_shard",
+            "token_shard",
+            "line_shard",
+        )
+    )
     return (
         with_bs.withColumn("line_shard", line_shard)
-        .withColumn(
-            "shard_key",
-            F.format_string("shard-%05d-%03d", "byte_shard", "line_shard"),
-        )
-        .drop("__cum_bytes")
+        .withColumn("shard_key", key)
+        .drop("__cum_bytes", "__cum_toks")
     )
 
 

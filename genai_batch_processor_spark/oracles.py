@@ -3029,3 +3029,95 @@ ORACLES["request_cost_bpe"] = f"""
     FROM routed JOIN prices USING (model)
     GROUP BY model
 """
+
+# Token-budgeted shard planning (r12 verdict item 2): same prefix-floor
+# arithmetic as the batch_shards oracle, extended with the token
+# dimension replayed from the recorded independent-encoder relation
+# (loud staleness guard as everywhere in the BPE family).
+ORACLES["batch_shards_tokens"] = f"""
+    WITH base AS (
+      SELECT d.doc_id, {IDX} AS idx, strlen(d.text) AS n_bytes,
+             CASE WHEN l.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_STALE_MSG}') AS BIGINT)
+                  ELSE l.n_bpe_tokens END AS n_tokens
+      FROM documents d
+      LEFT JOIN read_parquet('{_BPE_COUNTS_PATH}') l
+        ON md5(d.text) = l.text_md5
+    ), c AS (
+      SELECT *,
+             COALESCE(sum(n_bytes) OVER w, 0) AS cumb,
+             COALESCE(sum(n_tokens) OVER w, 0) AS cumt
+      FROM base
+      WINDOW w AS (
+        ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    ), b AS (
+      -- budget = cap - max row per dimension (strict-cap guarantee)
+      SELECT *,
+             (cumb // ({_qbpe.SHARD_TOK_MAX_BYTES}
+                       - (SELECT max(n_bytes) FROM base))) AS byte_shard,
+             (cumt // ({_qbpe.SHARD_TOK_MAX_TOKENS}
+                       - (SELECT max(n_tokens) FROM base))) AS token_shard
+      FROM c
+    ), ln AS (
+      SELECT *,
+             (row_number() OVER (
+                PARTITION BY byte_shard, token_shard ORDER BY idx) - 1)
+               // {_qbpe.SHARD_TOK_MAX_LINES} AS line_shard
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(idx AS BIGINT) AS idx,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(byte_shard AS BIGINT) AS byte_shard,
+           CAST(token_shard AS BIGINT) AS token_shard,
+           CAST(line_shard AS BIGINT) AS line_shard,
+           printf('shard-%05d-%05d-%03d', CAST(byte_shard AS INT),
+                  CAST(token_shard AS INT), CAST(line_shard AS INT))
+             AS shard_key
+    FROM ln
+"""
+
+# The governed-tokenizer loop (r12 verdict item 1): the v2 relation was
+# recorded by the independent Sennrich encoder under the 384-merge v2
+# table the engine LOADS through its verifying loader — agreement here
+# closes train -> persist -> load -> encode -> oracle. Document texts
+# check the Zipf-frequent path; classification prompts check the
+# deep-subword-split path (template words are outside the v2 corpus).
+_BPE_COUNTS_V2_PATH = _bpe.MERGES_PATH.replace(
+    "bpe_merges.json", "bpe_counts_v2.parquet"
+)
+_BPE_V2_STALE_MSG = (
+    "bpe_counts_v2.parquet stale (text not in the recorded v2 BPE "
+    "relation); rerun tools/gen_bpe_fixtures.py"
+)
+
+ORACLES["bpe_loaded_tokenizer"] = f"""
+    WITH two_tables AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN l2.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_V2_STALE_MSG}') AS BIGINT)
+                  ELSE l2.n_bpe_tokens END AS n_tokens_v2,
+             CASE WHEN p2.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_V2_STALE_MSG}') AS BIGINT)
+                  ELSE p2.n_bpe_tokens END AS n_prompt_tokens_v2,
+             CASE WHEN l1.text_md5 IS NULL
+                  THEN CAST(error('{_BPE_STALE_MSG}') AS BIGINT)
+                  ELSE l1.n_bpe_tokens END AS n_tokens_v1
+      FROM documents d
+      LEFT JOIN read_parquet('{_BPE_COUNTS_V2_PATH}') l2
+        ON md5(d.text) = l2.text_md5
+      LEFT JOIN read_parquet('{_BPE_COUNTS_V2_PATH}') p2
+        ON md5({_prompt_sql('d.text')}) = p2.text_md5
+      LEFT JOIN read_parquet('{_BPE_COUNTS_PATH}') l1
+        ON md5(d.text) = l1.text_md5
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens_v2 AS BIGINT) AS n_tokens_v2,
+           CAST(n_prompt_tokens_v2 AS BIGINT) AS n_prompt_tokens_v2,
+           CAST(n_tokens_v1 AS BIGINT) AS n_tokens_v1,
+           CAST(n_tokens_v2 * 1000 // nullif(n_tokens_v1, 0) AS BIGINT)
+             AS v2_vs_v1_milli
+    FROM two_tables
+"""

@@ -3141,10 +3141,106 @@ def q_bpe_token_counts_stream(
         )
         with sw.stream_state_partitions(spark):
             sw.run_to_memory(agg, name, "complete", ckpt)
-        return spark.table(name)
+        # Materialize the (|langs|-row) snapshot and DROP the memory-
+        # sink view (r12 ADVICE): each invocation registered a fresh
+        # uuid-named table, so a long bench sweep accumulated unbounded
+        # temp views in the shared session.
+        snap = spark.table(name)
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(shards, ignore_errors=True)
+
+
+# Fixture-scale caps for the token-budgeted shard plan: chosen so all
+# THREE constraints produce boundaries on the documents table (mean doc
+# ≈ 298 bytes / 156 BPE tokens → byte boundaries every ~53 rows, token
+# boundaries every ~36, line cap splits runs over 30).
+SHARD_TOK_MAX_LINES = 30
+SHARD_TOK_MAX_BYTES = 16_384
+SHARD_TOK_MAX_TOKENS = 6_000
+
+
+def q_batch_shards_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard planning (r12 verdict item 2): the OpenAI
+    batch queue is capped in enqueued prompt TOKENS per model on top of
+    the 50k-line / 200 MB file caps (oai:127-161 uploads one file with
+    no cap awareness at all), so plan_shards takes a third, token-
+    denominated budget keyed on the Arrow-batched token_count_bpe —
+    same bucket-parallel exclusive-prefix-sum shape, both prefix sums
+    in ONE pass. Every shard is ≤ max_bytes AND ≤ max_tokens AND ≤
+    max_lines, strictly. Oracle replays the recorded independent-
+    encoder token relation and the same prefix-floor arithmetic."""
+    docs = _documents_with_ids(spark, sf_dir)
+    sized = docs.withColumn(
+        "n_bytes", F.octet_length("text").cast("long")
+    ).withColumn("n_tokens", bpefn.token_count_bpe("text"))
+    planned = batching.plan_shards(
+        sized,
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=SHARD_TOK_MAX_LINES,
+        max_bytes=SHARD_TOK_MAX_BYTES,
+        tokens_col="n_tokens",
+        max_tokens=SHARD_TOK_MAX_TOKENS,
+    )
+    return planned.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        "n_bytes",
+        "n_tokens",
+        "byte_shard",
+        "token_shard",
+        "line_shard",
+        "shard_key",
+    )
+
+
+_V2_MERGES: list | None = None
+
+
+def _v2_merges() -> list:
+    """The committed v2 tokenizer, loaded ONCE per driver process
+    through the verifying governed loader (format version + content
+    fingerprint + live encode canary — functions/bpe.py)."""
+    global _V2_MERGES
+    if _V2_MERGES is None:
+        _V2_MERGES = bpefn.load_merges(bpefn.V2_MERGES_PATH)
+    return _V2_MERGES
+
+
+def q_bpe_loaded_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full governed-tokenizer loop inside the gate (r12 verdict
+    item 1): the 384-merge v2 vocabulary — trained BY
+    train_merges_distributed on the multi-table fixture corpus,
+    persisted via governed save_merges — is LOADED through the
+    verifying loader (format version + content fingerprint + live
+    encode canary) and encodes every document AND its classification
+    prompt, next to the committed 32-merge table. Document words are
+    Zipf-frequent in the v2 training corpus (single tokens — the milli
+    ratio shows the vocabulary-size effect vs v1), while the prompt
+    TEMPLATE words are outside it (deep subword splits) — both paths
+    of a real tokenizer. Oracle replays the recorded independent-
+    encoder relations for both tables, so a green row proves
+    train → persist → load → encode → oracle end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = _v2_merges()
+    return docs.select(
+        "doc_id",
+        "lang",
+        bpefn.token_count_bpe("text", merges=v2).alias("n_tokens_v2"),
+        bpefn.token_count_bpe(
+            requests.classification_prompt("text", LABELS), merges=v2
+        ).alias("n_prompt_tokens_v2"),
+        bpefn.token_count_bpe("text").alias("n_tokens_v1"),
+    ).withColumn(
+        "v2_vs_v1_milli",
+        F.expr("n_tokens_v2 * 1000 div nullif(n_tokens_v1, 0)").cast(
+            "long"
+        ),
+    )
 
 
 def q_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4704,6 +4800,8 @@ QUERIES: dict[str, callable] = {
     "request_cost_bpe": q_request_cost_bpe,
     "bpe_compression": q_bpe_compression,
     "bpe_token_counts_stream": q_bpe_token_counts_stream,
+    "batch_shards_tokens": q_batch_shards_tokens,
+    "bpe_loaded_tokenizer": q_bpe_loaded_tokenizer,
 }
 
 # Round-6 driver-sample rotation (round-5 verdict item 3): the driver
@@ -4899,6 +4997,72 @@ if len(_R12_FRONT) != 50:
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_FRONT},
     **{k: v for k, v in QUERIES.items() if k not in set(_R12_FRONT)},
+}
+
+# Round-13 front (`python tools/rotation.py`): the 2 queries new this
+# round (never gated, front-loaded unconditionally — the governed
+# loaded-tokenizer loop and the token-budgeted shard plan) + the 9
+# r9-gated remainders + the oldest r10-gated cohort, exactly the
+# window the r12 verdict prescribed (item 5).
+_R13_FRONT = [
+    "batch_shards_tokens",  # last gated NEVER — front-loaded
+    "bpe_loaded_tokenizer",  # last gated NEVER — front-loaded
+    "temperature_mixture",  # last gated r9
+    "term_frequencies",  # last gated r9
+    "token_fertility",  # last gated r9
+    "top_customers_per_nation",  # last gated r9
+    "user_sessions",  # last gated r9
+    "value_histogram_quantiles",  # last gated r9
+    "vertex_responses",  # last gated r9
+    "vocab_oov_rate",  # last gated r9
+    "word_bigrams",  # last gated r9
+    "above_avg_balance",  # last gated r10
+    "balance_quartiles",  # last gated r10
+    "chunk_packing",  # last gated r10
+    "click_purchase_stream",  # last gated r10
+    "daily_new_users",  # last gated r10
+    "decontaminate",  # last gated r10
+    "doc_attr_map",  # last gated r10
+    "doc_chunks",  # last gated r10
+    "doc_repetition",  # last gated r10
+    "doc_sample",  # last gated r10
+    "doc_word_filters",  # last gated r10
+    "embedding_centroids",  # last gated r10
+    "embedding_dedup_survivors",  # last gated r10
+    "embedding_quantization",  # last gated r10
+    "embedding_topk_int8",  # last gated r10
+    "events_asof_forward",  # last gated r10
+    "events_daily_rollup",  # last gated r10
+    "events_dedup_stream",  # last gated r10
+    "events_rolling",  # last gated r10
+    "events_sliding",  # last gated r10
+    "events_sliding_stream",  # last gated r10
+    "incremental_embedding_near_dup",  # last gated r10
+    "incremental_embedding_stream",  # last gated r10
+    "kmeans_assign_agreement",  # last gated r10
+    "kmeans_cells",  # last gated r10
+    "lang_distinct_sketch",  # last gated r10
+    "lone_return_suppliers",  # last gated r10
+    "market_share",  # last gated r10
+    "min_cost_supplier",  # last gated r10
+    "nation_revenue_pareto",  # last gated r10
+    "nation_trade",  # last gated r10
+    "part_match_blocking_recall",  # last gated r10
+    "part_match_multikey",  # last gated r10
+    "pii_redaction",  # last gated r10
+    "price_moments",  # last gated r10
+    "quality_unpivot",  # last gated r10
+    "runner_responses",  # last gated r10
+    "salted_event_totals",  # last gated r10
+    "salted_nation_balance",  # last gated r10
+]
+if len(_R13_FRONT) != 50:
+    raise ValueError(
+        f"driver-gate window must be exactly 50 entries, got {len(_R13_FRONT)}"
+    )
+QUERIES = {
+    **{k: QUERIES[k] for k in _R13_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_FRONT)},
 }
 
 

@@ -175,3 +175,88 @@ def test_assign_ids_null_keys_match_single_window(spark):
     for rid, key in rows:
         if key is not None:
             assert got[rid] == want[rid]
+
+
+def test_plan_shards_token_budget_caps(spark, sf_dir):
+    """r12 verdict item 2: with a token budget, every shard honors the
+    line cap, the byte cap, AND the token cap strictly, and shard
+    membership stays contiguous in id order."""
+    from genai_batch_processor_spark.functions import bpe as bpefn
+
+    max_lines, max_bytes, max_tokens = 30, 16_384, 6_000
+    sized = _sized_docs(spark, sf_dir).withColumn(
+        "n_tokens", bpefn.token_count_bpe("text")
+    )
+    planned = batching.plan_shards(
+        sized,
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=max_lines,
+        max_bytes=max_bytes,
+        tokens_col="n_tokens",
+        max_tokens=max_tokens,
+        buckets=5,
+    )
+    per_shard = (
+        planned.groupBy("shard_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("bytes"),
+            F.sum("n_tokens").alias("tokens"),
+            F.min("idx").alias("lo"),
+            F.max("idx").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per_shard) > 1, "caps did not bind at fixture scale"
+    for r in per_shard:
+        assert r["n"] <= max_lines
+        assert r["bytes"] <= max_bytes
+        assert r["tokens"] <= max_tokens, "strict token cap violated"
+        assert r["hi"] - r["lo"] + 1 == r["n"], "shard has id gaps"
+    # binding evidence at the TOKEN-shard level (the line cap splits
+    # each token shard before it fills, so per-file totals sit lower):
+    # several token shards exist and at least one packs close to the
+    # budget — i.e. the token dimension, not just bytes/lines, shaped
+    # the plan.
+    per_tok = (
+        planned.groupBy("byte_shard", "token_shard")
+        .agg(F.sum("n_tokens").alias("tokens"))
+        .collect()
+    )
+    assert len(per_tok) > 1, "token cap never produced a boundary"
+    assert max(r["tokens"] for r in per_tok) > max_tokens - 1_000
+    for r in per_tok:
+        assert r["tokens"] <= max_tokens
+
+
+def test_plan_shards_token_arg_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, 10, 5)], "idx long, n_bytes long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="go together"):
+        batching.plan_shards(df, tokens_col="n_tokens")
+    with pytest.raises(ValueError, match="token"):
+        batching.plan_shards(
+            df, tokens_col="n_tokens", max_tokens=5
+        )  # a 5-token row cannot fit under a 5-token cap
+
+
+def test_exclusive_prefix_sums_multi_column(spark, sf_dir):
+    """The fused multi-column prefix sum must equal two independent
+    single-column passes."""
+    sized = _sized_docs(spark, sf_dir).withColumn(
+        "n2", (F.col("n_bytes") % 7).cast("long")
+    )
+    fused = batching.exclusive_prefix_sums(
+        sized,
+        order_col="idx",
+        cols=[("n_bytes", "c1"), ("n2", "c2")],
+        buckets=6,
+    )
+    got = fused.select("idx", "n_bytes", "n2", "c1", "c2").toPandas()
+    got = got.sort_values("idx").reset_index(drop=True)
+    assert (got["c1"] == got["n_bytes"].cumsum().shift(1, fill_value=0)).all()
+    assert (got["c2"] == got["n2"].cumsum().shift(1, fill_value=0)).all()

@@ -212,6 +212,50 @@ def test_plan_shards_caps_hold_for_any_profile(spark, sizes, max_lines):
         assert r["hi"] - r["lo"] + 1 == r["n"]
 
 
+@given(sizes=byte_profiles, max_lines=st.integers(2, 7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_plan_shards_token_caps_hold_for_any_profile(
+    spark, sizes, max_lines
+):
+    """r12 verdict item 2: with a token budget, ALL THREE caps hold
+    strictly for ANY per-row profile (tokens derived as a skewed
+    function of bytes so the two dimensions bind at different rows)."""
+    from pyspark.sql import functions as F
+
+    from genai_batch_processor_spark.operators import batching
+
+    max_bytes, max_tokens = 6_000, 1_500
+    rows = [(i, n, (n * 7) % 1_400) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "idx long, n_bytes long, n_tokens long")
+    planned = batching.plan_shards(
+        df,
+        id_col="idx",
+        bytes_col="n_bytes",
+        max_lines=max_lines,
+        max_bytes=max_bytes,
+        tokens_col="n_tokens",
+        max_tokens=max_tokens,
+        buckets=3,
+    )
+    per_shard = planned.groupBy("shard_key").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("bytes"),
+        F.sum("n_tokens").alias("tokens"),
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+    ).collect()
+    assert sum(r["n"] for r in per_shard) == len(sizes)
+    for r in per_shard:
+        assert r["n"] <= max_lines
+        assert r["bytes"] <= max_bytes, "strict byte cap violated"
+        assert r["tokens"] <= max_tokens, "strict token cap violated"
+        assert r["hi"] - r["lo"] + 1 == r["n"]
+
+
 # -- incremental near-dup == from-scratch (new-sided restriction) ------------
 
 _word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])

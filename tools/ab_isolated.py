@@ -25,7 +25,25 @@ import subprocess
 import sys
 import time
 
-CALIB_REF = 0.906  # committed idle freeze (BENCH_r11.json calib_ref_sec)
+# Fallback only (r12 ADVICE): the live reference is read from the
+# committed freeze at runtime so a baseline re-freeze can't silently
+# skew absolute norm values (the b/a ratio never depended on it).
+CALIB_REF_FALLBACK = 0.906  # BENCH_r11.json calib_ref_sec
+
+
+def calib_ref() -> tuple[float, str]:
+    """(calib_ref_sec, source): BASELINE_QUERIES.json's frozen
+    calibration if present, else the hard-coded fallback."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "BASELINE_QUERIES.json")
+    try:
+        with open(path) as f:
+            ref = json.load(f).get("calib_ref_sec")
+        if ref:
+            return float(ref), "BASELINE_QUERIES.json"
+    except (OSError, ValueError):
+        pass
+    return CALIB_REF_FALLBACK, "fallback-constant"
 
 
 def child(root: str, query: str, sf: str) -> None:
@@ -81,11 +99,12 @@ def main() -> None:
     repo_a, repo_b, query = sys.argv[1:4]
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     sf = sys.argv[5] if len(sys.argv) > 5 else "/root/testdata/sf0.1"
+    ref, ref_source = calib_ref()
     samples: dict[str, list[dict]] = {"a": [], "b": []}
     for rep in range(reps):
         for side, root in (("a", repo_a), ("b", repo_b)):
             r = run_side(root, query, sf)
-            r["norm"] = round(r["sec"] * CALIB_REF / r["calib"], 3)
+            r["norm"] = round(r["sec"] * ref / r["calib"], 3)
             samples[side].append(r)
             print(
                 f"rep{rep} {side} sec={r['sec']} calib={r['calib']} "
@@ -93,7 +112,8 @@ def main() -> None:
                 file=sys.stderr,
             )
     result = {"query": query, "reps": reps, "sf": sf,
-              "repo_a": repo_a, "repo_b": repo_b}
+              "repo_a": repo_a, "repo_b": repo_b,
+              "calib_ref_sec": ref, "calib_ref_source": ref_source}
     for side in ("a", "b"):
         secs = [r["sec"] for r in samples[side]]
         norms = [r["norm"] for r in samples[side]]

@@ -1,6 +1,7 @@
-"""Regenerate the vendored BPE artifacts (r10 verdict item 3).
+"""Regenerate the vendored BPE artifacts (r10 verdict item 3; v2
+tokenizer + governed format r12 verdict item 1).
 
-Two outputs, both committed:
+Four outputs, all committed:
 
 1. ``genai_batch_processor_spark/functions/bpe_merges.json`` — the
    merges table, trained deterministically on the sf0.001 ``documents``
@@ -25,6 +26,23 @@ Two outputs, both committed:
    (Equivalence of the two formulations: a merge's components always
    have lower ranks, so applying rank r never creates a pair of rank
    < r; fuzz-verified in tests/test_bpe.py.)
+
+3. ``genai_batch_processor_spark/functions/bpe_merges_v384.json`` —
+   the v2 tokenizer: ``V2_N_MERGES`` merges trained by
+   ``train_merges_distributed`` ITSELF (a Spark job, not the driver
+   trainer) on the multi-table fixture corpus
+   (``bpe.tokenizer_corpus_v2``), then cross-checked bit-for-bit
+   against the driver trainer on the collected corpus. Persisted via
+   the governed ``save_merges`` format (format version + content
+   fingerprint + live encode canary), as is (1).
+
+4. ``genai_batch_processor_spark/functions/bpe_counts_v2.parquet`` —
+   the recorded count relation for the v2 tokenizer: document texts
+   AND classification-prompt texts across all three SFs, counted by
+   this file's independent Sennrich encoder under the v2 merges
+   (prompt TEMPLATE words are outside the training corpus, so they
+   exercise the deep-subword-split path of the loaded tokenizer).
+   Replayed by the ``bpe_loaded_tokenizer`` oracle.
 
 Usage:  python tools/gen_bpe_fixtures.py [testdata_root]
 """
@@ -147,6 +165,65 @@ def main() -> None:
         out,
     )
     print(f"wrote {out}: {len(items)} distinct texts")
+
+    # ---- v2 tokenizer: distributed-trained, governed-persisted ----------
+    from genai_batch_processor_spark.session import get_spark
+
+    spark = get_spark("gen-bpe-fixtures")
+    corpus = bpe.tokenizer_corpus_v2(
+        spark, os.path.join(root, "sf0.001")
+    )
+    v2 = bpe.train_merges_distributed(
+        corpus, "text", bpe.V2_N_MERGES, n_partitions=8
+    )
+    # cross-check: the driver trainer on the collected corpus must
+    # agree bit-for-bit (the committed artifact is the DISTRIBUTED
+    # trainer's output; this guards the generator itself)
+    driver_v2 = bpe.train_merges(
+        [r["text"] for r in corpus.collect() if r["text"] is not None],
+        bpe.V2_N_MERGES,
+    )
+    if v2 != driver_v2:
+        raise SystemExit("distributed and driver v2 trainings diverge")
+    bpe.save_merges(v2, bpe.V2_MERGES_PATH)
+    print(
+        f"wrote {bpe.V2_MERGES_PATH}: {len(v2)} merges, "
+        f"fp {bpe.merges_fingerprint(v2)}"
+    )
+
+    seen_v2: dict[str, int] = {}
+
+    def record_v2(t: str) -> None:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        c = sennrich_count(t, v2)
+        if h in seen_v2 and seen_v2[h] != c:
+            raise SystemExit(f"md5 collision with divergent v2 counts: {h}")
+        seen_v2[h] = c
+
+    for sf in SF_DIRS:
+        for t in (
+            pq.read_table(os.path.join(root, sf, "documents.parquet"))
+            .column("text")
+            .to_pylist()
+        ):
+            record_v2(t)
+            record_v2(classify_prompt(t))
+    out2 = os.path.join(
+        os.path.dirname(bpe.MERGES_PATH), "bpe_counts_v2.parquet"
+    )
+    items2 = sorted(seen_v2.items())
+    pq.write_table(
+        pa.table(
+            {
+                "text_md5": pa.array([k for k, _ in items2], pa.string()),
+                "n_bpe_tokens": pa.array(
+                    [v for _, v in items2], pa.int64()
+                ),
+            }
+        ),
+        out2,
+    )
+    print(f"wrote {out2}: {len(items2)} distinct texts")
 
 
 if __name__ == "__main__":
