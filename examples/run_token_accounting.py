@@ -42,12 +42,27 @@ def main(spark: SparkSession, sf_dir: str):
     #    corpus scan, one small job per merge round), not a driver
     #    loop. The committed fixture table (bpe.load_merges()) is what
     #    the oracle-paired queries pin; here we show training live.
-    merges = bpe.train_merges_distributed(
+    trained = bpe.train_merges_distributed(
         docs, "text", n_merges=bpe.N_MERGES, n_partitions=8
     )
 
+    # 1b. Persist and reload it as a GOVERNED artifact: save_merges
+    #     stamps a format version, a content fingerprint, and a live
+    #     encode canary; load_merges refuses a corrupted, hand-edited,
+    #     or behavior-drifted table LOUDLY — wrong-table counts are
+    #     silently wrong everywhere downstream (billing, packing,
+    #     mixture rates), so the artifact must prove itself at load.
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "merges.json")
+    bpe.save_merges(trained, path)
+    merges = bpe.load_merges(path)  # verifying loader
+    assert merges == trained
+
     # 2. Price every document in real subword tokens (Arrow-batched;
-    #    per-executor memo makes the steady state one dict probe/word).
+    #    the per-executor memo is keyed by the table's content
+    #    fingerprint, so the steady state is one dict probe/word even
+    #    for a freshly loaded tokenizer).
     sized = docs.withColumn(
         "n_tokens", bpe.token_count_bpe("text", merges=merges)
     )

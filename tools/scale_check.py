@@ -126,6 +126,13 @@ TOP = [
     # BPE-priced billing aggregate (Arrow count + broadcast dim join).
     "chunk_packing_bpe",
     "request_cost_bpe",
+    # r13: the token-budgeted shard planner (two fused bucket-parallel
+    # prefix sums + two windows — the scale question is whether the
+    # prefix-sum offsets job stays a tiny driver-side collect) and the
+    # loaded-tokenizer encode (two Arrow columns under a non-default
+    # fingerprint-keyed memo).
+    "batch_shards_tokens",
+    "bpe_loaded_tokenizer",
 ]
 
 
