@@ -458,6 +458,40 @@ class OpenAIBatchBackend:
             for shard in shards
         ]
 
+    def _await_quota(
+        self,
+        in_flight: dict[str, int],
+        need: int,
+        max_enqueued_tokens: int,
+        *,
+        poll_interval_seconds: float,
+        deadline: float,
+        sleep,
+    ) -> None:
+        """Block until ``need`` more prompt tokens fit under the
+        enqueued-token quota, polling in-flight batches in sorted
+        (deterministic) order and releasing the budget of any that
+        went terminal. Raises TimeoutError past ``deadline`` — a stuck
+        queue must surface, not silently stall the submit loop."""
+        from genai_batch_processor_spark.inference.orchestrator import (
+            TERMINAL_STATES,
+        )
+
+        while sum(in_flight.values()) + need > max_enqueued_tokens:
+            for bid in sorted(in_flight):
+                if self.status(bid) in TERMINAL_STATES:
+                    del in_flight[bid]
+            if sum(in_flight.values()) + need <= max_enqueued_tokens:
+                return
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"enqueued-token quota ({max_enqueued_tokens}) still "
+                    f"full after deadline: {len(in_flight)} batch(es) "
+                    f"in flight holding {sum(in_flight.values())} tokens, "
+                    f"next shard needs {need}"
+                )
+            sleep(poll_interval_seconds)
+
     def submit_spark(
         self,
         spark,
@@ -466,6 +500,11 @@ class OpenAIBatchBackend:
         meta: dict,
         parallelism: int | None = None,
         on_progress=None,
+        shard_tokens: dict[str, int] | None = None,
+        max_enqueued_tokens: int | None = None,
+        quota_poll_seconds: float = 30.0,
+        quota_deadline_seconds: float = 24 * 3600.0,
+        sleep=time.sleep,
     ) -> list[dict]:
         """Executor-side shard upload (round-9 verdict item 1) — the
         submit-side twin of ``orchestrator.fetch_results_spark``. The
@@ -512,13 +551,54 @@ class OpenAIBatchBackend:
         manifest so a crashed driver can map every provider artifact
         back to its shard.
 
+        ``shard_tokens``/``max_enqueued_tokens`` (r12 verdict item 2,
+        the orchestration half of the token-budgeted planner): OpenAI
+        batch queues are capped in ENQUEUED PROMPT TOKENS per model, so
+        even a stream of line/byte/token-legal files can overfill the
+        queue if created all at once. With a quota, the create loop
+        holds a windowed in-flight ledger (batch_id → that shard's
+        prompt tokens, from ``batch_shards_tokens``' per-shard totals,
+        keyed by shard basename or path) and blocks before each create
+        until the quota fits the next shard — polling in-flight batches
+        in deterministic order and releasing budget as they go
+        terminal. Combined with ``plan_shards(max_tokens=)`` every
+        shard individually fits, so the loop always makes progress;
+        a shard whose tokens exceed the quota is rejected up front.
+        Uploads stay one fan-out Spark stage (files are queue-neutral);
+        only the non-idempotent creates are windowed.
+
         DEPLOYMENT REQUIREMENT (mirror of fetch_results_spark):
         ``input_path`` must be readable from every executor — a shared
         mount or local[*]. Worker-local shard paths would fail loudly
         (FileNotFoundError on the task), never silently."""
+        if (shard_tokens is None) != (max_enqueued_tokens is None):
+            raise ValueError(
+                "submit_spark: shard_tokens and max_enqueued_tokens "
+                "go together"
+            )
         shards = _local_shards(input_path)
         if not shards:
             raise ValueError(f"no JSONL shards under {input_path}")
+        tokens_of: dict[str, int] = {}
+        if shard_tokens is not None:
+            for s in shards:
+                t = shard_tokens.get(os.path.basename(s))
+                if t is None:
+                    t = shard_tokens.get(s)
+                if t is None:
+                    raise ValueError(
+                        f"submit_spark: no token total for shard "
+                        f"{os.path.basename(s)}"
+                    )
+                if t > max_enqueued_tokens:
+                    raise ValueError(
+                        f"submit_spark: shard {os.path.basename(s)} "
+                        f"holds {t} tokens > the {max_enqueued_tokens}"
+                        "-token queue quota; it could never be "
+                        "enqueued — re-plan with plan_shards("
+                        "max_tokens<=quota)"
+                    )
+                tokens_of[s] = int(t)
         self._maybe_preflight(shards)
         n = parallelism or min(
             len(shards), spark.sparkContext.defaultParallelism
@@ -571,9 +651,22 @@ class OpenAIBatchBackend:
         # saves, losing at most K-1 batch_id records — recoverable via
         # the provider's batch listing, and far cheaper than 2.5 GB of
         # cumulative manifest rewrites at 5k shards.
+        in_flight: dict[str, int] = {}
+        quota_deadline = time.monotonic() + quota_deadline_seconds
         try:
             for i, rec in enumerate(records):
+                if max_enqueued_tokens is not None:
+                    self._await_quota(
+                        in_flight,
+                        tokens_of[rec["shard"]],
+                        max_enqueued_tokens,
+                        poll_interval_seconds=quota_poll_seconds,
+                        deadline=quota_deadline,
+                        sleep=sleep,
+                    )
                 rec["batch_id"] = self.create_batch(rec["file_id"], meta)
+                if max_enqueued_tokens is not None:
+                    in_flight[rec["batch_id"]] = tokens_of[rec["shard"]]
                 if on_progress is not None and (
                     i % _CREATE_PROGRESS_EVERY == _CREATE_PROGRESS_EVERY - 1
                 ):

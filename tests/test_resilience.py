@@ -881,3 +881,170 @@ def test_flush_failure_does_not_mask_create_error(spark, tmp_path):
             on_progress=dying_save,
         )
     assert calls["n"] == 2  # the flush WAS attempted, then swallowed
+
+
+# ---- enqueued-token quota window on the create loop (r12 verdict item 2) --
+
+
+def _token_quota_harness(tmp_path, tokens, quota, polls_to_terminal=2):
+    """5-shard submit dir + a FakeTransport whose handler ASSERTS the
+    provider-side invariant: the prompt tokens of created-but-not-
+    terminal batches never exceed the queue quota. A batch goes
+    terminal on its Nth status poll."""
+    import json
+
+    from genai_batch_processor_spark.inference import providers
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    names = [f"part-{i:05d}.jsonl" for i in range(len(tokens))]
+    for i, name in enumerate(names):
+        (shard_dir / name).write_text(
+            json.dumps(
+                {
+                    "custom_id": f"request-{i}",
+                    "method": "POST",
+                    "url": "/v1/chat/completions",
+                    "body": {"model": "m", "messages": []},
+                }
+            )
+            + "\n"
+        )
+    state = {
+        "uploads": 0,
+        "creates": 0,
+        "inflight": 0,
+        "polls": {},
+        "max_inflight": 0,
+    }
+
+    def handler(method, url, body):
+        path = url.split("?")[0]
+        if path.endswith("/files") and method == "POST":
+            state["uploads"] += 1
+            return 200, {"id": f"file-{state['uploads']}"}
+        if path.endswith("/batches") and method == "POST":
+            i = state["creates"]
+            state["creates"] += 1
+            state["inflight"] += tokens[i]
+            state["max_inflight"] = max(
+                state["max_inflight"], state["inflight"]
+            )
+            assert state["inflight"] <= quota, (
+                f"provider saw {state['inflight']} enqueued tokens "
+                f"> quota {quota}"
+            )
+            return 200, {"id": f"batch-{i}", "status": "validating"}
+        if "/batches/" in path and method == "GET":
+            bid = path.rsplit("/", 1)[1]
+            n = state["polls"].get(bid, 0) + 1
+            state["polls"][bid] = n
+            if n >= polls_to_terminal:
+                i = int(bid.split("-")[1])
+                if n == polls_to_terminal:
+                    state["inflight"] -= tokens[i]
+                return 200, {"id": bid, "status": "completed"}
+            return 200, {"id": bid, "status": "in_progress"}
+        raise AssertionError(f"unexpected wire call: {method} {path}")
+
+    from tests.test_providers import FakeTransport
+
+    bk = providers.OpenAIBatchBackend(
+        api_key="test-key", transport=FakeTransport(handler)
+    )
+    toks = {name: t for name, t in zip(names, tokens)}
+    return bk, str(shard_dir), toks, state
+
+
+def test_submit_spark_token_quota_windows_creates(spark, tmp_path):
+    """With an enqueued-token quota, the create loop must window: the
+    first two shards fill the 700-token queue, the third blocks until
+    a poll round observes them terminal, then the rest flow — and the
+    provider-side invariant (enqueued <= quota) holds at every create.
+    All shards still submit, in sorted order, with full provenance."""
+    tokens = [400, 300, 300, 200, 100]
+    bk, shard_dir, toks, state = _token_quota_harness(
+        tmp_path, tokens, quota=700
+    )
+    sleeps = []
+    records = bk.submit_spark(
+        spark,
+        shard_dir,
+        "unused",
+        {},
+        parallelism=2,
+        shard_tokens=toks,
+        max_enqueued_tokens=700,
+        quota_poll_seconds=0.01,
+        sleep=sleeps.append,
+    )
+    assert [r["batch_id"] for r in records] == [
+        f"batch-{i}" for i in range(5)
+    ]
+    assert all(r["file_id"] for r in records)
+    assert state["creates"] == 5
+    assert state["max_inflight"] <= 700
+    # the window actually engaged: at least one wait + poll round ran
+    assert sleeps, "quota never blocked a create"
+    assert state["polls"], "quota wait never polled in-flight batches"
+
+
+def test_submit_spark_token_quota_rejections(spark, tmp_path):
+    """Up-front rejections: a shard bigger than the quota (could never
+    enqueue), a shard with no token total, and mismatched arguments —
+    each before ANY batch is created."""
+    import pytest
+
+    tokens = [400, 300]
+    bk, shard_dir, toks, state = _token_quota_harness(
+        tmp_path, tokens, quota=350
+    )
+    with pytest.raises(ValueError, match="never be[\\s\\S]*enqueued"):
+        bk.submit_spark(
+            spark, shard_dir, "unused", {},
+            shard_tokens=toks, max_enqueued_tokens=350,
+        )
+    assert state["creates"] == 0
+
+    with pytest.raises(ValueError, match="no token total"):
+        bk.submit_spark(
+            spark, shard_dir, "unused", {},
+            shard_tokens={"part-00000.jsonl": 10},
+            max_enqueued_tokens=700,
+        )
+    with pytest.raises(ValueError, match="go together"):
+        bk.submit_spark(
+            spark, shard_dir, "unused", {}, shard_tokens=toks
+        )
+    assert state["creates"] == 0
+
+
+def test_submit_spark_token_quota_deadline(spark, tmp_path):
+    """A queue that never drains must surface as TimeoutError — with
+    the batches created so far persisted through the exception-path
+    on_progress flush (the crash contract unchanged)."""
+    import pytest
+
+    tokens = [400, 300, 300]
+    bk, shard_dir, toks, state = _token_quota_harness(
+        tmp_path, tokens, quota=700, polls_to_terminal=10**9
+    )
+    flushed = []
+    with pytest.raises(TimeoutError, match="quota"):
+        bk.submit_spark(
+            spark,
+            shard_dir,
+            "unused",
+            {},
+            shard_tokens=toks,
+            max_enqueued_tokens=700,
+            quota_poll_seconds=0.0,
+            quota_deadline_seconds=0.0,
+            sleep=lambda s: None,
+            on_progress=lambda recs: flushed.append(
+                [r["batch_id"] for r in recs]
+            ),
+        )
+    # the first two creates fit; the third hit the dead queue
+    assert state["creates"] == 2
+    assert flushed and flushed[-1] == ["batch-0", "batch-1", None]
