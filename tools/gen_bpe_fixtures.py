@@ -153,18 +153,32 @@ def main() -> None:
             record(classify_prompt(t))
         for t in chunk_texts:
             record(t)
-    out = os.path.join(os.path.dirname(bpe.MERGES_PATH), "bpe_counts.parquet")
-    items = sorted(seen.items())
-    pq.write_table(
-        pa.table(
+    def write_counts(items, merge_table, out_name: str) -> str:
+        """Recorded-count relation, STAMPED (schema metadata) with the
+        fingerprint of the merges table its counts were derived under —
+        so a merges regeneration that skips the counts (or vice versa)
+        is caught by a direct stamp comparison
+        (tests/test_bpe.py::test_counts_relations_stamped...), not only
+        by downstream parity mismatches."""
+        out = os.path.join(os.path.dirname(bpe.MERGES_PATH), out_name)
+        table = pa.table(
             {
                 "text_md5": pa.array([k for k, _ in items], pa.string()),
-                "n_bpe_tokens": pa.array([v for _, v in items], pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    [v for _, v in items], pa.int64()
+                ),
             }
-        ),
-        out,
-    )
-    print(f"wrote {out}: {len(items)} distinct texts")
+        ).replace_schema_metadata(
+            {
+                "merges_fingerprint": bpe.merges_fingerprint(merge_table),
+                "n_merges": str(len(merge_table)),
+            }
+        )
+        pq.write_table(table, out)
+        print(f"wrote {out}: {len(items)} distinct texts")
+        return out
+
+    write_counts(sorted(seen.items()), merges, "bpe_counts.parquet")
 
     # ---- v2 tokenizer: distributed-trained, governed-persisted ----------
     from genai_batch_processor_spark.session import get_spark
@@ -208,22 +222,7 @@ def main() -> None:
         ):
             record_v2(t)
             record_v2(classify_prompt(t))
-    out2 = os.path.join(
-        os.path.dirname(bpe.MERGES_PATH), "bpe_counts_v2.parquet"
-    )
-    items2 = sorted(seen_v2.items())
-    pq.write_table(
-        pa.table(
-            {
-                "text_md5": pa.array([k for k, _ in items2], pa.string()),
-                "n_bpe_tokens": pa.array(
-                    [v for _, v in items2], pa.int64()
-                ),
-            }
-        ),
-        out2,
-    )
-    print(f"wrote {out2}: {len(items2)} distinct texts")
+    write_counts(sorted(seen_v2.items()), v2, "bpe_counts_v2.parquet")
 
 
 if __name__ == "__main__":
