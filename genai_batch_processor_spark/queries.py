@@ -364,7 +364,9 @@ def q_response_joinback_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
-    return spark.table(name).select("doc_id", "lang", "status", "answer")
+    return sw.snapshot_and_drop(spark, name).select(
+        "doc_id", "lang", "status", "answer"
+    )
 
 
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,7 +1193,7 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return sw.snapshot_and_drop(spark, name)
 
 
 def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,7 +1221,7 @@ def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             sw.run_to_memory(out, name, "update", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    tbl = spark.table(name)
+    tbl = sw.snapshot_and_drop(spark, name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         tbl.withColumn("__rn", F.row_number().over(w))
@@ -1716,7 +1718,7 @@ def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        sw.snapshot_and_drop(spark, name)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -1744,7 +1746,7 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             sw.run_to_memory(agg, name, "complete", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return sw.snapshot_and_drop(spark, name)
 
 
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,7 +1775,7 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        sw.snapshot_and_drop(spark, name)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2299,7 +2301,7 @@ def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             sw.run_to_memory(joined, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return sw.snapshot_and_drop(spark, name)
 
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3145,10 +3147,7 @@ def q_bpe_token_counts_stream(
         # sink view (r12 ADVICE): each invocation registered a fresh
         # uuid-named table, so a long bench sweep accumulated unbounded
         # temp views in the shared session.
-        snap = spark.table(name)
-        out = spark.createDataFrame(snap.collect(), snap.schema)
-        spark.catalog.dropTempView(name)
-        return out
+        return sw.snapshot_and_drop(spark, name)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(shards, ignore_errors=True)

@@ -347,3 +347,18 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def snapshot_and_drop(spark, query_name: str) -> DataFrame:
+    """Materialize a drained memory-sink table as a local-backed
+    DataFrame and DROP its per-invocation temp view (r12 ADVICE,
+    generalized): every ``run_to_memory`` caller registers a fresh
+    uuid-named sink table, so a long bench sweep otherwise accumulates
+    unbounded temp views (each pinning its sink rows) in the shared
+    session. Memory-sink results are small by design — a drained
+    snapshot or an aggregate — so one driver collect is the honest
+    cost of unregistering the name."""
+    snap = spark.table(query_name)
+    out = spark.createDataFrame(snap.collect(), snap.schema)
+    spark.catalog.dropTempView(query_name)
+    return out
