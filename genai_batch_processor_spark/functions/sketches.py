@@ -89,3 +89,97 @@ def sql_kmv_distinct(
            END AS est_distinct
     FROM __per
     """
+
+
+# -- Misra-Gries heavy hitters -------------------------------------------------
+#
+# "Which tokens exceed phi = 1/(MG_K+1) of the corpus?" The naive answer
+# group-bys the FULL vocabulary — at 100 TB that shuffle is sized by the
+# long tail (billions of keys), to answer a question about a handful.
+# Misra-Gries bounds the state instead: each partition keeps MG_K
+# counters; any item whose partition count exceeds n_p/(MG_K+1)
+# survives its partition summary, and by pigeonhole any GLOBAL item
+# above n/(MG_K+1) must exceed the local rate in at least one
+# partition — so the UNION of partition summaries is a guaranteed
+# superset of the true heavy hitters. A second exact pass counts ONLY
+# those candidates (a broadcast semi-join, shuffling <= MG_K x
+# n_partitions keys instead of the vocabulary) and applies the exact
+# threshold. The final answer is therefore exact and independent of
+# partitioning — which is what makes it oracle-checkable: the DuckDB
+# twin is the plain GROUP BY ... HAVING.
+
+MG_K = 49  # counters per partition; guarantees phi = 1/50 capture
+
+
+def _mg_compress(counts: dict, k: int) -> None:
+    """In place: keep <= k entries by subtracting the (k+1)-th largest
+    count from all (the batched form of MG's decrement-all step)."""
+    if len(counts) <= k:
+        return
+    cut = sorted(counts.values(), reverse=True)[k]
+    for key in [key for key, c in counts.items() if c - cut <= 0]:
+        del counts[key]
+    for key in counts:
+        counts[key] -= cut
+
+
+def mg_candidates(tokens: DataFrame, token_col: str, k: int) -> DataFrame:
+    """Pass 1: the union of per-partition Misra-Gries summaries — a
+    guaranteed superset of every token with count * (k+1) > total.
+    Arrow-batched mapInPandas with ONE MG state per partition carried
+    across the batch iterator; <= k candidate rows emitted per
+    partition."""
+    import pandas as pd
+
+    def _mg_partition(batches):
+        state: dict = {}
+        for pdf in batches:
+            for tok in pdf[token_col]:
+                if tok is None:
+                    continue
+                state[tok] = state.get(tok, 0) + 1
+            _mg_compress(state, k)
+        yield pd.DataFrame({token_col: list(state.keys())})
+
+    return tokens.mapInPandas(
+        _mg_partition, schema=f"{token_col} string"
+    ).distinct()
+
+
+def heavy_hitters(
+    tokens: DataFrame, token_col: str, k: int = MG_K
+) -> DataFrame:
+    """Exact tokens with count * (k+1) > total, via an MG candidate pass.
+
+    ``tokens`` is one row per token occurrence. Pass 1
+    (:func:`mg_candidates`) bounds per-partition state at k counters;
+    pass 2 re-counts candidates exactly (semi-join against the
+    broadcast candidate relation) and thresholds against the exact
+    total. At fixture scale the 31-word vocabulary fits the k=49
+    counters so summaries never compress; the compression path is
+    pinned by tests on a skewed synthetic corpus
+    (tests/test_properties.py)."""
+    candidates = mg_candidates(tokens, token_col, k)
+    total = tokens.select(
+        F.count(token_col).alias("__n")
+    )  # exact denominator, one scalar
+    return (
+        tokens.join(F.broadcast(candidates), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("__n"))
+        .select(token_col, F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def sql_heavy_hitters(relation_sql: str, token_col: str, k: int = MG_K) -> str:
+    """DuckDB twin: the exact GROUP BY ... HAVING the sketch answers."""
+    return f"""
+    WITH __toks AS ({relation_sql}),
+         __tot AS (SELECT count({token_col}) AS n FROM __toks)
+    SELECT {token_col}, CAST(count(*) AS BIGINT) AS cnt
+    FROM __toks, __tot
+    GROUP BY {token_col}, __tot.n
+    HAVING count(*) * {k + 1} > __tot.n
+    """

@@ -1226,6 +1226,47 @@ ORACLES["decontaminate"] = f"""
     GROUP BY c.doc_id
 """
 
+# Bloom-prefiltered decontamination: the Bloom filter has no false
+# negatives and the residual exact join kills the false positives, so
+# the oracle is the PLAIN exact join — the sketch must be invisible in
+# the answer. 60-bit shingle hashes (the probe carves 3 x 13-bit Bloom
+# positions out of 60; 32 would only cover 2).
+ORACLES["decontaminate_bloom"] = f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({dedup.sql_shingle_hashes(
+          'text', _q.DECON_BLOOM_N, hash_bits=60)}) AS h
+      FROM documents
+      WHERE doc_id % {_q.DECON_BLOOM_MOD} = 3
+        AND doc_id < {_q.DECON_BLOOM_MAX_ID}
+    ), corp AS (
+      SELECT doc_id, unnest({dedup.sql_shingle_hashes(
+          'text', _q.DECON_BLOOM_N, hash_bits=60)}) AS h
+      FROM documents
+      WHERE NOT (doc_id % {_q.DECON_BLOOM_MOD} = 3
+                 AND doc_id < {_q.DECON_BLOOM_MAX_ID})
+    )
+    SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_hits
+    FROM corp c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+"""
+
+# Misra-Gries heavy hitters: the candidate pass is a guaranteed
+# superset and the final threshold is exact, so the oracle is the plain
+# GROUP BY ... HAVING the sketch avoids running over the full
+# vocabulary.
+from genai_batch_processor_spark.functions import sketches as _sk0  # noqa: E402
+
+ORACLES["heavy_hitter_tokens"] = f"""
+    {_sk0.sql_heavy_hitters(
+        '''SELECT t AS token FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents
+           ) WHERE regexp_matches(t, '^[a-z]+$')''',
+        'token',
+    )}
+    ORDER BY token
+"""
+
 # Multimodal frame-sample fan-out: replay the stub's md5 chain in SQL.
 # generate_series(0, k) is INCLUSIVE, so k = h[0] % MAX_FRAMES yields
 # k+1 = 1..MAX_FRAMES frames — same count as the Python stub.

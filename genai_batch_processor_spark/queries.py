@@ -1830,6 +1830,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_hits(corpus, bench, "doc_id", "text")
 
 
+DECON_BLOOM_N = 4  # word 4-grams — independent of decontaminate's 5-grams
+DECON_BLOOM_MOD = 17  # eval slice: doc_id % 17 == 3, spread across the corpus
+DECON_BLOOM_MAX_ID = 2000  # ...and FIXED-SIZE: eval suites don't scale with
+#   the corpus, so the slice caps at ~118 docs at every SF (which is also
+#   what keeps the Bloom's fill factor — hence selectivity — flat as the
+#   corpus side grows 100x)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom pre-filter on the corpus side
+    (operators/dedup.py:bloom_contamination_hits): the benchmark
+    shingle set folds into an 8 KiB packed-long bitmap plan-literal
+    that drops non-matching corpus shingles AT THE SCAN — the scale
+    path for eval suites too big to broadcast, where the exact join
+    would otherwise shuffle the whole exploded corpus. No false
+    negatives, so the residual exact join returns exactly the
+    un-prefiltered answer (the oracle is the plain exact join). Eval
+    slice is a fixed-size mod-class of doc_id (spread, not
+    head-of-file) and 4-grams, both deliberately different from
+    `decontaminate`'s head-slice 5-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % DECON_BLOOM_MOD == 3) & (
+        F.col("doc_id") < DECON_BLOOM_MAX_ID
+    )
+    return dedup.bloom_contamination_hits(
+        corpus=docs.filter(~is_bench),
+        benchmark=docs.filter(is_bench),
+        id_col="doc_id",
+        text_col="text",
+        n=DECON_BLOOM_N,
+    )
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above 2% of the corpus via a Misra-Gries candidate pass
+    (functions/sketches.py:heavy_hitters): bounded per-partition
+    summaries -> broadcast candidate semi-join -> exact recount, so the
+    only full-vocabulary shuffle a naive GROUP BY would pay never
+    happens — at 100 TB the shuffle is sized by the candidate set
+    (<= MG_K x partitions), not the long tail. The final threshold is
+    exact, so the result is partitioning-independent and the oracle is
+    the plain GROUP BY ... HAVING."""
+    from genai_batch_processor_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.words(F.lower("text"))).alias("token")
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    return sketches.heavy_hitters(toks, "token").orderBy("token")
+
+
 # -- deep relational shapes (TPC-H Q2/Q17/Q21 flavors) -----------------------
 #
 # The reference has no engine-level joins or subqueries at all (SURVEY.md
@@ -4753,6 +4804,8 @@ QUERIES: dict[str, callable] = {
     "pii_redaction": q_pii_redaction,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "video_frames": q_video_frames,
     "lang_distinct_sketch": q_lang_distinct_sketch,
     "runner_responses": q_runner_responses,
@@ -4998,14 +5051,18 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R12_FRONT)},
 }
 
-# Round-13 front (`python tools/rotation.py`): the 2 queries new this
+# Round-13 front (`python tools/rotation.py`): the 4 queries new this
 # round (never gated, front-loaded unconditionally — the governed
-# loaded-tokenizer loop and the token-budgeted shard plan) + the 9
-# r9-gated remainders + the oldest r10-gated cohort, exactly the
-# window the r12 verdict prescribed (item 5).
+# loaded-tokenizer loop, the token-budgeted shard plan, the
+# Bloom-prefiltered decontamination, and the Misra-Gries heavy
+# hitters) + the 9 r9-gated remainders + the oldest r10-gated cohort
+# (the window the r12 verdict prescribed, re-spliced after the two
+# sketch queries landed).
 _R13_FRONT = [
     "batch_shards_tokens",  # last gated NEVER — front-loaded
     "bpe_loaded_tokenizer",  # last gated NEVER — front-loaded
+    "decontaminate_bloom",  # last gated NEVER — front-loaded
+    "heavy_hitter_tokens",  # last gated NEVER — front-loaded
     "temperature_mixture",  # last gated r9
     "term_frequencies",  # last gated r9
     "token_fertility",  # last gated r9
@@ -5052,8 +5109,6 @@ _R13_FRONT = [
     "price_moments",  # last gated r10
     "quality_unpivot",  # last gated r10
     "runner_responses",  # last gated r10
-    "salted_event_totals",  # last gated r10
-    "salted_nation_balance",  # last gated r10
 ]
 if len(_R13_FRONT) != 50:
     raise ValueError(

@@ -589,3 +589,152 @@ def test_adaptive_defaults_fixture_scales_pinned():
     assert linkage.adaptive_max_block(200000) == 1000
     # arrow auto-select: literal path at fixture k, Arrow at sf1 k
     assert clustering.KMEANS_K <= clustering.ARROW_AUTO_K < 80
+
+
+# -- Misra-Gries heavy hitters vs exact group-by ------------------------------
+#
+# The sketch must be INVISIBLE in the answer: for any token stream, any
+# partitioning, and any k, heavy_hitters == the exact
+# GROUP BY ... HAVING count*(k+1) > total. The pure-Python compress step
+# carries the guarantee, so it gets its own exhaustive check.
+
+from collections import Counter
+
+from genai_batch_processor_spark.functions import sketches
+
+_token_streams = st.lists(
+    # tiny alphabet + skewed repeats so heavy hitters actually exist
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(stream=_token_streams, k=st.integers(1, 6), n_chunks=st.integers(1, 5))
+def test_mg_summary_union_is_superset(stream, k, n_chunks):
+    """Pure-Python model of pass 1: chunk the stream (a partition /
+    batch boundary at every split), MG-compress each chunk's counts,
+    union the survivors — every token above total/(k+1) must survive."""
+    chunk = max(1, len(stream) // n_chunks)
+    union: set = set()
+    for i in range(0, len(stream), chunk):
+        counts = dict(Counter(stream[i : i + chunk]))
+        sketches._mg_compress(counts, k)
+        assert len(counts) <= k
+        assert all(c > 0 for c in counts.values())
+        union |= counts.keys()
+    total = len(stream)
+    heavy = {t for t, c in Counter(stream).items() if c * (k + 1) > total}
+    assert heavy <= union
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stream=_token_streams,
+    k=st.integers(1, 6),
+    n_parts=st.integers(1, 4),
+)
+def test_heavy_hitters_match_exact_under_any_partitioning(
+    spark, stream, k, n_parts
+):
+    tokens = spark.createDataFrame(
+        [(t,) for t in stream], "token string"
+    ).repartition(n_parts)
+    got = {
+        (r.token, r.cnt)
+        for r in sketches.heavy_hitters(tokens, "token", k=k).collect()
+    }
+    total = len(stream)
+    want = {
+        (t, c) for t, c in Counter(stream).items() if c * (k + 1) > total
+    }
+    assert got == want
+
+
+def test_mg_candidates_actually_compress(spark):
+    """With k counters < vocabulary, pass 1 must emit FEWER candidates
+    than the vocabulary (the bounded-state point of the sketch) while
+    still keeping every true heavy hitter — pinned on a Zipf-ish corpus
+    in one partition so per-partition state is actually exercised."""
+    stream = (
+        ["hot"] * 400
+        + ["warm"] * 120
+        + [f"tail{i}" for i in range(300) for _ in (0, 1)]
+    )
+    tokens = spark.createDataFrame(
+        [(t,) for t in stream], "token string"
+    ).coalesce(1)
+    k = 9
+    cands = {
+        r.token for r in sketches.mg_candidates(tokens, "token", k).collect()
+    }
+    vocab = len(set(stream))
+    assert len(cands) <= k < vocab
+    total = len(stream)
+    heavy = {
+        t for t, c in Counter(stream).items() if c * (k + 1) > total
+    }
+    assert heavy <= cands
+
+
+# -- Bloom-prefiltered decontamination vs the exact join ----------------------
+#
+# No false negatives by construction, and the residual exact join kills
+# the false positives — so for ANY benchmark/corpus split the Bloom
+# operator must equal contamination_hits exactly.
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "green", "fox", "dog", "cat"]),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bench_texts=_doc_texts, corpus_texts=_doc_texts)
+def test_bloom_decontamination_equals_exact(spark, bench_texts, corpus_texts):
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.bloom_contamination_hits(
+            corpus, bench, "doc_id", "text", n=2
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.contamination_hits(
+            corpus, bench, "doc_id", "text", n=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_bitmap_deterministic_and_sized(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} shared tail here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = dedup.bloom_bitmap(docs, "text", 3)
+    b = dedup.bloom_bitmap(docs.repartition(7), "text", 3)
+    assert a == b  # partitioning-independent
+    assert len(a) == dedup.BLOOM_BITS // 64
+    assert any(w != 0 for w in a)
+    assert all(-(1 << 63) <= w < (1 << 63) for w in a)  # literal-safe int64
