@@ -618,3 +618,50 @@ def test_count_prunes_project_only_python_work(spark, sf_dir):
     from tools.scale_check import FORCE_MATERIALIZE
 
     assert "bpe_token_counts" in FORCE_MATERIALIZE
+
+
+def test_bloom_decontamination_probe_before_join(spark, sf_dir):
+    """decontaminate_bloom's shape (r13): the Bloom probe (element_at
+    bit tests on the packed-long bitmap literal) must sit in a plain
+    Filter on the corpus side — i.e. BELOW the residual exact join, so
+    at scale ~98% of corpus shingles never reach the join — and the
+    whole pipeline stays JVM-side with the bench shingle set broadcast."""
+    plan = _plan(spark, "decontaminate_bloom", sf_dir)
+    assert "element_at" in plan, "Bloom probe missing from the plan"
+    assert "BroadcastHashJoin" in plan, "bench shingles must broadcast"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Bloom path dropped into Python: {marker}"
+    # the probe filter must be UPSTREAM of the join: formatted plans
+    # number nodes bottom-up (Scan (1) ... root last), so the Filter
+    # node carrying the element_at condition needs a SMALLER id than
+    # the join's
+    import re
+
+    sections = re.findall(
+        r"\((\d+)\) (\w+)[^\n]*\n(.*?)(?=\n\(\d+\) |\Z)", plan, re.S
+    )
+    probe_ids = [
+        int(nid)
+        for nid, name, body in sections
+        if name == "Filter" and "element_at" in body
+    ]
+    join_ids = [
+        int(nid) for nid, name, _ in sections if "BroadcastHashJoin" in name
+    ]
+    assert probe_ids and join_ids
+    assert min(probe_ids) < min(join_ids)
+
+
+def test_heavy_hitters_one_sketch_pass_and_broadcast_recount(spark, sf_dir):
+    """heavy_hitter_tokens' shape (r13): exactly TWO Python stages (the
+    MG candidate pass over each of the recount scan and the distinct)
+    would be wrong — the sketch runs once; the exact recount must reach
+    the corpus via a BROADCAST left-semi join on the (tiny) candidate
+    relation, so the full vocabulary never shuffles."""
+    plan = _plan(spark, "heavy_hitter_tokens", sf_dir)
+    import re
+
+    # each node prints twice (tree + detail); count detail sections
+    mg_nodes = re.findall(r"\(\d+\) MapInPandas", plan)
+    assert len(mg_nodes) == 1, "MG candidate pass must run once"
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan

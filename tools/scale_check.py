@@ -133,6 +133,12 @@ TOP = [
     # fingerprint-keyed memo).
     "batch_shards_tokens",
     "bpe_loaded_tokenizer",
+    # r13 sketches: the Bloom probe (selectivity should stay ~flat as the
+    # corpus side grows against a fixed-size eval slice) and the MG
+    # candidate pass (the Python-boundary scan; candidates stay bounded
+    # by k x partitions, so the recount join stays broadcast).
+    "decontaminate_bloom",
+    "heavy_hitter_tokens",
 ]
 
 
