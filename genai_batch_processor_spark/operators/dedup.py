@@ -1492,6 +1492,16 @@ def bloom_bitmap(bench: DataFrame, text_col: str, n: int) -> list[int]:
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+BLOOM_FILL_WARN = 0.75  # above this, pass rate ≈ fill^3 stops paying for
+#   the probe (at 0.75: ~42% of non-matching shingles still pass)
+
+
+def bloom_fill(words: list[int]) -> float:
+    """Fraction of set bits in a packed bitmap (selectivity diagnostic)."""
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+    return set_bits / (len(words) * 64)
+
+
 def bloom_contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1507,8 +1517,26 @@ def bloom_contamination_hits(
     substr probe on a '0'/'1' bitmap string) -> residual exact join
     with the distinct benchmark shingles -> per-doc distinct count.
     Identical output to the exact operator (no false negatives; the
-    join removes false positives)."""
-    words = F.lit(bloom_bitmap(benchmark, text_col, n))
+    join removes false positives). Saturation is never a correctness
+    problem, only a wasted probe — but it is a SILENT waste, so a
+    benchmark set that fills the bitmap past BLOOM_FILL_WARN (the
+    operator degrading to exact-join cost plus probe overhead) raises
+    a loud warning telling the caller to widen BLOOM_BITS or fall back
+    to :func:`contamination_hits`."""
+    bitmap = bloom_bitmap(benchmark, text_col, n)
+    fill = bloom_fill(bitmap)
+    if fill > BLOOM_FILL_WARN:
+        import warnings
+
+        warnings.warn(
+            f"Bloom bitmap fill {fill:.2f} > {BLOOM_FILL_WARN}: the probe "
+            f"passes ~{fill ** BLOOM_HASHES:.0%} of non-matching shingles "
+            "and no longer pays for itself — widen BLOOM_BITS or use "
+            "contamination_hits",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    words = F.lit(bitmap)
     masks = F.lit(_BLOOM_MASKS)
     bench = (
         benchmark.select(

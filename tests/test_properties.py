@@ -738,3 +738,43 @@ def test_bloom_bitmap_deterministic_and_sized(spark):
     assert len(a) == dedup.BLOOM_BITS // 64
     assert any(w != 0 for w in a)
     assert all(-(1 << 63) <= w < (1 << 63) for w in a)  # literal-safe int64
+
+
+def test_bloom_saturation_warns_loudly(spark):
+    """A benchmark set that fills the bitmap past BLOOM_FILL_WARN must
+    raise a RuntimeWarning (the probe silently degrading to exact-join
+    cost is the one failure mode correctness tests can't see) — while
+    the fixture-scale query stays comfortably below the threshold."""
+    import warnings
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # ~39k distinct shingles x 3 probes ≈ 117k positions; expected fill
+    # 1 - e^(-117k/65536) ≈ 0.83 > 0.75 (positions collide, so the
+    # position count must overshoot the threshold with margin)
+    big = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(40))) for i in range(1000)],
+        "doc_id long, text string",
+    )
+    with _pytest.warns(RuntimeWarning, match="Bloom bitmap fill"):
+        dedup.bloom_contamination_hits(big, big, "doc_id", "text", n=2)
+    # and the committed query's eval slice does NOT warn
+    from genai_batch_processor_spark import queries as _q
+    from genai_batch_processor_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    is_bench = (F.col("doc_id") % _q.DECON_BLOOM_MOD == 3) & (
+        F.col("doc_id") < _q.DECON_BLOOM_MAX_ID
+    )
+    bm = dedup.bloom_bitmap(docs.filter(is_bench), "text", _q.DECON_BLOOM_N)
+    assert dedup.bloom_fill(bm) < dedup.BLOOM_FILL_WARN
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.bloom_contamination_hits(
+            docs.filter(~is_bench),
+            docs.filter(is_bench),
+            "doc_id",
+            "text",
+            n=_q.DECON_BLOOM_N,
+        )
