@@ -1448,19 +1448,37 @@ def sql_adaptive_simhash_bands(
 # the un-prefiltered answer — which is what makes the operator
 # oracle-checkable end to end (the DuckDB twin is the plain exact join).
 
-BLOOM_BITS = 1 << 16  # 64 Kibit = 1024 packed longs; sized ~10 bits per
-#   element of a fixed-size eval suite (a few hundred docs); FP rate only
-#   affects selectivity, never the answer
+BLOOM_BITS = 1 << 16  # floor: 64 Kibit = 1024 packed longs (~10 bits per
+#   element of a few-hundred-doc eval suite); FP rate only affects
+#   selectivity, never the answer
+BLOOM_BITS_CAP = 1 << 20  # 3 x 20-bit probe windows = 60 = the hash width
+BLOOM_BITS_PER_ELEMENT = 10  # target ~10 bits/shingle: fill ~0.26, FP ~1.7%
 BLOOM_HASHES = 3  # probes per shingle, carved from one 60-bit hash
 
 
-def _bloom_positions(h: Column) -> list[Column]:
+def adaptive_bloom_bits(n_shingles: int) -> int:
+    """Bitmap size for a benchmark of ``n_shingles`` distinct shingles:
+    the next power of two >= BLOOM_BITS_PER_ELEMENT x n_shingles,
+    clamped to [BLOOM_BITS, BLOOM_BITS_CAP]. Same corpus-derived-
+    parameter idiom as adaptive_simhash_width/adaptive_max_bucket: the
+    caller never hand-sizes the filter, and a 10x bigger eval suite
+    widens the bitmap instead of silently saturating it. Power of two
+    keeps the probe's mask arithmetic exact; the cap is the last size
+    whose three probe windows still fit the 60-bit hash (saturation
+    past the cap falls back to the loud BLOOM_FILL_WARN warning)."""
+    need = max(1, n_shingles) * BLOOM_BITS_PER_ELEMENT
+    bits = 1 << (need - 1).bit_length()
+    return min(max(bits, BLOOM_BITS), BLOOM_BITS_CAP)
+
+
+def _bloom_positions(h: Column, bits: int = BLOOM_BITS) -> list[Column]:
     """BLOOM_HASHES bit positions from one portable 60-bit hash: three
-    disjoint 16-bit windows (3 x 16 = 48 <= 60), so Spark and any future
-    twin derive identical positions from the same md5."""
-    width = BLOOM_BITS.bit_length() - 1  # 16
+    disjoint log2(bits)-wide windows (3 x 20 <= 60 at the cap), so
+    Spark and any future twin derive identical positions from the same
+    md5."""
+    width = bits.bit_length() - 1
     return [
-        F.shiftright(h, i * width).bitwiseAND(F.lit(BLOOM_BITS - 1))
+        F.shiftright(h, i * width).bitwiseAND(F.lit(bits - 1))
         for i in range(BLOOM_HASHES)
     ]
 
@@ -1469,22 +1487,26 @@ def _bloom_positions(h: Column) -> list[Column]:
 _BLOOM_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
-def bloom_bitmap(bench: DataFrame, text_col: str, n: int) -> list[int]:
-    """The benchmark shingle set's Bloom filter as BLOOM_BITS/64 packed
-    int64 words (array-literal-friendly: ~1k longs in the plan, not a
-    64 Ki-element array).
+def bloom_bitmap(
+    bench: DataFrame, text_col: str, n: int, bits: int = BLOOM_BITS
+) -> list[int]:
+    """The benchmark shingle set's Bloom filter as bits/64 packed int64
+    words (array-literal-friendly: 1-16k longs in the plan, not a
+    bits-sized element array).
 
     The only driver-side materialization is the DISTINCT POSITION list,
-    bounded by BLOOM_BITS rows regardless of benchmark size — the set
+    bounded by ``bits`` rows regardless of benchmark size — the set
     bits, not the shingles."""
     pos = (
         bench.select(
             F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h")
         )
-        .select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
+        .select(
+            F.explode(F.array(*_bloom_positions(F.col("h"), bits))).alias("p")
+        )
         .distinct()
     )
-    words = [0] * (BLOOM_BITS // 64)
+    words = [0] * (bits // 64)
     for row in pos.collect():
         p = row["p"]
         words[p >> 6] |= 1 << (p & 63)
@@ -1492,7 +1514,7 @@ def bloom_bitmap(bench: DataFrame, text_col: str, n: int) -> list[int]:
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
-BLOOM_FILL_WARN = 0.75  # above this, pass rate ≈ fill^3 stops paying for
+BLOOM_FILL_WARN = 0.75  # above this, pass rate ~ fill^3 stops paying for
 #   the probe (at 0.75: ~42% of non-matching shingles still pass)
 
 
@@ -1508,6 +1530,7 @@ def bloom_contamination_hits(
     id_col: str,
     text_col: str,
     n: int = CONTAMINATION_N,
+    bits: int | None = None,
 ) -> DataFrame:
     """contamination_hits with a Bloom pre-filter on the corpus side.
 
@@ -1517,38 +1540,45 @@ def bloom_contamination_hits(
     substr probe on a '0'/'1' bitmap string) -> residual exact join
     with the distinct benchmark shingles -> per-doc distinct count.
     Identical output to the exact operator (no false negatives; the
-    join removes false positives). Saturation is never a correctness
-    problem, only a wasted probe — but it is a SILENT waste, so a
-    benchmark set that fills the bitmap past BLOOM_FILL_WARN (the
-    operator degrading to exact-join cost plus probe overhead) raises
-    a loud warning telling the caller to widen BLOOM_BITS or fall back
-    to :func:`contamination_hits`."""
-    bitmap = bloom_bitmap(benchmark, text_col, n)
-    fill = bloom_fill(bitmap)
-    if fill > BLOOM_FILL_WARN:
-        import warnings
+    join removes false positives).
 
-        warnings.warn(
-            f"Bloom bitmap fill {fill:.2f} > {BLOOM_FILL_WARN}: the probe "
-            f"passes ~{fill ** BLOOM_HASHES:.0%} of non-matching shingles "
-            "and no longer pays for itself — widen BLOOM_BITS or use "
-            "contamination_hits",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    words = F.lit(bitmap)
-    masks = F.lit(_BLOOM_MASKS)
+    ``bits=None`` sizes the bitmap from the benchmark's distinct
+    shingle count (:func:`adaptive_bloom_bits` — one eval-suite-sized
+    count job), so a growing eval suite widens the filter instead of
+    silently saturating it. Saturation is never a correctness problem,
+    only a wasted probe — but it is a SILENT waste, so a benchmark
+    that fills the bitmap past BLOOM_FILL_WARN even at the chosen size
+    (only possible at the BLOOM_BITS_CAP clamp, or under an explicit
+    ``bits``) raises a loud warning telling the caller to fall back to
+    :func:`contamination_hits`."""
     bench = (
         benchmark.select(
             F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h")
         ).distinct()
     )
+    if bits is None:
+        bits = adaptive_bloom_bits(bench.count())
+    bitmap = bloom_bitmap(benchmark, text_col, n, bits)
+    fill = bloom_fill(bitmap)
+    if fill > BLOOM_FILL_WARN:
+        import warnings
+
+        warnings.warn(
+            f"Bloom bitmap fill {fill:.2f} > {BLOOM_FILL_WARN} at "
+            f"bits={bits}: the probe passes "
+            f"~{fill ** BLOOM_HASHES:.0%} of non-matching shingles and no "
+            "longer pays for itself — use contamination_hits",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    words = F.lit(bitmap)
+    masks = F.lit(_BLOOM_MASKS)
     corp = corpus.select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h"),
     )
     probe = None
-    for p in _bloom_positions(F.col("h")):
+    for p in _bloom_positions(F.col("h"), bits):
         word = F.element_at(words, (F.shiftright(p, 6) + 1).cast("int"))
         mask = F.element_at(masks, (p.bitwiseAND(F.lit(63)) + 1).cast("int"))
         t = word.bitwiseAND(mask) != 0

@@ -740,25 +740,48 @@ def test_bloom_bitmap_deterministic_and_sized(spark):
     assert all(-(1 << 63) <= w < (1 << 63) for w in a)  # literal-safe int64
 
 
-def test_bloom_saturation_warns_loudly(spark):
-    """A benchmark set that fills the bitmap past BLOOM_FILL_WARN must
-    raise a RuntimeWarning (the probe silently degrading to exact-join
-    cost is the one failure mode correctness tests can't see) — while
-    the fixture-scale query stays comfortably below the threshold."""
+def test_adaptive_bloom_bits_monotone_and_clamped():
+    """Corpus-derived sizing (the adaptive_* idiom): monotone in the
+    benchmark size, floor/cap-clamped, power of two throughout, and the
+    fixture-scale eval slice (~5.5k shingles) must keep today's 2^16 —
+    pinning that adaptivity did not silently change the committed
+    query's plan literal."""
+    prev = 0
+    for n in (1, 100, 5_500, 40_000, 10**6, 10**8):
+        bits = dedup.adaptive_bloom_bits(n)
+        assert bits >= prev
+        assert bits & (bits - 1) == 0  # power of two
+        assert dedup.BLOOM_BITS <= bits <= dedup.BLOOM_BITS_CAP
+        prev = bits
+    assert dedup.adaptive_bloom_bits(5_500) == dedup.BLOOM_BITS
+    assert dedup.adaptive_bloom_bits(10**8) == dedup.BLOOM_BITS_CAP
+    # cap respects the probe geometry: 3 windows must fit the 60-bit hash
+    assert 3 * (dedup.BLOOM_BITS_CAP.bit_length() - 1) <= 60
+
+
+def test_bloom_adaptive_widens_instead_of_saturating(spark):
+    """A benchmark that saturates the floor-sized bitmap must get a
+    wider one from the adaptive default — same exact answer, no
+    warning — while an EXPLICIT undersized ``bits`` still warns loudly
+    (the cap-hit scenario, where widening is no longer possible)."""
     import warnings
 
     import pytest as _pytest
     from pyspark.sql import functions as F
 
-    # ~39k distinct shingles x 3 probes ≈ 117k positions; expected fill
-    # 1 - e^(-117k/65536) ≈ 0.83 > 0.75 (positions collide, so the
-    # position count must overshoot the threshold with margin)
+    # ~39k distinct shingles x 3 probes ≈ 117k positions: fill ≈ 0.83
+    # at the 2^16 floor, ≈ 0.20 at the adaptive 2^19
     big = spark.createDataFrame(
         [(i, " ".join(f"u{i}w{j}" for j in range(40))) for i in range(1000)],
         "doc_id long, text string",
     )
     with _pytest.warns(RuntimeWarning, match="Bloom bitmap fill"):
-        dedup.bloom_contamination_hits(big, big, "doc_id", "text", n=2)
+        dedup.bloom_contamination_hits(
+            big, big, "doc_id", "text", n=2, bits=dedup.BLOOM_BITS
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.bloom_contamination_hits(big.limit(10), big, "doc_id", "text", n=2)
     # and the committed query's eval slice does NOT warn
     from genai_batch_processor_spark import queries as _q
     from genai_batch_processor_spark.sources.tables import load_table
