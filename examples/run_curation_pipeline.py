@@ -128,7 +128,11 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None):
 
     # 3. decontaminate against a (stand-in) benchmark probe.
     # Persisted: the mixture planner aggregates it and the sample
-    # filter scans it again.
+    # filter scans it again. (A 5-doc probe broadcasts, so the exact
+    # operator is the right plan here; once the eval suite outgrows a
+    # broadcast, swap in dedup.bloom_contamination_hits — identical
+    # answer, with an adaptively sized bitmap plan-literal dropping
+    # ~98% of corpus shingles before the join.)
     bench = docs.orderBy("doc_id").limit(5).select("text")
     hits = dedup.contamination_hits(gated, bench, "doc_id", "text")
     clean = gated.join(

@@ -1841,10 +1841,11 @@ DECON_BLOOM_MAX_ID = 2000  # ...and FIXED-SIZE: eval suites don't scale with
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a Bloom pre-filter on the corpus side
     (operators/dedup.py:bloom_contamination_hits): the benchmark
-    shingle set folds into an 8 KiB packed-long bitmap plan-literal
-    that drops non-matching corpus shingles AT THE SCAN — the scale
-    path for eval suites too big to broadcast, where the exact join
-    would otherwise shuffle the whole exploded corpus. No false
+    shingle set folds into a packed-long bitmap plan-literal — sized
+    adaptively at ~10 bits per benchmark shingle — that drops
+    non-matching corpus shingles AT THE SCAN — the scale path for eval
+    suites too big to broadcast, where the exact join would otherwise
+    shuffle the whole exploded corpus. No false
     negatives, so the residual exact join returns exactly the
     un-prefiltered answer (the oracle is the plain exact join). Eval
     slice is a fixed-size mod-class of doc_id (spread, not
