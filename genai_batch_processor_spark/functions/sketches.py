@@ -158,7 +158,16 @@ def heavy_hitters(
     total. At fixture scale the 31-word vocabulary fits the k=49
     counters so summaries never compress; the compression path is
     pinned by tests on a skewed synthetic corpus
-    (tests/test_properties.py)."""
+    (tests/test_properties.py).
+
+    Cost shape: three scans of the token relation — the Python MG pass
+    (dominant), the exact-total count, and the recount — deliberately
+    NOT collapsed: emitting per-partition totals from the MG pass and
+    reusing its output twice in one plan would recompute the Python
+    scan (Spark has no cross-branch plan CSE without caching), and
+    persisting it would leak a cache per invocation. The two extra
+    scans are vectorized single-column counts, ~free next to the
+    Arrow-batched sketch pass."""
     candidates = mg_candidates(tokens, token_col, k)
     total = tokens.select(
         F.count(token_col).alias("__n")

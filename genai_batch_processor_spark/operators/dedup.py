@@ -1487,31 +1487,43 @@ def _bloom_positions(h: Column, bits: int = BLOOM_BITS) -> list[Column]:
 _BLOOM_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
+def bloom_positions_py(h: int, bits: int) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions` — same windows of
+    the same 60-bit hash, so a bitmap built on the driver and a probe
+    built in the plan agree bit for bit."""
+    width = bits.bit_length() - 1
+    return [(h >> (i * width)) & (bits - 1) for i in range(BLOOM_HASHES)]
+
+
+def bloom_bitmap_from_hashes(hashes: list[int], bits: int) -> list[int]:
+    """Pack a shingle-hash list into bits/64 signed int64 bitmap words
+    (array-literal-friendly: 1-16k longs in the plan, not a bits-sized
+    element array)."""
+    words = [0] * (bits // 64)
+    for h in hashes:
+        for p in bloom_positions_py(h, bits):
+            words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed int64 range for the long-array literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
 def bloom_bitmap(
     bench: DataFrame, text_col: str, n: int, bits: int = BLOOM_BITS
 ) -> list[int]:
-    """The benchmark shingle set's Bloom filter as bits/64 packed int64
-    words (array-literal-friendly: 1-16k longs in the plan, not a
-    bits-sized element array).
-
-    The only driver-side materialization is the DISTINCT POSITION list,
-    bounded by ``bits`` rows regardless of benchmark size — the set
-    bits, not the shingles."""
-    pos = (
-        bench.select(
+    """The benchmark shingle set's Bloom filter, built from ONE scan of
+    the benchmark side: the distinct shingle hashes collect to the
+    driver (8 bytes per shingle — the same order of magnitude as the
+    bitmap being built; a benchmark too big to collect this way is one
+    that saturates every legal bitmap size anyway) and pack locally."""
+    hashes = [
+        r["h"]
+        for r in bench.select(
             F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h")
         )
-        .select(
-            F.explode(F.array(*_bloom_positions(F.col("h"), bits))).alias("p")
-        )
         .distinct()
-    )
-    words = [0] * (bits // 64)
-    for row in pos.collect():
-        p = row["p"]
-        words[p >> 6] |= 1 << (p & 63)
-    # two's-complement into signed int64 range for the long-array literal
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        .collect()
+    ]
+    return bloom_bitmap_from_hashes(hashes, bits)
 
 
 BLOOM_FILL_WARN = 0.75  # above this, pass rate ~ fill^3 stops paying for
@@ -1543,22 +1555,26 @@ def bloom_contamination_hits(
     join removes false positives).
 
     ``bits=None`` sizes the bitmap from the benchmark's distinct
-    shingle count (:func:`adaptive_bloom_bits` — one eval-suite-sized
-    count job), so a growing eval suite widens the filter instead of
-    silently saturating it. Saturation is never a correctness problem,
-    only a wasted probe — but it is a SILENT waste, so a benchmark
-    that fills the bitmap past BLOOM_FILL_WARN even at the chosen size
-    (only possible at the BLOOM_BITS_CAP clamp, or under an explicit
-    ``bits``) raises a loud warning telling the caller to fall back to
+    shingle count (:func:`adaptive_bloom_bits`), so a growing eval
+    suite widens the filter instead of silently saturating it. The
+    whole build is ONE benchmark-side job: the distinct shingle hashes
+    collect to the driver (eval-suite-sized; same order as the bitmap
+    itself) and both the size decision and the packed words derive
+    locally. Saturation is never a correctness problem, only a wasted
+    probe — but it is a SILENT waste, so a benchmark that fills the
+    bitmap past BLOOM_FILL_WARN even at the chosen size (only possible
+    at the BLOOM_BITS_CAP clamp, or under an explicit ``bits``) raises
+    a loud warning telling the caller to fall back to
     :func:`contamination_hits`."""
     bench = (
         benchmark.select(
             F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h")
         ).distinct()
     )
+    hashes = [r["h"] for r in bench.collect()]
     if bits is None:
-        bits = adaptive_bloom_bits(bench.count())
-    bitmap = bloom_bitmap(benchmark, text_col, n, bits)
+        bits = adaptive_bloom_bits(len(hashes))
+    bitmap = bloom_bitmap_from_hashes(hashes, bits)
     fill = bloom_fill(bitmap)
     if fill > BLOOM_FILL_WARN:
         import warnings
