@@ -259,6 +259,12 @@ def plan_info(df) -> dict | None:
         return None
     norm = re.sub(r"#\d+", "#", s)
     norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (lambda x_4 vs lambda x_7 for the same plan, depending on
+    # how many lambda-bearing plans the session built earlier) — same
+    # volatility class as exprIds, discovered when a driver-side-only
+    # refactor of the Bloom build shifted every downstream lambda id
+    norm = re.sub(r"lambda x_\d+", "lambda x_", norm)
     norm = re.sub(r"\[codegen id : \d+\]", "", norm)
     norm = re.sub(r"(file|dbfs|s3a?|gs)://?\S+", "path:", norm)
     norm = re.sub(r"[a-z_]+_stream_[0-9a-f]+", "stream_tbl", norm)
