@@ -192,3 +192,81 @@ def sql_heavy_hitters(relation_sql: str, token_col: str, k: int = MG_K) -> str:
     GROUP BY {token_col}, __tot.n
     HAVING count(*) * {k + 1} > __tot.n
     """
+
+
+def grouped_mg_candidates(
+    tokens: DataFrame, group_col: str, token_col: str, k: int
+) -> DataFrame:
+    """Per-group pass 1: one MG state PER GROUP per partition (memory
+    k x groups-per-partition). The pigeonhole guarantee localizes per
+    group: any token above n_g/(k+1) of ITS group's total must exceed
+    the local rate in at least one partition's slice of that group, so
+    the union of per-(partition, group) summaries is a guaranteed
+    superset of every group's heavy hitters."""
+    import pandas as pd
+
+    def _part(batches):
+        states: dict = {}
+        for pdf in batches:
+            for g, t in zip(pdf[group_col], pdf[token_col]):
+                if g is None or t is None:
+                    continue
+                st = states.setdefault(g, {})
+                st[t] = st.get(t, 0) + 1
+            for st in states.values():
+                _mg_compress(st, k)
+        yield pd.DataFrame(
+            {
+                group_col: [g for g, st in states.items() for _ in st],
+                token_col: [t for st in states.values() for t in st],
+            }
+        )
+
+    return tokens.mapInPandas(
+        _part, schema=f"{group_col} string, {token_col} string"
+    ).distinct()
+
+
+def grouped_heavy_hitters(
+    tokens: DataFrame, group_col: str, token_col: str, k: int = MG_K
+) -> DataFrame:
+    """Per-group exact heavy hitters: tokens with count * (k+1) > the
+    GROUP's total. Same two-pass shape as :func:`heavy_hitters` — the
+    candidate relation and the per-group totals (|groups| rows) both
+    broadcast, so the only shuffle keyed on the vocabulary is over the
+    candidate subset. Exact final threshold per group ⇒ the result is
+    partitioning-independent and the oracle is the plain
+    GROUP BY group, token ... HAVING against the per-group counts."""
+    candidates = grouped_mg_candidates(tokens, group_col, token_col, k)
+    totals = tokens.groupBy(group_col).agg(
+        F.count(token_col).alias("__n")
+    )
+    return (
+        tokens.join(
+            F.broadcast(candidates), [group_col, token_col], "left_semi"
+        )
+        .groupBy(group_col, token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), group_col)
+        .filter(F.col("cnt") * (k + 1) > F.col("__n"))
+        .select(
+            group_col, token_col, F.col("cnt").cast("long").alias("cnt")
+        )
+    )
+
+
+def sql_grouped_heavy_hitters(
+    relation_sql: str, group_col: str, token_col: str, k: int = MG_K
+) -> str:
+    """DuckDB twin: per-group GROUP BY ... HAVING the sketch answers."""
+    return f"""
+    WITH __toks AS ({relation_sql}),
+         __tot AS (
+           SELECT {group_col} AS g, count({token_col}) AS n
+           FROM __toks GROUP BY {group_col}
+         )
+    SELECT t.{group_col}, t.{token_col}, CAST(count(*) AS BIGINT) AS cnt
+    FROM __toks t JOIN __tot ON __tot.g = t.{group_col}
+    GROUP BY t.{group_col}, t.{token_col}, __tot.n
+    HAVING count(*) * {k + 1} > __tot.n
+    """

@@ -1256,6 +1256,18 @@ ORACLES["decontaminate_bloom"] = f"""
 # vocabulary.
 from genai_batch_processor_spark.functions import sketches as _sk0  # noqa: E402
 
+ORACLES["lang_heavy_hitters"] = f"""
+    {_sk0.sql_grouped_heavy_hitters(
+        '''SELECT lang, t AS token FROM (
+             SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+             FROM documents
+           ) WHERE regexp_matches(t, '^[a-z]+$')''',
+        'lang',
+        'token',
+    )}
+    ORDER BY lang, token
+"""
+
 ORACLES["heavy_hitter_tokens"] = f"""
     {_sk0.sql_heavy_hitters(
         '''SELECT t AS token FROM (

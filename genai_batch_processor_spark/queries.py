@@ -1882,6 +1882,26 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters(toks, "token").orderBy("token")
 
 
+def q_lang_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE heavy hitters (the per-domain stopword/boilerplate
+    detection shape): one Misra-Gries state per (partition, lang)
+    (functions/sketches.py:grouped_heavy_hitters), the pigeonhole
+    guarantee localized per group, then a broadcast candidate
+    semi-join + per-lang exact recount against the lang's own total —
+    so neither the per-lang vocabularies nor the long tail ever
+    shuffle. Exact per-group threshold ⇒ partitioning-independent;
+    oracle = the per-group GROUP BY ... HAVING."""
+    from genai_batch_processor_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tx.words(F.lower("text"))).alias("token")
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    return sketches.grouped_heavy_hitters(toks, "lang", "token").orderBy(
+        "lang", "token"
+    )
+
+
 # -- deep relational shapes (TPC-H Q2/Q17/Q21 flavors) -----------------------
 #
 # The reference has no engine-level joins or subqueries at all (SURVEY.md
@@ -4807,6 +4827,7 @@ QUERIES: dict[str, callable] = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "lang_heavy_hitters": q_lang_heavy_hitters,
     "video_frames": q_video_frames,
     "lang_distinct_sketch": q_lang_distinct_sketch,
     "runner_responses": q_runner_responses,
@@ -5052,11 +5073,12 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R12_FRONT)},
 }
 
-# Round-13 front (`python tools/rotation.py`): the 4 queries new this
+# Round-13 front (`python tools/rotation.py`): the 5 queries new this
 # round (never gated, front-loaded unconditionally — the governed
 # loaded-tokenizer loop, the token-budgeted shard plan, the
-# Bloom-prefiltered decontamination, and the Misra-Gries heavy
-# hitters) + the 9 r9-gated remainders + the oldest r10-gated cohort
+# Bloom-prefiltered decontamination, and the global + per-language
+# Misra-Gries heavy hitters) + the 9 r9-gated remainders + the
+# oldest r10-gated cohort
 # (the window the r12 verdict prescribed, re-spliced after the two
 # sketch queries landed).
 _R13_FRONT = [
@@ -5064,6 +5086,7 @@ _R13_FRONT = [
     "bpe_loaded_tokenizer",  # last gated NEVER — front-loaded
     "decontaminate_bloom",  # last gated NEVER — front-loaded
     "heavy_hitter_tokens",  # last gated NEVER — front-loaded
+    "lang_heavy_hitters",  # last gated NEVER — front-loaded
     "temperature_mixture",  # last gated r9
     "term_frequencies",  # last gated r9
     "token_fertility",  # last gated r9
@@ -5109,7 +5132,6 @@ _R13_FRONT = [
     "pii_redaction",  # last gated r10
     "price_moments",  # last gated r10
     "quality_unpivot",  # last gated r10
-    "runner_responses",  # last gated r10
 ]
 if len(_R13_FRONT) != 50:
     raise ValueError(

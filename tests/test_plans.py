@@ -665,3 +665,16 @@ def test_heavy_hitters_one_sketch_pass_and_broadcast_recount(spark, sf_dir):
     mg_nodes = re.findall(r"\(\d+\) MapInPandas", plan)
     assert len(mg_nodes) == 1, "MG candidate pass must run once"
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_grouped_heavy_hitters_one_sketch_pass_and_broadcasts(spark, sf_dir):
+    """lang_heavy_hitters (r13): same contract as the ungrouped shape —
+    ONE MapInPandas node (per-group MG states live INSIDE the single
+    pass, not one pass per group) and broadcast joins for both the
+    candidate semi-join and the per-group totals."""
+    plan = _plan(spark, "lang_heavy_hitters", sf_dir)
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastExchange") >= 2  # candidates + totals

@@ -801,3 +801,44 @@ def test_bloom_adaptive_widens_instead_of_saturating(spark):
             "text",
             n=_q.DECON_BLOOM_N,
         )
+
+
+_grouped_streams = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_grouped_streams, k=st.integers(1, 5), n_parts=st.integers(1, 4))
+def test_grouped_heavy_hitters_match_exact_under_any_partitioning(
+    spark, stream, k, n_parts
+):
+    """Per-group MG: for any (group, token) stream, any partitioning,
+    any k — grouped_heavy_hitters equals the exact per-group
+    GROUP BY ... HAVING count*(k+1) > group_total."""
+    tokens = spark.createDataFrame(
+        stream, "g string, token string"
+    ).repartition(n_parts)
+    got = {
+        (r.g, r.token, r.cnt)
+        for r in sketches.grouped_heavy_hitters(
+            tokens, "g", "token", k=k
+        ).collect()
+    }
+    totals = Counter(g for g, _ in stream)
+    counts = Counter(stream)
+    want = {
+        (g, t, c)
+        for (g, t), c in counts.items()
+        if c * (k + 1) > totals[g]
+    }
+    assert got == want
