@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import vectors as V
+from genai_batch_processor_spark.functions.fanout import fan_out
 
 TOPK_DEFAULT = 5
 LSH_SIGN_BITS = 8
@@ -288,18 +289,30 @@ def embedding_near_dup_pairs(
     column — e.g. a trained k-means cell for SemDeDup
     (queries.q_semdedup_survivors) — keeping the same cap and verify
     semantics over learned cells."""
+    # fan_out the projected rows BEFORE the per-row bucket/norm math
+    # and the in-cell self-join — the self-join's probe side inherits
+    # this partitioning, so the quadratic in-cell scoring parallelizes
+    # instead of running inside a single scan task (measured 3.4 s on
+    # one core for semdedup_survivors at sf0.1). No-op at scale.
+    raw = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            *([F.col(bucket_col)] if bucket_col is not None else []),
+        )
+    )
     bucket = (
         F.col(bucket_col)
         if bucket_col is not None
-        else V.sign_bits_bucket(F.col(vec_col), sign_bits)
+        else V.sign_bits_bucket(F.col("__v"), sign_bits)
     )
     # Per-row norms BEFORE the self-join: the pair cosine is then one
     # dot product instead of three array aggregates. dot/(n_a*n_b) is
     # the same expression tree cosine() builds, just with the norm
     # factors evaluated once per row — bit-identical results.
-    b = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        bucket.alias("bucket"), V.norm(F.col(vec_col)).alias("__nrm"),
+    b = raw.select(
+        "__id", "__v",
+        bucket.alias("bucket"), V.norm(F.col("__v")).alias("__nrm"),
     )
     ok = (
         b.groupBy("bucket")

@@ -4409,10 +4409,18 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     assigned = _SEMDEDUP_ASSIGNED_CACHE.get(key)
     if assigned is None:
+        # fan_out before the argmin assignment so BOTH the cache build
+        # and every cached-read consumer (three references per pair
+        # query) run at full parallelism instead of on the one-split
+        # local scan (guide §2.5; no-op at scale).
+        from genai_batch_processor_spark.functions.fanout import fan_out
+
         assigned = _stage_cache_put(
             _SEMDEDUP_ASSIGNED_CACHE,
             key,
-            clustering.assign_cells_auto(emb, cents).persist(),
+            clustering.assign_cells_auto(
+                fan_out(emb.select("vec_id", "embedding")), cents
+            ).persist(),
         )
     pairs = similarity.embedding_near_dup_pairs(
         assigned, bucket_col="cell", max_cell=SEMDEDUP_MAX_CELL
