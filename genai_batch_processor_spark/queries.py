@@ -360,7 +360,12 @@ def q_response_joinback_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = ingest.joinback_stream(
             stream, piped.select("idx", "doc_id", "lang")
         )
-        sw.run_to_memory(joined, name, "append", ckpt)
+        # Stateless stream-static join, but each micro-batch's join
+        # shuffle still plans at the session default — size it for
+        # micro-batch volume like the stateful twins (no state store
+        # here, so this only narrows per-epoch jobs).
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(joined, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
@@ -1186,7 +1191,12 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sw.hourly_counts(stream)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        sw.run_to_memory(agg, name, "complete", ckpt)
+        # The windowed agg keeps one state store per shuffle partition;
+        # size them for the stream's keyspace like every other stateful
+        # twin (the only one that was still draining at the batch
+        # default — measured ~2x per-micro-batch overhead).
+        with sw.stream_state_partitions(spark):
+            sw.run_to_memory(agg, name, "complete", ckpt)
     finally:
         # availableNow drained to completion — the checkpoint is dead
         # state; leaving it would leak one dir per invocation.
