@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import hashing
+from genai_batch_processor_spark.functions.fanout import fan_out
 from genai_batch_processor_spark.functions import text as tx
 
 SPAN_WORDS_DEFAULT = 5
@@ -44,7 +45,11 @@ def span_dup_stats(
     aggregate-sized and joins back on the hash key (broadcast under
     AQE when small, sort-merge otherwise) — never a corpus self-join.
     """
-    spans = docs.select(
+    # Parallelism floor before the span hashing (functions/fanout.py):
+    # the explode + 60-bit hashing is the expensive narrow stage and a
+    # single-split local scan runs it serially (profiled: two 1.0-1.3 s
+    # single-task branches at sf0.1). No-op at real scale.
+    spans = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
         F.explode(tx.shingles(F.lower(F.col(text_col)), span_words)).alias(
             "span"

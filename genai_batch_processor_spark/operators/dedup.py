@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from genai_batch_processor_spark.functions import hashing, scaling, text as tx
+from genai_batch_processor_spark.functions.fanout import fan_out
 
 SHINGLE_N = 3
 MINHASH_K = 16
@@ -201,6 +202,18 @@ def minhash_scheme_fingerprint() -> str:
 # -- exact dedup -------------------------------------------------------------
 
 
+def _fanned(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project to (id, text) and apply the parallelism floor
+    (functions/fanout.py) BEFORE the shingle/MinHash expressions: the
+    per-row hashing is the expensive narrow stage of every operator
+    below, and a single-split local scan would run it in one task
+    (profiled round 13: 2.8 s single-task banding for ngram_jaccard at
+    sf0.1 on 32 cores). No-op — no exchange — whenever the scan
+    already carries >= default-parallelism partitions, i.e. at any
+    real corpus scale."""
+    return fan_out(df.select(id_col, text_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per distinct text (hash group-by; SURVEY.md
     §2.D 'exact dedup'). Shuffles on a 60-bit text hash, not the text."""
@@ -331,7 +344,7 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH candidate (id_a < id_b) pairs. One explode (B rows/doc), one
     shuffle on (band, key), bucket-size cap against skew."""
-    sigs = df.select(
+    sigs = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         minhash_signature(shingle_hashes(text_col)).alias("__sig"),
     )
@@ -365,7 +378,7 @@ def near_dup_pairs(
     candidates are verified — the full cross product never materializes.
     Features are word 3-shingles; see :func:`ngram_jaccard_pairs` for the
     character-n-gram variant."""
-    hashed = df.select(
+    hashed = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     )
     return jaccard_pairs_from_hashes(hashed, threshold, max_bucket)
@@ -402,7 +415,7 @@ def ngram_jaccard_pairs(
     whitespace edits; threshold is lower because char-gram Jaccard of
     paraphrased text sits below word-shingle Jaccard of near-identical
     text."""
-    hashed = df.select(
+    hashed = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         char_shingle_hashes(text_col, n).alias("__hs"),
     )
@@ -516,7 +529,7 @@ def minhash_calibration_pairs(
     DuckDB twin (whose ``array_to_string`` keeps NULL keys out of the
     join) never emits. jaccard/near-dup paths are shielded by their
     threshold filter; this unfiltered audit needs the explicit guard."""
-    hashed = df.select(
+    hashed = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     ).filter(F.col("__hs").isNotNull())
     sigs = hashed.select(
@@ -581,7 +594,7 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     only the new batch — and ``bucket_n`` is what lets the probe skip
     the index-wide aggregation too (one groupBy at BUILD time, free at
     every probe)."""
-    hashed = df.select(
+    hashed = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     )
     sigs = hashed.select(
@@ -791,7 +804,7 @@ def winnow_pairs(
     collect_list + local pair expansion under a bucket cap (degenerate
     fingerprints are dropped, not joined), then a pair-count aggregate
     filtered to ``min_shared``."""
-    hashed = df.select(
+    hashed = _fanned(df, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         F.transform(
             tx.shingles(text_col, WINNOW_K), hashing.portable_hash32
@@ -1143,7 +1156,7 @@ def contamination_hits(
             F.explode(shingle_hashes(text_col, n)).alias("h")
         ).distinct()
     )
-    corp = corpus.select(
+    corp = _fanned(corpus, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_hashes(text_col, n)).alias("h"),
     )
@@ -1249,7 +1262,7 @@ def simhash_near_dup_pairs(
     bits, n_bands = width
     if bits % n_bands:
         raise ValueError(f"bits {bits} not divisible by bands {n_bands}")
-    sh = df.select(
+    sh = _fanned(df, id_col, text_col).select(
         F.struct(
             F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
         ).alias("__rec")

@@ -446,9 +446,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per document (flattened to a string for the
     driver's value hash)."""
+    from genai_batch_processor_spark.functions.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(dedup.shingle_hashes("text"))
-    return docs.select(
+    # fan_out before the md5-heavy signature (no-op at scale).
+    return fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.concat_ws("-", sig).alias("signature")
     )
 
@@ -498,9 +501,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit at every fixture scale — recorded hashes untouched — 56-bit
     past SIMHASH_WIDEN_DOCS, where 32-bit hamming balls saturate; the
     oracle branches on the same count)."""
+    from genai_batch_processor_spark.functions.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     bits, _ = dedup.adaptive_simhash_width(_doc_count_shared(spark, sf_dir))
-    return docs.select("doc_id", dedup.simhash("text", bits).alias("simhash"))
+    # fan_out before the per-doc SimHash (profiled: one 1.6 s task at
+    # sf0.1 without it; no-op at scale).
+    return fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", dedup.simhash("text", bits).alias("simhash")
+    )
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +927,9 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_PROBES = (1, 2, 4)  # ascending; the shared scoring runs at max()
+
+
 def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/cost knob sweep for trained IVF (round-9 verdict item 6):
     recall@5 vs the brute-force truth at n_probe ∈ {1, 2, 4} — the
@@ -932,10 +944,25 @@ def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     truth = _ann_truth_shared(spark, sf_dir)
     cents = _trained_centroids_shared(spark, sf_dir, k=_KMEANS_K)
+    # Score ONCE at the largest n_probe, carrying each candidate's
+    # probe_rank (the position of its cell in the query's sorted cell
+    # list); the n_probe=p sweep point is exactly the probe_rank <= p
+    # slice, so the three sweep branches share one corpus scan, one
+    # centroid-literal tree and one cosine pass instead of three
+    # (optimization round 13: 3x duplicated literal argmin trees cost
+    # ~2 s of Catalyst planning + serial single-task scoring per run;
+    # restructure measured 4.8 s -> 2.7 s, results bit-identical —
+    # cells are disjoint, so slice(sorted, 1, p) == probe_rank <= p).
+    scored = similarity.scored_ivf_candidates(
+        emb, qs, centroids=cents, n_probe=max(_SWEEP_PROBES)
+    )
     tagged = None
-    for n_probe in (1, 2, 4):
-        part = similarity.topk_ivf(
-            emb, qs, centroids=cents, n_probe=n_probe
+    for n_probe in _SWEEP_PROBES:
+        part = similarity._ranked_topk(
+            scored.filter(F.col("probe_rank") <= n_probe).select(
+                "query_id", "neighbor_id", "cosine"
+            ),
+            similarity.TOPK_DEFAULT,
         ).select(
             F.lit(n_probe).cast("int").alias("n_probe"),
             "query_id",
