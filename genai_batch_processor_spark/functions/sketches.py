@@ -134,10 +134,12 @@ def mg_candidates(tokens: DataFrame, token_col: str, k: int) -> DataFrame:
     def _mg_partition(batches):
         state: dict = {}
         for pdf in batches:
-            for tok in pdf[token_col]:
-                if tok is None:
-                    continue
-                state[tok] = state.get(tok, 0) + 1
+            # Batch-level count in C (value_counts) then one merge per
+            # DISTINCT token — identical state math to a per-token
+            # loop (the compress step already ran once per batch), at
+            # vectorized speed (optimization guide §4.2).
+            for tok, n in pdf[token_col].value_counts(dropna=True).items():
+                state[tok] = state.get(tok, 0) + int(n)
             _mg_compress(state, k)
         yield pd.DataFrame({token_col: list(state.keys())})
 
@@ -208,11 +210,17 @@ def grouped_mg_candidates(
     def _part(batches):
         states: dict = {}
         for pdf in batches:
-            for g, t in zip(pdf[group_col], pdf[token_col]):
-                if g is None or t is None:
-                    continue
+            # Vectorized twin of the flat pass: one C-speed
+            # (group, token) count per batch, merged per distinct
+            # pair — same state math as the per-row loop (guide §4.2).
+            vc = (
+                pdf[[group_col, token_col]]
+                .dropna()
+                .value_counts()
+            )
+            for (g, t), n in vc.items():
                 st = states.setdefault(g, {})
-                st[t] = st.get(t, 0) + 1
+                st[t] = st.get(t, 0) + int(n)
             for st in states.values():
                 _mg_compress(st, k)
         yield pd.DataFrame(

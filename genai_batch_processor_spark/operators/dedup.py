@@ -1602,7 +1602,9 @@ def bloom_contamination_hits(
         )
     words = F.lit(bitmap)
     masks = F.lit(_BLOOM_MASKS)
-    corp = corpus.select(
+    # fan_out before the shingle hashing + probe (the corpus-side
+    # per-row hot path); no-op at scale.
+    corp = _fanned(corpus, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_hashes(text_col, n, hash_bits=60)).alias("h"),
     )

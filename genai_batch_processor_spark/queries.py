@@ -580,8 +580,12 @@ def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: counts, quality score, language guess,
     rolling-hash fingerprint (§2.D text analysis)."""
+    from genai_batch_processor_spark.functions.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # Six heavy per-row text expressions over a single-split local scan
+    # ran as one task; fan_out first (no-op at scale).
+    return fan_out(docs.select("doc_id", "text")).select(
         "doc_id",
         tx.word_count("text").alias("n_words"),
         tx.token_count("text").alias("n_tokens"),
