@@ -579,7 +579,9 @@ def minhash_calibration_pairs(
 # -- incremental near-dup (persisted index, probe-only new batches) ----------
 
 
-def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_index(
+    df: DataFrame, id_col: str, text_col: str, fanout: bool = True
+) -> DataFrame:
     """The persistable LSH index of a corpus: one row per (band, doc)
     carrying ``(band, key, id, hs, bucket_n)`` — the banded bucket
     relation WITH the verification payload AND its bucket's member
@@ -593,8 +595,19 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus per ingest batch and an index-probe join whose left side is
     only the new batch — and ``bucket_n`` is what lets the probe skip
     the index-wide aggregation too (one groupBy at BUILD time, free at
-    every probe)."""
-    hashed = _fanned(df, id_col, text_col).select(
+    every probe).
+
+    ``fanout=False`` skips the parallelism-floor repartition: pass it
+    when ``df`` is a streaming MICRO-BATCH (r13 ADVICE) — micro-batches
+    are small by contract, so fan_out's 'no-op at real scale' premise
+    never holds there, and a cluster-width exchange per epoch fights
+    the micro-batch-sized drain partitioning."""
+    base_in = (
+        _fanned(df, id_col, text_col)
+        if fanout
+        else df.select(id_col, text_col)
+    )
+    hashed = base_in.select(
         F.col(id_col).alias("__id"), shingle_hashes(text_col).alias("__hs")
     )
     sigs = hashed.select(

@@ -54,6 +54,16 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def topk_from_scored(scored: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
+    """Public top-k ranking over a prebuilt scored candidate relation
+    ``(query_id, neighbor_id, cosine)`` — for callers that slice one
+    shared scoring pass several ways (the probe-setting sweep filters
+    ``scored_ivf_candidates`` per point) instead of re-scoring per
+    variant. Same rank/tie semantics as every ``topk_*`` operator
+    (r13 ADVICE: the sweep reached into the private helper)."""
+    return _ranked_topk(scored, k)
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -458,6 +468,7 @@ def embedding_cell_index(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner=None,
 ) -> DataFrame:
     """The persistable ANN-ingest index of an embedding corpus: one row
     per vector carrying ``(cell, vec_id, embedding, nrm, cell_n)`` —
@@ -474,10 +485,21 @@ def embedding_cell_index(
     contract: per-ingest cost scales with the batch, not the corpus —
     the corpus embeddings are assigned/normed ONCE at index build
     (shuffle-free: assign_cells_auto), and every probe is one join
-    against the batch's (broadcast-sized) cell set."""
+    against the batch's (broadcast-sized) cell set.
+
+    ``assigner`` (a ``clustering.cell_assigner`` closure) lets a
+    repeated caller — the streaming probe drain, which builds one
+    batch index PER MICRO-BATCH — construct the centroid argmin
+    expression once per drain instead of re-paying the k × dim
+    literal-tree construction every epoch (r13 verdict item 3). Same
+    dispatch and results as the default path."""
     from genai_batch_processor_spark.operators import clustering
 
-    assigned = clustering.assign_cells_auto(df, centroids, vec_col)
+    assigned = (
+        assigner(df)
+        if assigner is not None
+        else clustering.assign_cells_auto(df, centroids, vec_col)
+    )
     base = assigned.select(
         F.col("cell").cast("int").alias("cell"),
         F.col(id_col).alias("vec_id"),

@@ -364,7 +364,7 @@ def q_response_joinback_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle still plans at the session default — size it for
         # micro-batch volume like the stateful twins (no state store
         # here, so this only narrows per-epoch jobs).
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(spark, input_path=outdir):
             sw.run_to_memory(joined, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -962,7 +962,7 @@ def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = None
     for n_probe in _SWEEP_PROBES:
-        part = similarity._ranked_topk(
+        part = similarity.topk_from_scored(
             scored.filter(F.col("probe_rank") <= n_probe).select(
                 "query_id", "neighbor_id", "cosine"
             ),
@@ -1223,10 +1223,12 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
         # The windowed agg keeps one state store per shuffle partition;
-        # size them for the stream's keyspace like every other stateful
-        # twin (the only one that was still draining at the batch
-        # default — measured ~2x per-micro-batch overhead).
-        with sw.stream_state_partitions(spark):
+        # size them for the stream's input volume like every other
+        # stateful twin (r14: volume-derived, not the constant 8 —
+        # the small floor locally, cluster width at scale).
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(agg, name, "complete", ckpt)
     finally:
         # availableNow drained to completion — the checkpoint is dead
@@ -1258,7 +1260,9 @@ def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sw.user_stats_stream(stream)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(out, name, "update", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1754,7 +1758,9 @@ def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sw.session_aggs(stream)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(sess, name, "complete", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1783,7 +1789,9 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sw.sliding_counts(stream.withWatermark("ts", "2 hours"))
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(agg, name, "complete", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1811,7 +1819,9 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(deduped, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2410,7 +2420,9 @@ def q_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = sw.click_purchase_join(clicks, purchases)
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
     try:
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(
+            spark, input_path=sf_dir.rstrip("/") + "/events.parquet"
+        ):
             sw.run_to_memory(joined, name, "append", ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -3254,7 +3266,7 @@ def q_bpe_token_counts_stream(
                 F.sum("n_tok").cast("long").alias("total_bpe_tokens"),
             )
         )
-        with sw.stream_state_partitions(spark):
+        with sw.stream_state_partitions(spark, input_path=shards):
             sw.run_to_memory(agg, name, "complete", ckpt)
         # Materialize the (|langs|-row) snapshot and DROP the memory-
         # sink view (r12 ADVICE): each invocation registered a fresh

@@ -21,6 +21,7 @@ Design notes (100 TB / continuous):
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from typing import Any, Iterable
 
@@ -275,8 +276,72 @@ def click_purchase_join(
     )
 
 
+# Streaming drain partition sizing (r13 verdict item 1): the r13 code
+# hard-wired n=8, a constant tuned at sf0.1 — correct for the fixture
+# drains but a serialization hazard at 100 TB, where an availableNow
+# drain's micro-batches are NOT small and the count is pinned into the
+# checkpoint at first start. The count is now derived from the drain's
+# input volume: 8 stays the small-keyspace floor (local behavior and
+# checkpoints unchanged), large inputs get >= the session default
+# parallelism, and SPARK_GRAFT_STREAM_PARTITIONS overrides both.
+STREAM_PARTITIONS_BASE = 8
+STREAM_TARGET_BYTES_PER_PARTITION = 64 << 20  # ~64 MB per partition
+
+
+def stream_partitions_for(
+    spark: SparkSession, input_bytes: int | None = None
+) -> int:
+    """Shuffle/state partition count for a streaming drain whose input
+    is ``input_bytes`` big: the small-keyspace floor (8) up to
+    8 × 64 MB of input, then ~64 MB per partition but never fewer than
+    the session default parallelism (the fan_out-style floor — a big
+    drain must use the whole cluster). ``input_bytes=None`` (unknown
+    volume) keeps the conservative small floor: every current caller
+    that cannot size its input is a fixture-scale drain, and a
+    too-small count degrades latency, not correctness.
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides (validated — a
+    malformed value warns and falls through)."""
+    import warnings
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            warnings.warn(
+                f"SPARK_GRAFT_STREAM_PARTITIONS={env!r} is not an "
+                "integer; deriving from input volume instead",
+                stacklevel=2,
+            )
+    if not input_bytes or input_bytes <= 0:
+        return STREAM_PARTITIONS_BASE
+    n = -(-int(input_bytes) // STREAM_TARGET_BYTES_PER_PARTITION)
+    if n <= STREAM_PARTITIONS_BASE:
+        return STREAM_PARTITIONS_BASE
+    return max(n, spark.sparkContext.defaultParallelism)
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API (the
+    drains' sources may be hdfs:// or s3a:// roots — a driver-local
+    os.walk would read 0 there). One RPC per call; call once per drain
+    start, not per epoch."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        return 0
+
+
 @contextmanager
-def stream_state_partitions(spark: SparkSession, n: int = 8):
+def stream_state_partitions(
+    spark: SparkSession,
+    n: int | None = None,
+    input_bytes: int | None = None,
+    input_path: str | None = None,
+):
     """Size the state-store partition count for a streaming drain.
 
     Stateful operators allocate one state store per shuffle partition
@@ -286,7 +351,18 @@ def stream_state_partitions(spark: SparkSession, n: int = 8):
     small-keyspace stateful streams (measured 3.2× on the stream-stream
     join at sf0.1). The partition count is pinned into the query's
     checkpoint at first start — which is why this wraps query start,
-    and why a restarted production query keeps its original sizing."""
+    and why a restarted production query keeps its original sizing.
+
+    ``n=None`` derives the count from ``input_bytes`` via
+    :func:`stream_partitions_for` (scale-adaptive: the 8-partition
+    small-keyspace floor locally, >= default parallelism for large
+    inputs). The chosen count is observable per run in
+    ``StreamingQueryProgress.stateOperators[*].numShufflePartitions``
+    for stateful drains."""
+    if n is None:
+        if input_bytes is None and input_path:
+            input_bytes = dir_bytes(spark, input_path)
+        n = stream_partitions_for(spark, input_bytes)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -22,11 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Parse both '--reps=N' and '--reps N' (r13 ADVICE: the split('=')
+    # parse raised IndexError on the documented space form and treated
+    # N as a query name).
+    args = sys.argv[1:]
+    names: list[str] = []
     reps = 1
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1])
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(args):
+                    raise SystemExit("--reps needs a value")
+                reps = int(args[i])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            names.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     evdir = tempfile.mkdtemp(prefix="spark_evlog_")
 
@@ -66,6 +83,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; registry has {len(qs)} names "
+            "(see QUERIES.md)"
+        )
     spark = patched("profile")
     # warm exactly like bench.py
     qs[list(qs)[0] if "joinback" not in qs else "joinback"](spark, sf_dir).count()
@@ -87,13 +110,13 @@ def main() -> None:
     spark.stop()
     time.sleep(1.0)
 
-    # Parse the event log.
-    path = None
-    for f in os.listdir(evdir):
-        if f.startswith(app_id) or path is None:
-            path = os.path.join(evdir, f)
-    if path is None:
+    # Parse the event log. Only the entry matching THIS app id counts
+    # (r13 ADVICE: the permissive fallback silently profiled the wrong
+    # log whenever the dir held more than one entry).
+    matches = [f for f in os.listdir(evdir) if f.startswith(app_id)]
+    if not matches:
         raise SystemExit(f"no event log found in {evdir} (app {app_id})")
+    path = os.path.join(evdir, matches[0])
     if os.path.isdir(path):  # Spark 4 rolling event-log directory
         parts = sorted(
             os.path.join(path, f)
@@ -104,10 +127,14 @@ def main() -> None:
         parts = [path]
     jobs = {}   # job_id -> dict
     stages = {}  # stage_id -> dict
-    import itertools, io
-    fh = itertools.chain.from_iterable(open(p) for p in parts)
+
+    def _lines():
+        for p in parts:
+            with open(p) as f:  # context-managed per file (r13 ADVICE)
+                yield from f
+
     if True:
-        for line in fh:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except ValueError:
