@@ -112,7 +112,19 @@ def test_regional_revenue_broadcasts_dims(spark, sf_dir):
 
 
 def test_embedding_topk_broadcasts_queries(spark, sf_dir):
-    plan = _plan(spark, "embedding_topk", sf_dir)
+    """Pins the OPERATOR's design (broadcast query side, unshuffled
+    corpus). q_embedding_topk itself now serves the session-shared
+    materialized leaf (r14: _topk_method_shared), so the design must
+    be read from the operator plan directly — the same convention as
+    the other shared-stage queries (see _plan note below)."""
+    from genai_batch_processor_spark.operators import similarity
+
+    emb = queries.load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < queries.ANN_N_QUERIES)
+    df = similarity.topk_bruteforce(emb, qs)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus side must not shuffle before the join
     assert plan.count("Exchange hashpartitioning") <= 2  # only the rank window
